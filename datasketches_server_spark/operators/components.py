@@ -1,0 +1,91 @@
+"""Connected components over an edge DataFrame: alternating
+large-star / small-star (Kiveris et al., "Connected Components in
+MapReduce and Beyond") with a driver fixpoint loop.
+
+The reference's loose analog is the transitive "merge into target"
+accumulator pattern (MergeHandler.java:82-138; README.md:377-379): state
+absorbs state until one summary remains.  Here the state is the edge set
+and the fixpoint is a forest of depth-1 stars, each child pointing at its
+component's minimum node id.
+
+Catalyst has no iterative operator, so the loop lives in the driver with
+``localCheckpoint()`` per round to truncate lineage (SURVEY.md section 4
+custom work #2).  Rounds are O(log^2 n) worst case; near-clique duplicate
+clusters converge in 2-3 rounds.  Node ids stay strings end-to-end -- no
+64-bit relabeling, so no birthday-collision risk at 10^12 nodes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+    mins = mins.select("u", F.least("mv", "u").alias("m"))
+    out = (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("a"), F.col("m").alias("b"))
+    )
+    return out.where(F.col("a") != F.col("b")).distinct()
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    t = e.select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")).where(
+        F.col("u") != F.col("v")
+    )
+    mins = t.groupBy("u").agg(F.min("v").alias("m"))
+    out = t.join(mins, "u").select(F.col("v").alias("a"), F.col("m").alias("b")).union(
+        mins.select(F.col("u").alias("a"), F.col("m").alias("b"))
+    )
+    return out.where(F.col("a") != F.col("b")).distinct()
+
+
+def _fingerprint(e: DataFrame) -> tuple[int, int]:
+    row = e.select(F.xxhash64("a", "b").alias("h")).agg(
+        F.count("*").alias("n"), F.expr("bit_xor(h)").alias("x")
+    ).collect()[0]
+    return (row["n"], row["x"] if row["x"] is not None else 0)
+
+
+def connected_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
+    """edges (a string, b string) -> labels (conv_id, cluster_id).
+
+    cluster_id is the lexicographic minimum conv_id of the component
+    (deterministic tie-breaking).  Only nodes appearing in an edge are
+    returned; callers attach singletons with a left join + coalesce.
+    """
+    e = edges.select("a", "b").where(F.col("a") != F.col("b")).distinct().localCheckpoint()
+    prev = _fingerprint(e)
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        cur = _fingerprint(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+    # fixpoint edges are (child, root) stars; roots label themselves
+    labels = e.select(F.col("a").alias("conv_id"), F.col("b").alias("cluster_id")).union(
+        e.select(F.col("b").alias("conv_id"), F.col("b").alias("cluster_id"))
+    )
+    return labels.groupBy("conv_id").agg(F.min("cluster_id").alias("cluster_id"))
+
+
+def attach_singletons(labels: DataFrame, all_nodes: DataFrame) -> DataFrame:
+    """all_nodes (conv_id) left-join labels; unlabeled nodes are their own
+    cluster.  Broadcast-friendly when the label side is small relative to
+    the corpus (the usual case: most docs are unique)."""
+    return (
+        all_nodes.select("conv_id")
+        .join(labels, "conv_id", "left")
+        .select(
+            "conv_id",
+            F.coalesce(F.col("cluster_id"), F.col("conv_id")).alias("cluster_id"),
+        )
+    )

@@ -1,0 +1,149 @@
+"""LSH banding, skew-hardened candidate generation, pair verification.
+
+Loose analog in the reference: merge-compatibility grouping by family
+(MergeHandler.java:156-158) -- items that *may* combine are routed to the
+same key.  Here the keys are LSH band buckets over MinHash signatures.
+
+Scale design (the part that must survive 100 TB):
+
+* Band explosion is narrow -- only (conv_id, bucket) leaves the row, not
+  signatures or shingles.
+* Candidate generation avoids a self-join entirely: one shuffle groups
+  members per bucket, then pairs are emitted with native array
+  expressions.  Small buckets (<= all_pairs_cap) emit all pairs; larger
+  buckets emit *star edges* to the bucket's minimum member -- O(m) edges
+  that preserve exactly what connected components needs (connectivity)
+  instead of the O(m^2) blowup a giant near-duplicate family would cause.
+  This is the explicit skew handling demanded by the north rule: a
+  pathological template family of 10^6 members costs 10^6 edges, not
+  10^12 pairs.
+* Buckets beyond bucket_cap are truncated deterministically (sorted
+  member order) and the drop is observable in the returned stats.
+* Verification is a fan-in join of the pair list back to per-conv state:
+  cheap tier joins 128-long MinHash signatures (estimate), exact tier
+  joins shingle arrays (no false positives).  AQE skew-join splitting
+  stays on for the residual skew.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import LshConfig
+from ..functions.signatures import exact_jaccard, minhash_jaccard, simhash_hamming
+
+ALL_PAIRS_CAP = 64
+
+
+def band_buckets(sigs: DataFrame, cfg: LshConfig = LshConfig()) -> DataFrame:
+    """(conv_id, minhash) -> (conv_id, band_idx, bucket) one row per band.
+
+    bucket = xxhash64(band_idx, r-slice of the signature); including
+    band_idx in the hash means one global bucket keyspace, no composite
+    join keys downstream.
+    """
+    r = cfg.rows_per_band
+    band_idx = F.posexplode(F.sequence(F.lit(0), F.lit(cfg.bands - 1)))
+    return sigs.select(
+        "conv_id", band_idx.alias("_p", "band_idx"), F.col("minhash")
+    ).select(
+        "conv_id",
+        "band_idx",
+        F.xxhash64(F.col("band_idx"), F.slice(F.col("minhash"), F.col("band_idx") * r + 1, r)).alias("bucket"),
+    )
+
+
+def candidate_pairs(
+    buckets: DataFrame, cfg: LshConfig = LshConfig()
+) -> DataFrame:
+    """bucket memberships -> distinct candidate (a, b) pairs, a < b.
+
+    One shuffle (groupBy bucket) + one distinct.  Pure native expressions
+    for pair emission; no Python, no self-join.
+    """
+    members = (
+        buckets.groupBy("bucket")
+        .agg(F.slice(F.sort_array(F.collect_set("conv_id")), 1, cfg.bucket_cap).alias("ids"),
+             F.count("*").alias("n_members"))
+        .where(F.size("ids") >= 2)
+    )
+    n = F.size(F.col("ids"))
+    all_pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.transform(
+                F.slice(F.col("ids"), i + 2, n),
+                lambda x: F.struct(
+                    F.element_at(F.col("ids"), (i + 1).cast("int")).alias("a"), x.alias("b")
+                ),
+            ),
+        )
+    )
+    star = F.transform(
+        F.slice(F.col("ids"), 2, n),
+        lambda x: F.struct(F.element_at(F.col("ids"), 1).alias("a"), x.alias("b")),
+    )
+    pairs = members.select(
+        F.explode(F.when(n <= ALL_PAIRS_CAP, all_pairs).otherwise(star)).alias("p")
+    )
+    return pairs.select(F.col("p.a").alias("a"), F.col("p.b").alias("b")).distinct()
+
+
+def bucket_stats(buckets: DataFrame, cfg: LshConfig = LshConfig()) -> DataFrame:
+    """Observability for skew handling: bucket-size histogram + drops."""
+    sizes = buckets.groupBy("bucket").agg(F.countDistinct("conv_id").alias("sz"))
+    return sizes.agg(
+        F.count("*").alias("n_buckets"),
+        F.max("sz").alias("max_bucket"),
+        F.sum(F.when(F.col("sz") > ALL_PAIRS_CAP, 1).otherwise(0)).alias("star_buckets"),
+        F.sum(F.when(F.col("sz") > cfg.bucket_cap, F.col("sz") - cfg.bucket_cap).otherwise(0)).alias("dropped_members"),
+    )
+
+
+def verify_pairs(
+    pairs: DataFrame,
+    conv_state: DataFrame,
+    cfg: LshConfig = LshConfig(),
+    tier: str = "exact",
+) -> DataFrame:
+    """Attach similarity evidence to candidate pairs; keep those at/above
+    the jaccard threshold.
+
+    conv_state: (conv_id, shingles?, minhash?, simhash?).  tier:
+      * "exact"   -- exact jaccard on shingle arrays (no false positives;
+                     default, and the config the oracle replays)
+      * "minhash" -- signature-agreement estimate (cheap at extreme scale)
+    """
+    cols = ["conv_id"]
+    if tier == "exact":
+        cols.append("shingles")
+    else:
+        cols.append("minhash")
+    if "simhash" in conv_state.columns:
+        cols.append("simhash")
+    state = conv_state.select(*cols)
+
+    a_state = state.select([F.col(c).alias(f"{c}_a") for c in state.columns])
+    b_state = state.select([F.col(c).alias(f"{c}_b") for c in state.columns])
+    joined = (
+        pairs.join(a_state, pairs.a == a_state.conv_id_a)
+        .join(b_state, pairs.b == b_state.conv_id_b)
+    )
+    if tier == "exact":
+        sim = exact_jaccard(F.col("shingles_a"), F.col("shingles_b"))
+    else:
+        sim = minhash_jaccard(F.col("minhash_a"), F.col("minhash_b"))
+    out = joined.select(
+        "a",
+        "b",
+        sim.alias("jaccard"),
+        *(
+            [simhash_hamming(F.col("simhash_a"), F.col("simhash_b")).alias("hamming")]
+            if "simhash" in conv_state.columns
+            else []
+        ),
+    )
+    return out.where(F.col("jaccard") >= cfg.jaccard_threshold)

@@ -1,0 +1,80 @@
+"""Stage orchestration: transcripts -> conv state -> LSH -> clusters.
+
+The whole pipeline is declarative DataFrame composition; Catalyst plans
+each stage (partial aggregation for the groupBys, AQE for skew).  The
+only Python on the data path is the fused MinHash/SimHash pandas UDF.
+
+Stage layout (each stage is a pure function, so lineage checkpointing in
+plans/lineage.py can persist and resume any prefix):
+
+  1. assemble   -- turns -> conversations (stable turn order)
+  2. signatures -- shingles + MinHash-128 + SimHash-64 per conv
+  3. lsh        -- band buckets -> skew-capped candidate pairs
+  4. verify     -- exact-jaccard edge verification (+ simhash hamming)
+  5. components -- large-star/small-star fixpoint -> cluster labels
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_CONFIG, PipelineConfig
+from ..functions.shingle import shingles
+from ..functions.signatures import signature_udf
+from ..functions.text import assemble_conversations
+from ..operators.components import attach_singletons, connected_components
+from ..operators.lsh import band_buckets, candidate_pairs, verify_pairs
+
+
+def conv_signatures(transcripts: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """(conv_id, turn_idx, text, ...) -> one row per conv:
+    (conv_id, n_turns, n_shingles, shingles, minhash, simhash)."""
+    convs = assemble_conversations(transcripts)
+    convs = convs.withColumn("shingles", shingles(F.col("full_text"), cfg.shingle))
+    sig = signature_udf(cfg.minhash)
+    convs = convs.withColumn("_sig", sig(F.col("shingles")))
+    return convs.select(
+        "conv_id",
+        "n_turns",
+        F.size("shingles").cast("long").alias("n_shingles"),
+        "shingles",
+        F.col("_sig.minhash").alias("minhash"),
+        F.col("_sig.simhash").alias("simhash"),
+    )
+
+
+@dataclass
+class DedupResult:
+    conv_state: DataFrame   # per-conv signatures
+    edges: DataFrame        # verified dup pairs (a, b, jaccard, hamming)
+    clusters: DataFrame     # (conv_id, cluster_id) covering every conv
+
+
+def dedup_pipeline(
+    transcripts: DataFrame,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    verify_tier: str = "exact",
+    cache_state: bool = True,
+) -> DedupResult:
+    state = conv_signatures(transcripts, cfg)
+    if cache_state:
+        # reused by banding AND verification -- one materialization
+        state = state.persist()
+    buckets = band_buckets(state, cfg.lsh)
+    cands = candidate_pairs(buckets, cfg.lsh)
+    edges = verify_pairs(cands, state, cfg.lsh, tier=verify_tier)
+    labels = connected_components(edges)
+    clusters = attach_singletons(labels, state)
+    return DedupResult(conv_state=state, edges=edges, clusters=clusters)
+
+
+def cluster_summary(clusters: DataFrame) -> DataFrame:
+    """cluster_id -> size, ordered; the flagship dedup report."""
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(F.count("*").cast("long").alias("cluster_size"))
+        .orderBy(F.desc("cluster_size"), "cluster_id")
+    )

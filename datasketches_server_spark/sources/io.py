@@ -1,0 +1,92 @@
+"""Table IO: Iceberg when available, parquet layout otherwise.
+
+The reference's only IO is JSON-over-HTTP (BaseSketchesQueryHandler.java:
+79-97); ours is real table IO.  The contract input is an Iceberg table of
+transcripts (BASELINE.json input_hint); this sandbox has no
+iceberg-spark-runtime jar, so `TableIO` probes for the Iceberg catalog and
+falls back to a parquet directory layout with identical semantics for
+everything this engine needs (append, overwrite, snapshot fingerprints
+for lineage).  The format choice is a config flag, not a code path fork.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+class TableIO:
+    """read/write named tables under a warehouse root.
+
+    Iceberg mode uses ``catalog.db.name`` identifiers; parquet mode maps a
+    table name to ``{root}/{name}`` (directory of parquet files).  Both
+    support the three verbs the pipeline uses: read, append, overwrite.
+    """
+
+    def __init__(self, spark: SparkSession, root: str, use_iceberg: bool | None = None):
+        self.spark = spark
+        self.root = root
+        self.use_iceberg = (
+            iceberg_available(spark) if use_iceberg is None else use_iceberg
+        )
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def read(self, name: str) -> DataFrame:
+        if self.use_iceberg:
+            return self.spark.read.table(name)
+        return self.spark.read.parquet(self._path(name))
+
+    def exists(self, name: str) -> bool:
+        if self.use_iceberg:
+            return self.spark.catalog.tableExists(name)
+        p = self._path(name)
+        return os.path.isdir(p) and any(
+            f.endswith(".parquet") or f == "_SUCCESS" for f in os.listdir(p)
+        )
+
+    def append(self, df: DataFrame, name: str) -> None:
+        if self.use_iceberg:
+            df.writeTo(name).append()
+        else:
+            df.write.mode("append").parquet(self._path(name))
+
+    def overwrite(self, df: DataFrame, name: str) -> None:
+        if self.use_iceberg:
+            df.writeTo(name).createOrReplace()
+        else:
+            df.write.mode("overwrite").parquet(self._path(name))
+
+    def snapshot_fingerprint(self, name: str) -> str:
+        """Stable id of current table contents, recorded in lineage rows.
+
+        Iceberg: the snapshot id.  Parquet: mtime+size digest of the files.
+        """
+        if self.use_iceberg:
+            row = (
+                self.spark.sql(f"SELECT snapshot_id FROM {name}.snapshots "
+                               "ORDER BY committed_at DESC LIMIT 1").collect()
+            )
+            return str(row[0][0]) if row else "empty"
+        import hashlib
+
+        p = self._path(name)
+        if not os.path.isdir(p):
+            return "absent"
+        h = hashlib.sha256()
+        for f in sorted(os.listdir(p)):
+            st = os.stat(os.path.join(p, f))
+            h.update(f"{f}:{st.st_size}:{st.st_mtime_ns}".encode())
+        return h.hexdigest()[:16]

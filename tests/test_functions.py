@@ -1,0 +1,105 @@
+"""Unit tests: shingles vs a pure-python oracle, MinHash estimate
+accuracy, SimHash monotonicity, synth determinism, turn reassembly."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from datasketches_server_spark.config import MinHashConfig, ShingleConfig
+from datasketches_server_spark.functions.shingle import shingles
+from datasketches_server_spark.functions.signatures import (
+    _batch_signatures,
+    _perm_params,
+    exact_jaccard,
+    minhash_jaccard,
+    signature_udf,
+    simhash_hamming,
+)
+from datasketches_server_spark.sources.synth import (
+    synth_transcripts,
+    transcripts_from_documents,
+)
+
+
+def test_shingle_count_and_distinctness(spark):
+    df = spark.createDataFrame(
+        [("a", "one two three four five"), ("b", "x y"), ("c", "w w w w w w")],
+        ["conv_id", "text"],
+    )
+    out = {
+        r["conv_id"]: r["sh"]
+        for r in df.select("conv_id", shingles(F.col("text"), ShingleConfig(k=3)).alias("sh")).collect()
+    }
+    assert len(out["a"]) == 3  # 5 tokens, k=3 -> 3 windows
+    assert len(out["b"]) == 1  # shorter than k -> whole text
+    assert len(out["c"]) == 1  # identical windows dedupe
+
+
+def test_minhash_estimates_jaccard():
+    a, b = _perm_params(128, 42)
+    rng = np.random.default_rng(0)
+    base = rng.integers(-(2**60), 2**60, size=1000)
+    half = np.concatenate([base[:500], rng.integers(-(2**60), 2**60, size=500)])
+    sigs = _batch_signatures(pd.Series([list(base), list(half), list(base)]), a, b, 64)
+    m0, m1, m2 = (np.array(sigs["minhash"][i]) for i in range(3))
+    est = (m0 == m1).mean()
+    true_j = 500 / 1500
+    assert abs(est - true_j) < 0.12
+    assert (m0 == m2).all()  # identical sets -> identical signatures
+    assert sigs["simhash"][0] == sigs["simhash"][2]
+
+
+def test_signature_udf_matches_local(spark):
+    pdf = pd.DataFrame({"shingles": [list(range(1, 50)), list(range(25, 80))]})
+    df = spark.createDataFrame(pdf)
+    got = df.select(signature_udf(MinHashConfig())(F.col("shingles")).alias("s")).collect()
+    a, b = _perm_params(128, 42)
+    want = _batch_signatures(pdf["shingles"], a, b, 64)
+    assert list(got[0]["s"]["minhash"]) == list(want["minhash"][0])
+    assert got[1]["s"]["simhash"] == want["simhash"][1]
+
+
+def test_jaccard_and_hamming_columns(spark):
+    df = spark.createDataFrame(
+        [(list(range(10)), list(range(5)) + list(range(15, 20)), 0b1010, 0b0110)],
+        ["sa", "sb", "ha", "hb"],
+    )
+    row = df.select(
+        exact_jaccard(F.col("sa"), F.col("sb")).alias("j"),
+        minhash_jaccard(F.col("sa"), F.col("sb")).alias("mj"),
+        simhash_hamming(F.col("ha"), F.col("hb")).alias("d"),
+    ).collect()[0]
+    assert row["j"] == pytest.approx(5 / 15)
+    assert row["mj"] == pytest.approx(0.5)  # positions 5..9 agree
+    assert row["d"] == 2
+
+
+def test_synth_deterministic_and_schema(spark):
+    t1 = synth_transcripts(spark, n_convs=50, seed=42)
+    t2 = synth_transcripts(spark, n_convs=50, seed=42)
+    assert t1.schema == t2.schema
+    assert [f.name for f in t1.schema.fields] == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    assert t1.exceptAll(t2).count() == 0 and t2.exceptAll(t1).count() == 0
+    # planted dups exist: at least one pair of identical full texts
+    from datasketches_server_spark.functions.text import assemble_conversations
+
+    convs = assemble_conversations(t1)
+    n_dupes = convs.groupBy("full_text").count().where(F.col("count") > 1).count()
+    assert n_dupes > 0
+
+
+def test_per_turn_text_equality_invariant(spark, sf_dir):
+    """Reassembling turns in stable (conv_id, turn_idx) order restores the
+    source document text exactly (BASELINE.json input_hint invariant)."""
+    t = transcripts_from_documents(spark, sf_dir)
+    from datasketches_server_spark.functions.text import assemble_conversations
+
+    convs = assemble_conversations(t)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("conv_id"), "text"
+    )
+    bad = convs.join(docs, "conv_id").where(F.col("full_text") != F.col("text")).count()
+    assert bad == 0
