@@ -1,0 +1,323 @@
+"""The datasketches-server parity layer: every reference endpoint x family
+(SURVEY.md section 2.1, operators #1-27) re-expressed as DataFrame ops.
+
+Reference model (SketchStorage.java:49): named mutable sketches in a
+process heap, updated item-at-a-time (UpdateHandler.java:72-94), merged
+on demand (MergeHandler.java:82-138), queried as JSON
+(DataQueryHandler.java:52-98).  Here a "named sketch" is a row of a
+sketch-state DataFrame keyed by arbitrary group columns; update is
+``groupBy().agg(<sketch_agg>)`` (Catalyst gives partial aggregation ==
+the reference's mergeability for free), merge is ``*_union_agg`` at any
+rollup level, query is a select of evaluator expressions.
+
+Family tiers (SURVEY.md section 7.4 risk #2):
+
+* theta / hll / kll -- Spark natives; binary images are Apache
+  DataSketches compatible (serialize parity with
+  SerializationHandler.java:53-107 via base64).
+* cpc -- no Spark native; substituted by hll (same role: compact
+  distinct count, no set ops).  Documented substitution, not a silent one.
+* frequency -- exact weighted counts (groupBy + sum + top-k): strictly
+  stronger than the reference's ItemsSketch at any scale Spark can hold
+  the distinct item set; `count_min_sketch` offered as the sketched tier.
+* reservoir -- bottom-k-by-hash (KMV-style): deterministic, mergeable
+  uniform sample; merge = re-take k smallest keys of the union, exactly
+  matching ReservoirItemsUnion semantics for distinct-row streams.
+* varopt -- Efraimidis-Spirakis A-ES weighted sampling without
+  replacement (key = u^(1/w) via -ln(u)/w), deterministic via hashed u.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import SketchConfig
+
+DISTINCT_FAMILIES = ("theta", "hll", "cpc")  # SketchStorage.java:56-58
+
+
+# ---------------------------------------------------------------------------
+# /update  (UpdateHandler.java:97-282, ops #1-8)
+# ---------------------------------------------------------------------------
+
+def sketch_update(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    item_col: str,
+    family: str,
+    cfg: SketchConfig = SketchConfig(),
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Stream items into per-group sketch state (the /update endpoint).
+
+    Returns one row per group with a ``sketch`` column (BINARY for
+    theta/hll/cpc/kll) or exact/sample state for the non-native families.
+    """
+    g = df.groupBy(*group_cols) if group_cols else df.groupBy()
+    if family == "theta":
+        return g.agg(F.theta_sketch_agg(item_col, cfg.theta_lg_k).alias("sketch"))
+    if family in ("hll", "cpc"):  # cpc substituted by hll (documented)
+        return g.agg(F.hll_sketch_agg(item_col, cfg.hll_lg_k).alias("sketch"))
+    if family == "kll":
+        return g.agg(
+            F.kll_sketch_agg_float(F.col(item_col).cast("float"), cfg.kll_k).alias("sketch")
+        )
+    if family == "frequency":
+        w = F.col(weight_col) if weight_col else F.lit(1.0)  # bare item -> weight 1
+        keys = [*group_cols, item_col]
+        return df.groupBy(*keys).agg(F.sum(w).cast("double").alias("weight"))
+    if family == "reservoir":
+        return _bottom_k_sample(df, group_cols, item_col, cfg.sample_k)
+    if family == "varopt":
+        if weight_col is None:
+            df = df.withColumn("_w", F.lit(1.0))
+            weight_col = "_w"
+        return _a_es_sample(df, group_cols, item_col, weight_col, cfg.sample_k)
+    raise ValueError(f"unknown family {family!r}")
+
+
+def _sample_key(item: Column, salt: int = 0xD5) -> Column:
+    """Deterministic uniform (0,1] from the item via xxhash64."""
+    h = F.pmod(F.xxhash64(item, F.lit(salt)), F.lit(2**40))
+    return (h + 1) / F.lit(float(2**40))
+
+
+def _bottom_k_sample(
+    df: DataFrame, group_cols: Sequence[str], item_col: str, k: int
+) -> DataFrame:
+    """KMV-style uniform sample: k smallest hash keys per group.
+
+    Mergeable by construction: bottom-k of a union == bottom-k of the
+    concatenated bottom-k's (ReservoirItemsUnion analog,
+    MergeHandler.java:330-346).
+    """
+    keyed = df.withColumn("_key", _sample_key(F.col(item_col)))
+    w = Window.partitionBy(*[F.col(c) for c in group_cols] or [F.lit(1)]).orderBy(
+        "_key", item_col
+    )
+    g = keyed.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
+    agg_cols = [
+        F.sort_array(F.collect_list(F.struct("_key", F.col(item_col).alias("item")))).alias("_s"),
+        F.count("*").alias("_n_kept"),
+    ]
+    base = g.groupBy(*group_cols) if group_cols else g.groupBy()
+    tot = df.groupBy(*group_cols) if group_cols else df.groupBy()
+    totals = tot.agg(F.count("*").cast("long").alias("stream_n"))
+    out = base.agg(*agg_cols).select(
+        *group_cols, F.transform("_s", lambda s: s["item"]).alias("items")
+    )
+    return out.join(totals, list(group_cols)) if group_cols else out.crossJoin(totals)
+
+
+def _a_es_sample(
+    df: DataFrame, group_cols: Sequence[str], item_col: str, weight_col: str, k: int
+) -> DataFrame:
+    """Efraimidis-Spirakis weighted sample w/o replacement (varopt analog,
+    UpdateHandler.java:170-185): keep k items with largest u^(1/w), i.e.
+    smallest -ln(u)/w."""
+    keyed = df.withColumn(
+        "_key", -F.log(_sample_key(F.col(item_col))) / F.col(weight_col)
+    )
+    w = Window.partitionBy(*[F.col(c) for c in group_cols] or [F.lit(1)]).orderBy(
+        "_key", item_col
+    )
+    g = keyed.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
+    base = g.groupBy(*group_cols) if group_cols else g.groupBy()
+    tot = df.groupBy(*group_cols) if group_cols else df.groupBy()
+    totals = tot.agg(F.sum(weight_col).cast("double").alias("stream_weight"))
+    out = base.agg(
+        F.sort_array(
+            F.collect_list(F.struct("_key", F.col(item_col).alias("item"), F.col(weight_col).alias("weight")))
+        ).alias("_s")
+    ).select(
+        *group_cols,
+        F.transform("_s", lambda s: F.struct(s["item"].alias("item"), s["weight"].alias("weight"))).alias("items"),
+    )
+    return out.join(totals, list(group_cols)) if group_cols else out.crossJoin(totals)
+
+
+# ---------------------------------------------------------------------------
+# /merge  (MergeHandler.java:238-369, ops #14-21)
+# ---------------------------------------------------------------------------
+
+def sketch_merge(
+    state: DataFrame,
+    family: str,
+    group_cols: Sequence[str] = (),
+    cfg: SketchConfig = SketchConfig(),
+) -> DataFrame:
+    """Union per-group sketch state up to coarser groups (or globally).
+
+    This is the distributable final-agg the reference performs serially
+    (MergeHandler.java:82-138); Catalyst runs it partial+final."""
+    g = state.groupBy(*group_cols) if group_cols else state.groupBy()
+    if family == "theta":
+        return g.agg(F.theta_union_agg("sketch", cfg.theta_lg_k).alias("sketch"))
+    if family in ("hll", "cpc"):
+        return g.agg(F.hll_union_agg("sketch", True).alias("sketch"))
+    if family == "kll":
+        return g.agg(F.kll_merge_agg_float("sketch", cfg.kll_k).alias("sketch"))
+    if family == "frequency":
+        item_cols = [c for c in state.columns if c not in group_cols and c != "weight"]
+        return state.groupBy(*group_cols, *item_cols).agg(
+            F.sum("weight").cast("double").alias("weight")
+        )
+    raise ValueError(f"merge not supported for family {family!r}")
+
+
+def theta_set_ops(a: Column, b: Column) -> dict[str, Column]:
+    """Set operations the theta library supports; union is the only one
+    the reference exposes (MergeHandler.java:244-262), intersection and
+    difference exceed parity (SURVEY.md section 2.2)."""
+    return {
+        "union": F.theta_sketch_estimate(F.theta_union(a, b)),
+        "intersection": F.theta_sketch_estimate(F.theta_intersection(a, b)),
+        "difference": F.theta_sketch_estimate(F.theta_difference(a, b)),
+    }
+
+
+# ---------------------------------------------------------------------------
+# /query  (DataQueryHandler.java:52-375, ops #9-13)
+# ---------------------------------------------------------------------------
+
+def query_distinct(
+    state: DataFrame, family: str, cfg: SketchConfig = SketchConfig()
+) -> DataFrame:
+    """Distinct-count query (op #10): estimate, estimationMode, +/-1/2/3
+    stddev bounds.
+
+    Spark exposes no bound evaluators, so bounds use the published
+    analytic RSE (theta: 1/sqrt(k-1) in estimation mode; hll: 1.04/sqrt(m))
+    -- the 'analytic tier' noted in SURVEY.md #10.  In exact mode
+    (theta below nominal entries) bounds collapse to the estimate,
+    matching the reference's behavior for small streams.
+    """
+    if family == "theta":
+        est = F.theta_sketch_estimate("sketch").cast("double")
+        k = 2**cfg.theta_lg_k
+        rse = 1.0 / math.sqrt(k - 1)
+        exact = est < F.lit(float(k))
+    elif family in ("hll", "cpc"):
+        est = F.hll_sketch_estimate("sketch").cast("double")
+        rse = 1.04 / math.sqrt(2**cfg.hll_lg_k)
+        exact = F.lit(False)
+    else:
+        raise ValueError(f"{family!r} is not a distinct-counting family")
+    cols = [c for c in state.columns if c != "sketch"]
+    out = state.select(*cols, est.alias("estimate"), exact.alias("_exact"))
+    sel = [*cols, "estimate", (~F.col("_exact")).alias("estimation_mode")]
+    for z in (1, 2, 3):
+        lo = F.when(F.col("_exact"), F.col("estimate")).otherwise(F.col("estimate") * (1 - z * rse))
+        hi = F.when(F.col("_exact"), F.col("estimate")).otherwise(F.col("estimate") * (1 + z * rse))
+        sel += [lo.alias(f"lb_{z}"), hi.alias(f"ub_{z}")]
+    return out.select(*sel)
+
+
+def query_quantiles(
+    state: DataFrame,
+    fractions: Sequence[float] = (0.25, 0.5, 0.75),
+    split_points: Sequence[float] = (),
+    result_type: str = "cdf",
+) -> DataFrame:
+    """KLL quantile query (op #11): estimatedQuantiles for the given
+    ranks, estimatedCDF/PMF over split points, streamLength, min/max.
+
+    PMF is the first difference of the CDF (DataQueryHandler.java:238-256,
+    whose trailing bucket is the mass above the last split point)."""
+    cols = [c for c in state.columns if c != "sketch"]
+    fr = F.array(*[F.lit(float(x)) for x in fractions])
+    out = state.select(
+        *cols,
+        F.kll_sketch_get_quantile_float("sketch", fr).alias("quantiles"),
+        F.kll_sketch_get_n_float("sketch").alias("stream_length"),
+        F.kll_sketch_get_quantile_float("sketch", F.lit(0.0)).alias("min_value"),
+        F.kll_sketch_get_quantile_float("sketch", F.lit(1.0)).alias("max_value"),
+    )
+    if split_points:
+        sp = F.array(*[F.lit(float(x)) for x in split_points])
+        cdf = F.kll_sketch_get_rank_float(state["sketch"], sp)
+        out = state.select(
+            *cols,
+            F.kll_sketch_get_quantile_float("sketch", fr).alias("quantiles"),
+            F.kll_sketch_get_n_float("sketch").alias("stream_length"),
+            F.kll_sketch_get_quantile_float("sketch", F.lit(0.0)).alias("min_value"),
+            F.kll_sketch_get_quantile_float("sketch", F.lit(1.0)).alias("max_value"),
+            cdf.alias("cdf"),
+        )
+        if result_type == "pmf":
+            # first difference + trailing bucket (mass above last split)
+            n = F.size("cdf")
+            pmf = F.concat(
+                F.array(F.element_at("cdf", 1)),
+                F.transform(
+                    F.sequence(F.lit(2), n),
+                    lambda i: F.element_at("cdf", i.cast("int")) - F.element_at("cdf", (i - 1).cast("int")),
+                ),
+                F.array(F.lit(1.0) - F.element_at("cdf", -1)),
+            )
+            out = out.withColumn("pmf", pmf)
+    return out
+
+
+def query_frequency(
+    state: DataFrame,
+    group_cols: Sequence[str] = (),
+    top_k: int | None = None,
+    cfg: SketchConfig = SketchConfig(),
+) -> DataFrame:
+    """Heavy hitters (op #12).  Exact counts => upper == lower == estimate,
+    which matches the reference's exact-mode output shape
+    (README.md:226-248); the noFalsePositives/noFalseNegatives errorType
+    distinction vanishes (SURVEY.md #12)."""
+    k = top_k or cfg.frequency_top_k
+    item_cols = [c for c in state.columns if c not in group_cols and c != "weight"]
+    w = Window.partitionBy(*[F.col(c) for c in group_cols] or [F.lit(1)]).orderBy(
+        F.desc("weight"), *item_cols
+    )
+    return (
+        state.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select(
+            *group_cols,
+            *item_cols,
+            F.col("weight").alias("estimate"),
+            F.col("weight").alias("lower_bound"),
+            F.col("weight").alias("upper_bound"),
+            F.col("_rn").alias("rank"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# /serialize  (SerializationHandler.java:53-107, op #23)
+# ---------------------------------------------------------------------------
+
+def serialize_sketch(state: DataFrame, family: str) -> DataFrame:
+    """base64 image of the sketch binary.  theta/hll/kll binaries are
+    Apache DataSketches format-compatible, so these images interoperate
+    with the reference's /merge base64 inputs (MergeHandler.java:203-235)."""
+    cols = [c for c in state.columns if c != "sketch"]
+    return state.select(*cols, F.lit(family).alias("family"), F.base64("sketch").alias("image"))
+
+
+def deserialize_sketch(df: DataFrame, image_col: str = "image") -> DataFrame:
+    return df.withColumn("sketch", F.unbase64(image_col))
+
+
+# ---------------------------------------------------------------------------
+# /status + /reset  (StatusHandler.java:34-36, ResetHandler.java:43-83)
+# ---------------------------------------------------------------------------
+
+def sketch_status(state: DataFrame, family: str, group_cols: Sequence[str]) -> DataFrame:
+    """List configured sketch state (op #25): one row per named sketch."""
+    return state.select(
+        F.concat_ws("/", *[F.col(c).cast("string") for c in group_cols]).alias("name"),
+        F.lit(family).alias("family"),
+    ).orderBy("name")
+# /reset (op #24) is INSERT OVERWRITE of the state table partition --
+# see plans/lineage.py reset_stage(); sketches are recomputed from data,
+# never mutated in place.

@@ -1,0 +1,157 @@
+"""Parity-layer tests, mirroring the reference's estimate-tolerance test
+style (UpdateHandlerTest.java:74: CPC within 1% of 2000 true uniques) and
+its merge semantics (sketch of whole == merge of partition sketches)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datasketches_server_spark.config import SketchConfig
+from datasketches_server_spark.functions.sketches import (
+    deserialize_sketch,
+    query_distinct,
+    query_frequency,
+    query_quantiles,
+    serialize_sketch,
+    sketch_merge,
+    sketch_status,
+    sketch_update,
+    theta_set_ops,
+)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet("/root/testdata/sf0.01/events.parquet").persist()
+
+
+def test_theta_distinct_estimate_and_bounds(spark, events):
+    state = sketch_update(events, ["event_type"], "user_id", "theta")
+    out = {r["event_type"]: r for r in query_distinct(state, "theta").collect()}
+    truth = {
+        r["event_type"]: r["d"]
+        for r in events.groupBy("event_type").agg(F.countDistinct("user_id").alias("d")).collect()
+    }
+    for et, want in truth.items():
+        got = out[et]
+        assert got["estimate"] == pytest.approx(want, rel=0.02)
+        assert got["lb_2"] <= want <= got["ub_2"]
+
+
+def test_hll_estimate_tolerance(spark, events):
+    state = sketch_update(events, [], "user_id", "hll")
+    est = query_distinct(state, "hll").collect()[0]["estimate"]
+    truth = events.select(F.countDistinct("user_id")).collect()[0][0]
+    assert est == pytest.approx(truth, rel=0.05)
+
+
+def test_merge_equals_whole(spark, events):
+    """The reference's core property (MergeHandler.java:238-369): merging
+    per-partition sketches == sketching the whole stream."""
+    whole = sketch_update(events, [], "user_id", "theta")
+    parts = sketch_update(events, ["event_type"], "user_id", "theta")
+    merged = sketch_merge(parts.select("sketch"), "theta")
+    e1 = whole.select(F.theta_sketch_estimate("sketch").alias("e")).collect()[0]["e"]
+    e2 = merged.select(F.theta_sketch_estimate("sketch").alias("e")).collect()[0]["e"]
+    assert e1 == e2
+
+
+def test_theta_set_operations(spark):
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") < 600).alias("in_a"), (F.col("id") >= 400).alias("in_b")
+    )
+    a = df.where("in_a").agg(F.theta_sketch_agg("id", 12).alias("s")).collect()[0]["s"]
+    b = df.where("in_b").agg(F.theta_sketch_agg("id", 12).alias("s")).collect()[0]["s"]
+    one = spark.createDataFrame([(bytearray(a), bytearray(b))], "a binary, b binary")
+    ops = theta_set_ops(F.col("a"), F.col("b"))
+    row = one.select(*[v.alias(k) for k, v in ops.items()]).collect()[0]
+    assert row["union"] == 1000
+    assert row["intersection"] == 200  # [400, 600)
+    assert row["difference"] == 400    # [0, 400)
+
+
+def test_kll_quantiles_cdf_pmf(spark, events):
+    state = sketch_update(events, [], "value", "kll")
+    out = query_quantiles(
+        state, fractions=(0.5,), split_points=(50.0, 100.0), result_type="pmf"
+    ).collect()[0]
+    exact_median = events.select(F.expr("percentile(value, 0.5)")).collect()[0][0]
+    n = events.count()
+    assert out["stream_length"] == n
+    # KLL k=200 normalized rank error ~1.65%; allow 5% rank slack via value tolerance
+    assert out["quantiles"][0] == pytest.approx(exact_median, rel=0.1)
+    assert len(out["cdf"]) == 2 and len(out["pmf"]) == 3
+    assert sum(out["pmf"]) == pytest.approx(1.0, abs=1e-6)
+    exact_cdf0 = events.where(F.col("value") <= 50.0).count() / n
+    assert out["cdf"][0] == pytest.approx(exact_cdf0, abs=0.05)
+
+
+def test_frequency_exact_topk(spark, events):
+    state = sketch_update(events, [], "event_type", "frequency")
+    out = query_frequency(state, top_k=3).collect()
+    truth = (
+        events.groupBy("event_type").count().orderBy(F.desc("count"), "event_type").limit(3).collect()
+    )
+    assert [(r["event_type"], r["estimate"]) for r in out] == [
+        (r["event_type"], float(r["count"])) for r in truth
+    ]
+    assert all(r["lower_bound"] == r["estimate"] == r["upper_bound"] for r in out)
+
+
+def test_reservoir_and_varopt_samples(spark, events):
+    cfg = SketchConfig(sample_k=16)
+    res = sketch_update(events, ["event_type"], "user_id", "reservoir", cfg).collect()
+    for r in res:
+        assert 1 <= len(r["items"]) <= 16
+        assert r["stream_n"] > 0
+    vo = sketch_update(events, [], "event_type", "varopt", cfg, weight_col="value").collect()[0]
+    assert 1 <= len(vo["items"]) <= 16
+    assert vo["stream_weight"] > 0
+    # determinism: same input -> same sample
+    vo2 = sketch_update(events, [], "event_type", "varopt", cfg, weight_col="value").collect()[0]
+    assert [i["item"] for i in vo["items"]] == [i["item"] for i in vo2["items"]]
+
+
+def test_serialize_roundtrip(spark, events):
+    state = sketch_update(events, ["event_type"], "user_id", "theta")
+    img = serialize_sketch(state, "theta")
+    back = deserialize_sketch(img)
+    a = query_distinct(state, "theta").select("event_type", "estimate")
+    b = query_distinct(back.select("event_type", "sketch"), "theta").select("event_type", "estimate")
+    assert a.exceptAll(b).count() == 0
+
+
+def test_status_lists_sketches(spark, events):
+    state = sketch_update(events, ["event_type"], "user_id", "theta")
+    rows = sketch_status(state, "theta", ["event_type"]).collect()
+    assert len(rows) == state.count()
+    assert all(r["family"] == "theta" for r in rows)
+
+
+def test_metric_tables_rollup(spark):
+    from datasketches_server_spark.config import DEFAULT_CONFIG
+    from datasketches_server_spark.plans.metrics import (
+        cluster_metrics,
+        global_rollup,
+        shingle_metrics,
+        simscore_metrics,
+    )
+    from datasketches_server_spark.plans.pipeline import dedup_pipeline
+    from datasketches_server_spark.sources.synth import synth_transcripts
+
+    t = synth_transcripts(spark, n_convs=200, seed=5)
+    res = dedup_pipeline(t, DEFAULT_CONFIG)
+    sh = shingle_metrics(res.conv_state, DEFAULT_CONFIG)
+    ss = simscore_metrics(res.edges, DEFAULT_CONFIG)
+    cl = cluster_metrics(res.clusters, DEFAULT_CONFIG)
+    row = global_rollup(sh, ss, cl, DEFAULT_CONFIG).collect()[0]
+    exact_shingles = res.conv_state.select(F.explode("shingles").alias("s")).select(
+        F.countDistinct("s")
+    ).collect()[0][0]
+    exact_clusters = res.clusters.select(F.countDistinct("cluster_id")).collect()[0][0]
+    assert row["distinct_shingles"] == pytest.approx(exact_shingles, rel=0.05)
+    assert row["approx_clusters"] == pytest.approx(exact_clusters, rel=0.05)
+    assert row["n_convs"] == 200
+    qs = row["jaccard_quantiles"]
+    assert all(0.0 <= q <= 1.0 for q in qs) and qs[0] <= qs[1] <= qs[2]
