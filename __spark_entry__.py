@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship dedup query; ``queries()`` registers
+one callable per implemented operator (SURVEY.md section 2);
+``oracle_sql()`` gives the DuckDB-replayable ANSI SQL for every
+SQL-expressible query.  Queries without an oracle entry (approximate
+sketches, LSH+iterative connected components, seeded sampling) get the
+driver's rows-only check and are tolerance-tested in tests/.
 """
 
 from __future__ import annotations
@@ -12,27 +13,203 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datasketches_server_spark.plans import queries as Q
+
+_STOPWORDS_SQL = "['" + "','".join(
+    __import__("datasketches_server_spark.functions.text", fromlist=["STOPWORDS"]).STOPWORDS
+) + "']"
+
+_NORM_TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: near-duplicate clusters over sf0.001 transcripts."""
+    from datasketches_server_spark.config import PipelineConfig, ShingleConfig
+    from datasketches_server_spark.plans.pipeline import cluster_summary, dedup_pipeline
+    from datasketches_server_spark.sources.synth import transcripts_from_documents
+
+    t = transcripts_from_documents(spark, "/root/testdata/sf0.001")
+    res = dedup_pipeline(t, PipelineConfig(shingle=ShingleConfig(k=3)))
+    return cluster_summary(res.clusters)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational OLAP
+        "q01_pricing_summary": Q.q01_pricing_summary,
+        "q02_top_revenue_customers": Q.q02_top_revenue_customers,
+        "q03_region_rollup": Q.q03_region_rollup,
+        "q04_window_running_revenue": Q.q04_window_running_revenue,
+        "q05_events_hourly": Q.q05_events_hourly,
+        # sketch parity (reference ops #2-18)
+        "q10_theta_distinct_parts": Q.q10_theta_distinct_parts,
+        "q11_theta_union_global": Q.q11_theta_union_global,
+        "q12_theta_setops_custsegments": Q.q12_theta_setops_custsegments,
+        "q13_frequency_topk_events": Q.q13_frequency_topk_events,
+        "q14_exact_percentiles": Q.q14_exact_percentiles,
+        "q15_hll_distinct_users": Q.q15_hll_distinct_users,
+        "q16_kll_value_quantiles": Q.q16_kll_value_quantiles,
+        "q17_reservoir_sample": Q.q17_reservoir_sample,
+        "q18_varopt_sample": Q.q18_varopt_sample,
+        # text analysis / dedup family
+        "q20_token_stats": Q.q20_token_stats,
+        "q21_exact_dedup_fingerprint": Q.q21_exact_dedup_fingerprint,
+        "q22_ngram_jaccard_pairs": Q.q22_ngram_jaccard_pairs,
+        "q23_lang_quality": Q.q23_lang_quality,
+        "q24_dedup_clusters_documents": Q.q24_dedup_clusters_documents,
+        "q25_simhash_near_dups": Q.q25_simhash_near_dups,
+        "q27_transcript_turn_equality": Q.q27_transcript_turn_equality,
+        # similarity search
+        "q30_cosine_topk": Q.q30_cosine_topk,
+        "q31_ann_lsh_cosine": Q.q31_ann_lsh_cosine,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from datasketches_server_spark.sources.synth import transcripts_from_documents_sql
+
+    return {
+        "q01_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "q02_top_revenue_customers": """
+            SELECT c_custkey, c_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1, 2 ORDER BY revenue DESC, c_custkey LIMIT 20
+        """,
+        "q03_region_rollup": """
+            SELECT r_name, count(*) AS n_customers,
+                   round(avg(c_acctbal), 4) AS avg_acctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY 1 ORDER BY 1
+        """,
+        "q04_window_running_revenue": """
+            SELECT o_custkey, o_orderkey,
+                   round(sum(o_totalprice) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2)
+                   AS running_total
+            FROM orders WHERE o_custkey <= 50
+            ORDER BY o_custkey, o_orderkey
+        """,
+        "q05_events_hourly": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+                   event_type, count(*) AS n, round(sum(value), 2) AS total_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "q10_theta_distinct_parts": """
+            SELECT l_returnflag, count(DISTINCT l_partkey) AS distinct_parts
+            FROM lineitem GROUP BY 1 ORDER BY 1
+        """,
+        "q11_theta_union_global": """
+            SELECT count(DISTINCT l_partkey) AS distinct_parts_global FROM lineitem
+        """,
+        "q12_theta_setops_custsegments": """
+            WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+                 b AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
+            SELECT (SELECT count(*) FROM (SELECT o_custkey FROM a UNION SELECT o_custkey FROM b)) AS n_union,
+                   (SELECT count(*) FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)) AS n_both,
+                   (SELECT count(*) FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)) AS n_urgent_only
+        """,
+        "q13_frequency_topk_events": """
+            SELECT event_type, estimate, rank FROM (
+                SELECT event_type, count(*) AS estimate,
+                       row_number() OVER (ORDER BY count(*) DESC, event_type) AS rank
+                FROM events GROUP BY event_type
+            ) WHERE rank <= 5 ORDER BY rank
+        """,
+        "q14_exact_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 4) AS p50,
+                   round(quantile_cont(value, 0.9), 4) AS p90
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "q20_token_stats": f"""
+            SELECT doc_id,
+                   CAST(len({_NORM_TOKS}) AS BIGINT) AS n_tokens,
+                   CAST(len({_NORM_TOKS})
+                      + len(list_filter(string_split_regex(lower(text), '[a-z0-9\\s]+'), x -> x <> ''))
+                     AS BIGINT) AS n_pieces,
+                   round(len(list_filter({_NORM_TOKS}, x -> list_contains({_STOPWORDS_SQL}, x)))
+                         / greatest(len({_NORM_TOKS}), 1)::DOUBLE, 4) AS stop_ratio
+            FROM documents ORDER BY doc_id
+        """,
+        "q21_exact_dedup_fingerprint": f"""
+            SELECT count(*) AS n_unique_docs,
+                   CAST(sum(n_docs - 1) AS BIGINT) AS n_exact_dupes
+            FROM (
+                SELECT md5(array_to_string({_NORM_TOKS}, ' ')) AS fp,
+                       count(*) AS n_docs
+                FROM documents GROUP BY 1
+            )
+        """,
+        "q22_ngram_jaccard_pairs": """
+            WITH g AS (
+                SELECT doc_id,
+                       list_distinct([array_to_string(toks[i+1:i+3], ' ')
+                                      FOR i IN range(0, greatest(len(toks)-3, 0)+1)]) AS grams
+                FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+            )
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   round(len(list_intersect(a.grams, b.grams))
+                         / len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE, 4) AS jaccard
+            FROM g a JOIN g b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.grams, b.grams))
+                  / len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE >= 0.8
+            ORDER BY a, b
+        """,
+        "q23_lang_quality": f"""
+            WITH scored AS (
+                SELECT source,
+                       CASE WHEN len(list_filter({_NORM_TOKS}, x -> list_contains({_STOPWORDS_SQL}, x)))
+                                 / greatest(len({_NORM_TOKS}), 1)::DOUBLE >= 0.08
+                            THEN 'en' ELSE 'und' END AS lang,
+                       (CASE WHEN len({_NORM_TOKS}) BETWEEN 10 AND 5000 THEN 1.0
+                             WHEN len({_NORM_TOKS}) < 10 THEN len({_NORM_TOKS}) / 10.0
+                             ELSE 5000.0 / len({_NORM_TOKS}) END
+                        + CASE WHEN length(text) / greatest(len({_NORM_TOKS}), 1)::DOUBLE BETWEEN 3 AND 12
+                               THEN 1.0 ELSE 0.5 END
+                        + 1.0 - least(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g'))
+                                      / greatest(length(text), 1)::DOUBLE * 4, 1.0)
+                       ) / 3 AS q
+                FROM documents
+            )
+            SELECT source, lang, count(*) AS n_docs, round(avg(q), 4) AS avg_quality
+            FROM scored GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "q27_transcript_turn_equality": f"""
+            WITH tr AS ({transcripts_from_documents_sql()}),
+                 asm AS (
+                    SELECT conv_id, count(*) AS n_turns,
+                           string_agg(text, ' ' ORDER BY turn_idx) AS full_text
+                    FROM tr GROUP BY conv_id
+                 )
+            SELECT a.conv_id, a.n_turns, (a.full_text = d.text) AS text_equal
+            FROM asm a
+            JOIN (SELECT CAST(doc_id AS VARCHAR) AS conv_id, text FROM documents) d
+              USING (conv_id)
+            ORDER BY CAST(a.conv_id AS BIGINT)
+        """,
+        "q30_cosine_topk": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[], qe), 4) AS cosine
+            FROM embeddings, q WHERE vec_id <> 0
+            ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
+    }

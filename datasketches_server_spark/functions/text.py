@@ -48,14 +48,12 @@ def token_count(col: Column) -> Column:
 
 
 def bpe_ish_piece_count(col: Column) -> Column:
-    """BPE-flavored piece count: splits words, numbers, and punctuation
-    runs separately, approximating subword tokenizer piece counts."""
-    return F.size(
-        F.filter(
-            F.split(F.lower(col), r"(?<=[a-z0-9])(?=[^a-z0-9])|(?<=[^a-z0-9])(?=[a-z0-9])|\s+"),
-            lambda t: t != "",
-        )
-    ).cast("long")
+    """BPE-flavored piece count: alphanumeric runs + punctuation runs
+    counted as separate pieces (approximates subword tokenizer piece
+    counts; lookaround-free so the DuckDB/RE2 oracle can replay it)."""
+    alnum_runs = F.size(F.filter(F.split(F.lower(col), "[^a-z0-9]+"), lambda t: t != ""))
+    punct_runs = F.size(F.filter(F.split(F.lower(col), r"[a-z0-9\s]+"), lambda t: t != ""))
+    return (alnum_runs + punct_runs).cast("long")
 
 
 def stopword_ratio(col: Column) -> Column:

@@ -1,0 +1,361 @@
+"""Registered queries for the driver's correctness gate and the bench.
+
+Each function takes (spark, sf_dir) and returns a DataFrame; the matching
+DuckDB oracle SQL lives in __spark_entry__.py.  Column names and rounding
+are aligned on both sides (the driver hashes values after sorting columns
+by name).  Doubles are rounded so association-order float noise cannot
+flip the hash.
+
+Coverage map (SURVEY.md section 2): relational OLAP (scan/filter/join/
+agg/window/sort/limit), sketch parity ops #2-18 (theta/hll/kll/frequency/
+sampling, update+merge+query), and the training-data operators
+(dedup family, text analysis, similarity search).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_CONFIG, PipelineConfig, ShingleConfig, SketchConfig
+from ..functions import text as TXT
+from ..functions.sketches import (
+    query_distinct,
+    query_frequency,
+    query_quantiles,
+    sketch_update,
+)
+from ..sources.synth import transcripts_from_documents
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------- relational
+
+def q01_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 flavor: scan + filter pushdown + 2-key agg + sort."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= "1998-09-02")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q02_top_revenue_customers(spark, sf_dir):
+    """3-way join (broadcast-able dims) + agg + top-k."""
+    li, o, c = (_t(spark, sf_dir, n) for n in ("lineitem", "orders", "customer"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+def q03_region_rollup(spark, sf_dir):
+    """Star join region-nation-customer + agg."""
+    r, n, c = (_t(spark, sf_dir, x) for x in ("region", "nation", "customer"))
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+        )
+        .orderBy("r_name")
+    )
+
+
+def q04_window_running_revenue(spark, sf_dir):
+    """Window function: per-customer running order total."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_custkey") <= 50)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+def q05_events_hourly(spark, sf_dir):
+    """Event-time tumbling window (batch form of the streaming agg)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias("hour"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .orderBy("hour", "event_type")
+    )
+
+
+# ------------------------------------------------------------ sketch parity
+
+def q10_theta_distinct_parts(spark, sf_dir):
+    """op #2+#10: theta distinct l_partkey per returnflag; exact regime
+    (2000 < 2^12 nominal) so the estimate equals COUNT(DISTINCT)."""
+    li = _t(spark, sf_dir, "lineitem")
+    state = sketch_update(li, ["l_returnflag"], "l_partkey", "theta")
+    return (
+        query_distinct(state, "theta")
+        .select("l_returnflag", F.col("estimate").cast("long").alias("distinct_parts"))
+        .orderBy("l_returnflag")
+    )
+
+
+def q11_theta_union_global(spark, sf_dir):
+    """op #15: merge of per-group theta sketches == global distinct."""
+    li = _t(spark, sf_dir, "lineitem")
+    state = sketch_update(li, ["l_returnflag"], "l_partkey", "theta")
+    return state.agg(
+        F.theta_sketch_estimate(F.theta_union_agg("sketch", 12)).cast("long").alias("distinct_parts_global")
+    )
+
+
+def q12_theta_setops_custsegments(spark, sf_dir):
+    """theta intersection/difference (exceeds reference parity,
+    SURVEY.md 2.2): customers ordering URGENT vs LOW priority."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderpriority") == "1-URGENT").agg(
+        F.theta_sketch_agg("o_custkey", 12).alias("s")
+    )
+    b = o.where(F.col("o_orderpriority") == "5-LOW").agg(
+        F.theta_sketch_agg("o_custkey", 12).alias("s")
+    )
+    j = a.crossJoin(b.select(F.col("s").alias("s2")))
+    return j.select(
+        F.theta_sketch_estimate(F.theta_union("s", "s2")).cast("long").alias("n_union"),
+        F.theta_sketch_estimate(F.theta_intersection("s", "s2")).cast("long").alias("n_both"),
+        F.theta_sketch_estimate(F.theta_difference("s", "s2")).cast("long").alias("n_urgent_only"),
+    )
+
+
+def q13_frequency_topk_events(spark, sf_dir):
+    """op #6+#12: heavy hitters, exact tier."""
+    e = _t(spark, sf_dir, "events")
+    state = sketch_update(e, [], "event_type", "frequency")
+    return query_frequency(state, top_k=5).select(
+        "event_type",
+        F.col("estimate").cast("long").alias("estimate"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q14_exact_percentiles(spark, sf_dir):
+    """Exact percentiles (native F.percentile) per event_type -- the
+    exact tier beside the KLL approximate tier (q16)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q15_hll_distinct_users(spark, sf_dir):
+    """op #4+#10: hll distinct (approximate; rows-only driver check,
+    tolerance-tested in pytest)."""
+    e = _t(spark, sf_dir, "events")
+    state = sketch_update(e, ["event_type"], "user_id", "hll")
+    return (
+        query_distinct(state, "hll")
+        .select("event_type", F.col("estimate").cast("long").alias("approx_users"))
+        .orderBy("event_type")
+    )
+
+
+def q16_kll_value_quantiles(spark, sf_dir):
+    """op #5+#11: KLL quantiles + CDF/PMF (approximate; rows-only)."""
+    e = _t(spark, sf_dir, "events")
+    state = sketch_update(e, [], "value", "kll")
+    out = query_quantiles(state, (0.5, 0.9, 0.99), (50.0, 100.0, 200.0), "pmf")
+    return out.select(
+        F.round(F.element_at("quantiles", 1), 2).alias("p50"),
+        F.round(F.element_at("quantiles", 2), 2).alias("p90"),
+        "stream_length",
+        F.round(F.element_at("cdf", 1), 3).alias("cdf_50"),
+        F.round(F.element_at("pmf", -1), 3).alias("pmf_tail"),
+    )
+
+
+def q17_reservoir_sample(spark, sf_dir):
+    """op #7+#13: deterministic mergeable uniform sample (rows-only)."""
+    e = _t(spark, sf_dir, "events")
+    state = sketch_update(e, ["event_type"], "user_id", "reservoir", SketchConfig(sample_k=8))
+    return state.select(
+        "event_type", F.size("items").alias("k"), "stream_n"
+    ).orderBy("event_type")
+
+
+def q18_varopt_sample(spark, sf_dir):
+    """op #8+#13: weighted sample; stream_weight == sum(weights)."""
+    e = _t(spark, sf_dir, "events")
+    state = sketch_update(e, [], "event_type", "varopt", SketchConfig(sample_k=8), weight_col="value")
+    return state.select(
+        F.size("items").alias("k"), F.round("stream_weight", 2).alias("stream_weight")
+    )
+
+
+# ------------------------------------------------------- text / dedup family
+
+def q20_token_stats(spark, sf_dir):
+    """Text analysis: token + BPE-ish piece counts, stopword ratio."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TXT.token_count(F.col("text")).alias("n_tokens"),
+        TXT.bpe_ish_piece_count(F.col("text")).alias("n_pieces"),
+        F.round(TXT.stopword_ratio(F.col("text")), 4).alias("stop_ratio"),
+    ).orderBy("doc_id")
+
+
+def q21_exact_dedup_fingerprint(spark, sf_dir):
+    """Exact dedup: md5 over normalized text; duplicate-group summary."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.concat_ws(" ", TXT.tokens(F.col("text")))
+    return (
+        d.select(F.md5(norm).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper_doc"))
+        .agg(
+            F.count("*").alias("n_unique_docs"),
+            F.sum(F.col("n_docs") - 1).alias("n_exact_dupes"),
+        )
+    )
+
+
+def q22_ngram_jaccard_pairs(spark, sf_dir):
+    """Near-dup pairs by word-trigram jaccard >= 0.8 (brute-force tier;
+    the LSH tier q24 is the scale path)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+        )
+    )
+    g = d.select(F.col("doc_id"), grams.alias("grams"))
+    a = g.select(F.col("doc_id").alias("a"), F.col("grams").alias("ga"))
+    b = g.select(F.col("doc_id").alias("b"), F.col("grams").alias("gb"))
+    inter = F.size(F.array_intersect("ga", "gb"))
+    uni = F.size(F.array_union("ga", "gb"))
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .select("a", "b", F.round(inter / uni, 4).alias("jaccard"))
+        .where(F.col("jaccard") >= 0.8)
+        .orderBy("a", "b")
+    )
+
+
+def q23_lang_quality(spark, sf_dir):
+    """Language-ID heuristic + quality score, aggregated per source."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("source", TXT.lang_id(F.col("text")).alias("lang"),
+                 TXT.quality_score(F.col("text")).alias("q"))
+        .groupBy("source", "lang")
+        .agg(F.count("*").alias("n_docs"), F.round(F.avg("q"), 4).alias("avg_quality"))
+        .orderBy("source", "lang")
+    )
+
+
+def q24_dedup_clusters_documents(spark, sf_dir):
+    """Full LSH+CC dedup over documents-as-transcripts (rows-only: LSH
+    banding + iterative connected components are not one-shot SQL)."""
+    from .pipeline import cluster_summary, dedup_pipeline
+
+    cfg = PipelineConfig(shingle=ShingleConfig(k=3))
+    t = transcripts_from_documents(spark, sf_dir)
+    res = dedup_pipeline(t, cfg)
+    return cluster_summary(res.clusters).where(F.col("cluster_size") > 1)
+
+
+def q25_simhash_near_dups(spark, sf_dir):
+    """SimHash fingerprints: near-dup doc pairs at hamming <= 6 over the
+    candidate set (rows-only; exercises the SimHash lane)."""
+    from .pipeline import conv_signatures
+    from ..operators.lsh import band_buckets, candidate_pairs
+    from ..functions.signatures import simhash_hamming
+
+    cfg = PipelineConfig(shingle=ShingleConfig(k=3))
+    t = transcripts_from_documents(spark, sf_dir)
+    state = conv_signatures(t, cfg).persist()
+    cands = candidate_pairs(band_buckets(state, cfg.lsh), cfg.lsh)
+    s_a = state.select(F.col("conv_id").alias("a"), F.col("simhash").alias("sh_a"))
+    s_b = state.select(F.col("conv_id").alias("b"), F.col("simhash").alias("sh_b"))
+    return (
+        cands.join(s_a, "a").join(s_b, "b")
+        .select("a", "b", simhash_hamming(F.col("sh_a"), F.col("sh_b")).alias("hamming"))
+        .where(F.col("hamming") <= 6)
+        .orderBy("a", "b")
+    )
+
+
+def q27_transcript_turn_equality(spark, sf_dir):
+    """Per-row invariant (BASELINE.json input_hint): reassembling turns in
+    stable (conv_id, turn_idx) order restores the source text exactly."""
+    t = transcripts_from_documents(spark, sf_dir)
+    convs = TXT.assemble_conversations(t)
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("conv_id"), "text"
+    )
+    return (
+        convs.join(docs, "conv_id")
+        .select(
+            "conv_id",
+            "n_turns",
+            (F.col("full_text") == F.col("text")).alias("text_equal"),
+        )
+        .orderBy(F.col("conv_id").cast("long"))
+    )
+
+
+# ------------------------------------------------------------- similarity
+
+def q30_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 vs the vec_id=0 embedding -- native
+    zip_with/aggregate dot product, no UDF."""
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    qv = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    from ..operators.similarity import cosine
+
+    sim = cosine(F.col("embedding"), F.col("qe"))
+    return (
+        e.crossJoin(F.broadcast(qv))
+        .where(F.col("vec_id") != 0)
+        .select("vec_id", F.round(sim, 4).alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(10)
+    )
+
+
+def q31_ann_lsh_cosine(spark, sf_dir):
+    """ANN tier: random-hyperplane LSH bucketing + in-bucket rerank
+    (rows-only; recall vs q30 asserted in pytest)."""
+    from ..operators.similarity import ann_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == 0)
+    return ann_topk(e.where(F.col("vec_id") != 0), q, k=10).select(
+        "query_id", "vec_id", F.round("cosine", 4).alias("cosine")
+    )
