@@ -1,0 +1,119 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headliners:
+* dedup_synth      -- full pipeline on the deterministic planted corpus
+                      (~10 turns/conv); the north-rule workload
+* dedup_documents  -- full pipeline over the testdata documents table
+* sketch_rollup    -- per-bucket theta/KLL/HLL metric tables + global merge
+* relational q01/q02, cosine_topk/ann -- operator coverage timings
+
+Extra keys (throughput_turns_per_sec, n_turns) feed BASELINE.md's
+scaling protocol; tools/bench_scaling.py runs this same workload at two
+parallelism levels.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from datasketches_server_spark.config import PipelineConfig, ShingleConfig
+from datasketches_server_spark.plans import queries as Q
+from datasketches_server_spark.plans.metrics import (
+    cluster_metrics,
+    global_rollup,
+    shingle_metrics,
+    simscore_metrics,
+)
+from datasketches_server_spark.plans.pipeline import dedup_pipeline
+from datasketches_server_spark.session import get_spark
+from datasketches_server_spark.sources.synth import (
+    synth_transcripts,
+    transcripts_from_documents,
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+    n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", str(max(2000, int(200_000 * sf)))))
+
+    spark = get_spark("bench", cores=cores)
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.monotonic()
+        fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    # warm the JVM/Arrow paths so timings measure the plan, not startup
+    spark.range(1000).select(F.xxhash64("id")).count()
+
+    transcripts = synth_transcripts(spark, n_convs=n_convs, seed=42).persist()
+    n_turns = transcripts.count()
+    extra["n_turns"] = n_turns
+    extra["n_convs"] = n_convs
+
+    state = {}
+
+    def run_dedup_synth():
+        res = dedup_pipeline(transcripts, PipelineConfig())
+        state["res"] = res
+        extra["n_clusters"] = res.clusters.select("cluster_id").distinct().count()
+
+    timed("dedup_synth", run_dedup_synth)
+    extra["throughput_turns_per_sec"] = round(n_turns / timings["dedup_synth"], 1)
+
+    def run_sketch_rollup():
+        res = state["res"]
+        row = global_rollup(
+            shingle_metrics(res.conv_state),
+            simscore_metrics(res.edges),
+            cluster_metrics(res.clusters),
+        ).collect()[0]
+        extra["distinct_shingles"] = int(row["distinct_shingles"])
+
+    timed("sketch_rollup", run_sketch_rollup)
+
+    timed(
+        "dedup_documents",
+        lambda: dedup_pipeline(
+            transcripts_from_documents(spark, sf_dir),
+            PipelineConfig(shingle=ShingleConfig(k=3)),
+        ).clusters.count(),
+    )
+    timed("q01_pricing_summary", lambda: Q.q01_pricing_summary(spark, sf_dir).collect())
+    timed("q02_top_revenue_customers", lambda: Q.q02_top_revenue_customers(spark, sf_dir).collect())
+    timed("q05_events_hourly", lambda: Q.q05_events_hourly(spark, sf_dir).count())
+    timed("q30_cosine_topk", lambda: Q.q30_cosine_topk(spark, sf_dir).collect())
+    timed("q31_ann_lsh_cosine", lambda: Q.q31_ann_lsh_cosine(spark, sf_dir).collect())
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_headline_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cores": cores,
+                **extra,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

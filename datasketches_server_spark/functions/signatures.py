@@ -78,6 +78,107 @@ def signature_udf(cfg: MinHashConfig = MinHashConfig()):
     return _sig
 
 
+def _batch_text_signatures(
+    texts: pd.Series,
+    k: int,
+    a: np.ndarray,
+    b: np.ndarray,
+    simhash_bits: int,
+    token_pattern: str,
+) -> pd.DataFrame:
+    """Fused tokenize -> k-shingle-hash -> MinHash/SimHash, all C loops.
+
+    Token hashes come from pandas' siphash (``pd.util.hash_array`` with
+    the fixed default key -- deterministic across processes/executors);
+    shingle hash = degree-(k-1) polynomial of the k token hashes in
+    uint64 wraparound arithmetic.  Rows shorter than k tokens clamp the
+    window to the row end (one shingle), so no row is dropped.
+    """
+    if len(texts) == 0:
+        return pd.DataFrame({"shingles": [], "minhash": [], "simhash": []})
+    P = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd multiplier
+    toks = texts.str.lower().str.findall(token_pattern)
+    m = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(toks))
+    m_eff = np.maximum(m, 1)
+    tok_starts = np.zeros(len(toks), dtype=np.int64)
+    np.cumsum(m_eff[:-1], out=tok_starts[1:])
+    flat_tokens = np.empty(int(m_eff.sum()), dtype=object)
+    pos = 0
+    for t, mi in zip(toks, m):  # object scatter; hashing itself is C
+        if mi == 0:
+            flat_tokens[pos] = ""
+            pos += 1
+        else:
+            flat_tokens[pos : pos + mi] = t
+            pos += mi
+    tok_hash = pd.util.hash_array(flat_tokens)  # uint64, deterministic
+
+    # window starts for every row, globally flattened
+    w = np.maximum(m_eff - k + 1, 1)
+    w_starts = np.zeros(len(toks), dtype=np.int64)
+    np.cumsum(w[:-1], out=w_starts[1:])
+    total_w = int(w.sum())
+    row_of_win = np.repeat(np.arange(len(toks)), w)
+    win_start = (np.arange(total_w) - w_starts[row_of_win]) + tok_starts[row_of_win]
+    row_end = (tok_starts + m_eff - 1)[row_of_win]
+
+    h = tok_hash[win_start]
+    for j in range(1, k):
+        idx = np.minimum(win_start + j, row_end)  # clamp short rows
+        h = h * P + tok_hash[idx]
+
+    # per-row distinct shingles (set semantics for jaccard/minhash)
+    order = np.lexsort((h, row_of_win))
+    hs, rs = h[order], row_of_win[order]
+    keep = np.ones(total_w, dtype=bool)
+    keep[1:] = (rs[1:] != rs[:-1]) | (hs[1:] != hs[:-1])
+    hs, rs = hs[keep], rs[keep]
+    seg_starts = np.zeros(len(toks), dtype=np.int64)
+    counts = np.bincount(rs, minlength=len(toks))
+    np.cumsum(counts[:-1], out=seg_starts[1:])
+
+    permuted = a[:, None] * hs[None, :] + b[:, None]
+    minhash = np.minimum.reduceat(permuted, seg_starts, axis=1).T.astype(np.int64)
+
+    shifts = np.arange(simhash_bits, dtype=np.uint64)[:, None]
+    bits = ((hs[None, :] >> shifts) & np.uint64(1)).astype(np.int64) * 2 - 1
+    votes = np.add.reduceat(bits, seg_starts, axis=1)
+    packed = np.zeros(len(toks), dtype=np.uint64)
+    for i in range(simhash_bits):
+        packed |= (votes[i] > 0).astype(np.uint64) << np.uint64(i)
+
+    shingle_lists = np.split(hs.astype(np.int64), seg_starts[1:])
+    return pd.DataFrame(
+        {
+            "shingles": [s for s in shingle_lists],
+            "minhash": list(minhash),
+            "simhash": packed.astype(np.int64),
+        }
+    )
+
+
+def text_signature_udf(k: int, cfg: MinHashConfig = MinHashConfig(), token_pattern: str = "[a-z0-9]+"):
+    """pandas UDF: full_text -> struct(shingles array<long>, minhash
+    array<long>, simhash long).  The pipeline hot path: one Arrow round
+    trip per document, zero interpreted Catalyst lambdas (the native
+    shingle expression is ~50x slower at scale -- kept only for the
+    SQL-replayable oracle queries)."""
+    a, b = _perm_params(cfg.num_perm, cfg.seed)
+    out_type = T.StructType(
+        [
+            T.StructField("shingles", T.ArrayType(T.LongType())),
+            T.StructField("minhash", T.ArrayType(T.LongType())),
+            T.StructField("simhash", T.LongType()),
+        ]
+    )
+
+    @F.pandas_udf(out_type)
+    def _sig(texts: pd.Series) -> pd.DataFrame:
+        return _batch_text_signatures(texts, k, a, b, cfg.simhash_bits, token_pattern)
+
+    return _sig
+
+
 def minhash_jaccard(sig_a: Column, sig_b: Column) -> Column:
     """Estimated jaccard = fraction of agreeing signature positions (native)."""
     agree = F.size(F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y), lambda v: v))

@@ -22,8 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT_CONFIG, PipelineConfig
-from ..functions.shingle import shingles
-from ..functions.signatures import signature_udf
+from ..functions.signatures import text_signature_udf
 from ..functions.text import assemble_conversations
 from ..operators.components import attach_singletons, connected_components
 from ..operators.lsh import band_buckets, candidate_pairs, verify_pairs
@@ -31,16 +30,18 @@ from ..operators.lsh import band_buckets, candidate_pairs, verify_pairs
 
 def conv_signatures(transcripts: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
     """(conv_id, turn_idx, text, ...) -> one row per conv:
-    (conv_id, n_turns, n_shingles, shingles, minhash, simhash)."""
+    (conv_id, n_turns, n_shingles, shingles, minhash, simhash).
+
+    One fused pandas UDF computes shingles + both signatures (the only
+    Python on the path); everything around it is native."""
     convs = assemble_conversations(transcripts)
-    convs = convs.withColumn("shingles", shingles(F.col("full_text"), cfg.shingle))
-    sig = signature_udf(cfg.minhash)
-    convs = convs.withColumn("_sig", sig(F.col("shingles")))
+    sig = text_signature_udf(cfg.shingle.k, cfg.minhash)
+    convs = convs.withColumn("_sig", sig(F.col("full_text")))
     return convs.select(
         "conv_id",
         "n_turns",
-        F.size("shingles").cast("long").alias("n_shingles"),
-        "shingles",
+        F.size("_sig.shingles").cast("long").alias("n_shingles"),
+        F.col("_sig.shingles").alias("shingles"),
         F.col("_sig.minhash").alias("minhash"),
         F.col("_sig.simhash").alias("simhash"),
     )
