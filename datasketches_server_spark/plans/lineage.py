@@ -1,0 +1,179 @@
+"""Per-partition lineage checkpointing + resume.
+
+The reference has none of this (server state is volatile; SURVEY.md
+section 2.3 'must exceed').  Contract (BASELINE.json north_star): every
+stage checkpoints per-partition lineage (partition id, input snapshot,
+signature config hash, row counts) so a killed job resumes without
+recomputation.
+
+Design:
+
+* Work units are hash buckets of conv_id (``pmod(xxhash64(conv_id), B)``)
+  for the per-conversation stage (signatures -- the expensive one), and a
+  single ALL unit for the global stages (LSH edges, clusters), which are
+  cheap relative to signatures and cannot be bucketed without losing
+  cross-bucket candidate pairs.
+* Stage outputs land under ``{workdir}/{stage}/bucket=<i>`` with
+  mode=overwrite per bucket -- idempotent: a re-run of a crashed bucket
+  replaces any partial files.
+* The manifest (``{workdir}/_lineage`` parquet) gains one row per
+  completed unit: (stage, partition_id, config_hash, input_fingerprint,
+  row_count, finished_at).  It is append-only; the newest row per key
+  wins.  Resume = anti-join of the unit list against manifest rows whose
+  (config_hash, input_fingerprint) match -- a config change or new input
+  snapshot invalidates exactly the affected stages.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_CONFIG, PipelineConfig
+from ..operators.components import attach_singletons, connected_components
+from ..operators.lsh import band_buckets, candidate_pairs, verify_pairs
+from .pipeline import conv_signatures
+
+MANIFEST = "_lineage"
+
+
+@dataclass
+class RunStats:
+    computed: dict[str, int] = field(default_factory=dict)  # stage -> units computed
+    skipped: dict[str, int] = field(default_factory=dict)
+
+
+class LineageRunner:
+    def __init__(self, spark: SparkSession, workdir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
+        self.spark = spark
+        self.workdir = workdir
+        self.cfg = cfg
+        self.config_hash = cfg.config_hash()
+        os.makedirs(workdir, exist_ok=True)
+
+    # -- manifest ----------------------------------------------------------
+    def _manifest_path(self) -> str:
+        return os.path.join(self.workdir, MANIFEST)
+
+    def manifest(self) -> DataFrame:
+        p = self._manifest_path()
+        schema = "stage string, partition_id int, config_hash string, input_fingerprint string, row_count long, finished_at double"
+        if not os.path.isdir(p):
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(p)
+
+    def _record(self, stage: str, partition_id: int, input_fp: str, row_count: int) -> None:
+        row = [(stage, partition_id, self.config_hash, input_fp, row_count, time.time())]
+        df = self.spark.createDataFrame(
+            row,
+            "stage string, partition_id int, config_hash string, input_fingerprint string, row_count long, finished_at double",
+        )
+        df.coalesce(1).write.mode("append").parquet(self._manifest_path())
+
+    def done_units(self, stage: str, input_fp: str) -> set[int]:
+        m = self.manifest()
+        rows = (
+            m.where(
+                (F.col("stage") == stage)
+                & (F.col("config_hash") == self.config_hash)
+                & (F.col("input_fingerprint") == input_fp)
+            )
+            .select("partition_id")
+            .distinct()
+            .collect()
+        )
+        done = set()
+        for r in rows:
+            # trust manifest only if the output dir actually exists
+            if os.path.isdir(self._unit_path(stage, r["partition_id"])):
+                done.add(r["partition_id"])
+        return done
+
+    def _unit_path(self, stage: str, partition_id: int) -> str:
+        return os.path.join(self.workdir, stage, f"bucket={partition_id}")
+
+    def _stage_df(self, stage: str) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.workdir, stage, "bucket=*"))
+
+    # -- pipeline ----------------------------------------------------------
+    def run(self, transcripts: DataFrame, input_fp: str = "static") -> tuple[dict[str, DataFrame], RunStats]:
+        """Run (or resume) the full dedup pipeline with checkpointing.
+
+        input_fp identifies the input snapshot (Iceberg snapshot id /
+        parquet fingerprint via sources.io.TableIO.snapshot_fingerprint).
+        """
+        stats = RunStats()
+        B = self.cfg.num_buckets
+        bucket = F.pmod(F.xxhash64("conv_id"), F.lit(B)).cast("int")
+
+        # stage 1: per-bucket signatures
+        done = self.done_units("signatures", input_fp)
+        pending = [i for i in range(B) if i not in done]
+        stats.skipped["signatures"] = len(done)
+        stats.computed["signatures"] = len(pending)
+        if pending:
+            src = transcripts.withColumn("_bucket", bucket)
+            pend = (
+                src.where(F.col("_bucket").isin(pending))
+                if len(pending) < B
+                else src
+            )
+            sigs = conv_signatures(pend.drop("_bucket"), self.cfg).withColumn(
+                "_bucket", bucket
+            )
+            sigs = sigs.persist()
+            counts = {
+                r["_bucket"]: r["n"]
+                for r in sigs.groupBy("_bucket").agg(F.count("*").alias("n")).collect()
+            }
+            for i in pending:
+                out = sigs.where(F.col("_bucket") == i).drop("_bucket")
+                out.write.mode("overwrite").parquet(self._unit_path("signatures", i))
+                self._record("signatures", i, input_fp, counts.get(i, 0))
+            sigs.unpersist()
+        state = self._stage_df("signatures")
+
+        # stage 2: global LSH edges (single unit)
+        if 0 in self.done_units("edges", input_fp):
+            stats.skipped["edges"] = 1
+            stats.computed["edges"] = 0
+        else:
+            cands = candidate_pairs(band_buckets(state, self.cfg.lsh), self.cfg.lsh)
+            edges = verify_pairs(cands, state, self.cfg.lsh)
+            edges.write.mode("overwrite").parquet(self._unit_path("edges", 0))
+            self._record("edges", 0, input_fp, self.spark.read.parquet(self._unit_path("edges", 0)).count())
+            stats.computed["edges"] = 1
+        edges = self._stage_df("edges")
+
+        # stage 3: clusters (single unit)
+        if 0 in self.done_units("clusters", input_fp):
+            stats.skipped["clusters"] = 1
+            stats.computed["clusters"] = 0
+        else:
+            labels = connected_components(edges)
+            clusters = attach_singletons(labels, state)
+            clusters.write.mode("overwrite").parquet(self._unit_path("clusters", 0))
+            self._record("clusters", 0, input_fp, self.spark.read.parquet(self._unit_path("clusters", 0)).count())
+            stats.computed["clusters"] = 1
+        clusters = self._stage_df("clusters")
+
+        return {"conv_state": state, "edges": edges, "clusters": clusters}, stats
+
+    def reset_stage(self, stage: str) -> None:
+        """The /reset analog (ResetHandler.java:43-83): drop a stage's
+        outputs + manifest entries; the next run recomputes it (sketch
+        state is always recomputable from data -- never mutated)."""
+        import shutil
+
+        p = os.path.join(self.workdir, stage)
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+        m = self.manifest().where(F.col("stage") != stage)
+        tmp = self._manifest_path() + ".tmp"
+        m.coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(self._manifest_path())
+        os.rename(tmp, self._manifest_path())

@@ -1,0 +1,79 @@
+"""Kill/resume semantics: a re-run recomputes nothing; a partially
+killed run recomputes only missing units; results are identical."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from datasketches_server_spark.config import PipelineConfig
+from datasketches_server_spark.plans.lineage import LineageRunner
+from datasketches_server_spark.sources.synth import synth_transcripts
+
+
+@pytest.fixture()
+def workdir(tmp_path):
+    return str(tmp_path / "lineage")
+
+
+def _fingerprint(df):
+    return df.select(F.expr("bit_xor(xxhash64(conv_id, cluster_id))").alias("f")).collect()[0]["f"]
+
+
+def test_full_run_then_noop_resume(spark, workdir):
+    cfg = PipelineConfig(num_buckets=8)
+    t = synth_transcripts(spark, n_convs=200, seed=11)
+    runner = LineageRunner(spark, workdir, cfg)
+
+    out1, s1 = runner.run(t)
+    assert s1.computed == {"signatures": 8, "edges": 1, "clusters": 1}
+    f1 = _fingerprint(out1["clusters"])
+
+    out2, s2 = runner.run(t)
+    assert s2.computed == {"signatures": 0, "edges": 0, "clusters": 0}
+    assert s2.skipped == {"signatures": 8, "edges": 1, "clusters": 1}
+    assert _fingerprint(out2["clusters"]) == f1
+
+
+def test_kill_and_resume_recomputes_only_missing(spark, workdir):
+    cfg = PipelineConfig(num_buckets=8)
+    t = synth_transcripts(spark, n_convs=200, seed=11)
+    runner = LineageRunner(spark, workdir, cfg)
+    out1, _ = runner.run(t)
+    f1 = _fingerprint(out1["clusters"])
+
+    # simulate a crash that lost two signature buckets and everything after
+    shutil.rmtree(runner._unit_path("signatures", 3))
+    shutil.rmtree(runner._unit_path("signatures", 5))
+    shutil.rmtree(runner._unit_path("edges", 0))
+    shutil.rmtree(runner._unit_path("clusters", 0))
+
+    out2, s2 = runner.run(t)
+    assert s2.computed["signatures"] == 2  # only the lost buckets
+    assert s2.skipped["signatures"] == 6
+    assert s2.computed["edges"] == 1 and s2.computed["clusters"] == 1
+    assert _fingerprint(out2["clusters"]) == f1
+
+
+def test_config_change_invalidates(spark, workdir):
+    t = synth_transcripts(spark, n_convs=100, seed=11)
+    r1 = LineageRunner(spark, workdir, PipelineConfig(num_buckets=4))
+    r1.run(t)
+    # different shingle k -> different config hash -> full recompute
+    from datasketches_server_spark.config import ShingleConfig
+
+    r2 = LineageRunner(spark, workdir, PipelineConfig(num_buckets=4, shingle=ShingleConfig(k=5)))
+    _, s2 = r2.run(t)
+    assert s2.computed["signatures"] == 4
+
+
+def test_reset_stage(spark, workdir):
+    cfg = PipelineConfig(num_buckets=4)
+    t = synth_transcripts(spark, n_convs=100, seed=11)
+    runner = LineageRunner(spark, workdir, cfg)
+    runner.run(t)
+    runner.reset_stage("clusters")
+    _, s = runner.run(t)
+    assert s.computed == {"signatures": 0, "edges": 0, "clusters": 1}
