@@ -60,7 +60,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q23_lang_quality": Q.q23_lang_quality,
         "q24_dedup_clusters_documents": Q.q24_dedup_clusters_documents,
         "q25_simhash_near_dups": Q.q25_simhash_near_dups,
+        "q26_dup_spans": Q.q26_dup_spans,
         "q27_transcript_turn_equality": Q.q27_transcript_turn_equality,
+        "q28_exact_dedup_assignments": Q.q28_exact_dedup_assignments,
+        "q29_multimodal_features": Q.q29_multimodal_features,
         # similarity search
         "q30_cosine_topk": Q.q30_cosine_topk,
         "q31_ann_lsh_cosine": Q.q31_ann_lsh_cosine,
@@ -191,6 +194,16 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, lang, count(*) AS n_docs, round(avg(q), 4) AS avg_quality
             FROM scored GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "q28_exact_dedup_assignments": f"""
+            WITH fp AS (
+                SELECT doc_id, md5(array_to_string({_NORM_TOKS}, ' ')) AS fp
+                FROM documents
+            ), keep AS (
+                SELECT fp, min(doc_id) AS keeper_doc FROM fp GROUP BY fp
+            )
+            SELECT doc_id, keeper_doc, (doc_id <> keeper_doc) AS is_duplicate
+            FROM fp JOIN keep USING (fp) ORDER BY doc_id
         """,
         "q27_transcript_turn_equality": f"""
             WITH tr AS ({transcripts_from_documents_sql()}),

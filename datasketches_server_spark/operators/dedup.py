@@ -1,0 +1,101 @@
+"""The dedup operator family over document/conversation tables.
+
+Five members (task brief + north rule), all returning either pair
+DataFrames (a, b, score) or cluster assignments:
+
+* :func:`exact_dedup`            -- 64-bit fingerprint hash-groupBy
+* MinHash+LSH                    -- plans/pipeline.dedup_pipeline (flagship)
+* :func:`simhash_dedup_pairs`    -- 64-bit SimHash, banded bucket join +
+                                    hamming verify
+* :func:`ngram_jaccard_pairs`    -- exact n-gram jaccard (brute-force
+                                    tier for small candidate sets / oracles)
+* similarity.embedding_near_dup_pairs -- embedding-cosine near dups
+
+Everything here is native DataFrame ops; the only Python is the shared
+signature UDF upstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.signatures import simhash_hamming
+from ..functions.text import fingerprint64, tokens
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact duplicates by normalized-token fingerprint: each row gets
+    (id, fingerprint, keeper_id, is_duplicate).  One shuffle."""
+    fp = df.select(F.col(id_col), fingerprint64(F.col(text_col)).alias("fingerprint"))
+    keepers = fp.groupBy("fingerprint").agg(F.min(id_col).alias("keeper_id"))
+    return fp.join(keepers, "fingerprint").select(
+        id_col,
+        "fingerprint",
+        "keeper_id",
+        (F.col(id_col) != F.col("keeper_id")).alias("is_duplicate"),
+    )
+
+
+def simhash_dedup_pairs(
+    state: DataFrame, max_hamming: int = 3, n_bands: int = 4, id_col: str = "conv_id"
+) -> DataFrame:
+    """SimHash near-dup pairs: split the 64-bit fingerprint into
+    ``n_bands`` bands; pairs colliding on any band are verified with
+    bit_count(xor).  With n_bands > max_hamming every pair within the
+    hamming radius collides on >= 1 band (pigeonhole) -- exact recall,
+    LSH cost profile.  state: (id_col, simhash)."""
+    assert n_bands > max_hamming, "need n_bands > max_hamming for full recall"
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    bands = state.select(
+        F.col(id_col).alias("id"),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(*[
+                F.shiftrightunsigned("simhash", i * width).bitwiseAND(F.lit(mask))
+                for i in range(n_bands)
+            ])
+        ).alias("band_idx", "band_val"),
+    )
+    left = bands.select(F.col("id").alias("a"), F.col("simhash").alias("sh_a"), "band_idx", "band_val")
+    right = bands.select(F.col("id").alias("b"), F.col("simhash").alias("sh_b"), "band_idx", "band_val")
+    cands = (
+        left.join(right, ["band_idx", "band_val"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "sh_a", "sh_b")
+        .distinct()
+    )
+    return (
+        cands.select("a", "b", simhash_hamming(F.col("sh_a"), F.col("sh_b")).alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact word n-gram jaccard over all pairs -- the brute-force tier
+    (O(n^2); use the LSH pipeline at scale).  Shares token semantics with
+    functions.text.tokens so results line up with the fingerprints."""
+    toks = tokens(F.col(text_col))
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+    g = df.select(F.col(id_col), grams.alias("grams"))
+    a = g.select(F.col(id_col).alias("a"), F.col("grams").alias("ga"))
+    b = g.select(F.col(id_col).alias("b"), F.col("grams").alias("gb"))
+    inter = F.size(F.array_intersect("ga", "gb"))
+    uni = F.size(F.array_union("ga", "gb"))
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .select("a", "b", (inter / uni).cast("double").alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )

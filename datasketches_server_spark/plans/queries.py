@@ -309,6 +309,55 @@ def q25_simhash_near_dups(spark, sf_dir):
     )
 
 
+def q26_dup_spans(spark, sf_dir):
+    """Suffix-array longest-duplicate-substring spans on verified pairs
+    (rows-only: SA+LCP in a mapInPandas kernel)."""
+    from ..operators.suffixarray import attach_dup_spans
+    from ..functions.text import assemble_conversations
+    from .pipeline import dedup_pipeline
+
+    cfg = PipelineConfig(shingle=ShingleConfig(k=3))
+    t = transcripts_from_documents(spark, sf_dir)
+    res = dedup_pipeline(t, cfg)
+    convs = assemble_conversations(t)
+    return (
+        attach_dup_spans(res.edges, convs)
+        .select("a", "b", F.round("jaccard", 4).alias("jaccard"), "span_len",
+                F.round("span_frac", 4).alias("span_frac"))
+        .orderBy("a", "b")
+    )
+
+
+def q28_exact_dedup_assignments(spark, sf_dir):
+    """Exact dedup with keeper assignment per doc (oracle-able)."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.md5(F.concat_ws(" ", TXT.tokens(F.col("text"))))
+    fp = d.select("doc_id", norm.alias("fp"))
+    keep = fp.groupBy("fp").agg(F.min("doc_id").alias("keeper_doc"))
+    return (
+        fp.join(keep, "fp")
+        .select("doc_id", "keeper_doc", (F.col("doc_id") != F.col("keeper_doc")).alias("is_duplicate"))
+        .orderBy("doc_id")
+    )
+
+
+def q29_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing: deterministic stub decode -> feature stats
+    (rows-only; exercises binary columns + mapInPandas batch shapes)."""
+    from ..operators.multimodal import extract_features, synth_media
+
+    media = synth_media(spark, n=256)
+    feats = extract_features(media, dim=16)
+    return (
+        feats.groupBy("kind")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(F.element_at("feature", 1)), 4).alias("mean_f0"),
+        )
+        .orderBy("kind")
+    )
+
+
 def q27_transcript_turn_equality(spark, sf_dir):
     """Per-row invariant (BASELINE.json input_hint): reassembling turns in
     stable (conv_id, turn_idx) order restores the source text exactly."""
@@ -356,6 +405,7 @@ def q31_ann_lsh_cosine(spark, sf_dir):
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") == 0)
-    return ann_topk(e.where(F.col("vec_id") != 0), q, k=10).select(
+    # high-recall dial for the ~isotropic synthetic vectors
+    return ann_topk(e.where(F.col("vec_id") != 0), q, k=10, n_tables=32, n_bits=4).select(
         "query_id", "vec_id", F.round("cosine", 4).alias("cosine")
     )

@@ -1,0 +1,184 @@
+"""Tests: suffix-array spans, dedup family, multimodal plumbing,
+streaming sketch metrics."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from datasketches_server_spark.operators.dedup import (
+    exact_dedup,
+    ngram_jaccard_pairs,
+    simhash_dedup_pairs,
+)
+from datasketches_server_spark.operators.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    synth_media,
+)
+from datasketches_server_spark.operators.similarity import ann_topk, cosine_topk
+from datasketches_server_spark.operators.suffixarray import (
+    attach_dup_spans,
+    lcp_kasai,
+    longest_common_substring,
+    suffix_array,
+)
+
+
+# ----------------------------------------------------------- suffix array
+
+def test_suffix_array_matches_naive():
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        s = rng.integers(0, 4, size=50)
+        sa = suffix_array(s)
+        want = sorted(range(len(s)), key=lambda i: tuple(s[i:]))
+        assert list(sa) == want
+        lcp = lcp_kasai(s, sa)
+        for i in range(1, len(s)):
+            x, y = s[sa[i] :], s[sa[i - 1] :]
+            k = 0
+            while k < len(x) and k < len(y) and x[k] == y[k]:
+                k += 1
+            assert lcp[i] == k
+
+
+def test_longest_common_substring():
+    L, a0, b0 = longest_common_substring("hello world xyz", "say hello world")
+    assert L == len("hello world")
+    assert "hello world xyz"[a0 : a0 + L] == "say hello world"[b0 : b0 + L]
+    L2, _, _ = longest_common_substring("abc", "xyz")
+    assert L2 == 0
+    L3, s3, t3 = longest_common_substring("abcdef", "zzabcdezz")
+    assert L3 == 5 and s3 == 0 and t3 == 2
+
+
+def test_attach_dup_spans(spark):
+    convs = spark.createDataFrame(
+        [("c1", "the quick brown fox jumps over the lazy dog"),
+         ("c2", "xx the quick brown fox sleeps"),
+         ("c3", "totally different words here")],
+        ["conv_id", "full_text"],
+    )
+    edges = spark.createDataFrame([("c1", "c2", 0.5), ("c1", "c3", 0.1)], ["a", "b", "jaccard"])
+    out = {(r["a"], r["b"]): r for r in attach_dup_spans(edges, convs).collect()}
+    r12 = out[("c1", "c2")]
+    assert r12["span_len"] == len("the quick brown fox ")
+    assert r12["span_frac"] > 0.5
+    assert out[("c1", "c3")]["span_len"] <= 4  # only incidental char overlap
+
+
+# ------------------------------------------------------------ dedup family
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello, World!"), (2, "hello world"), (3, "something else")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in exact_dedup(df).collect()}
+    assert out[1]["keeper_id"] == 1 and out[2]["keeper_id"] == 1  # same normalized fp
+    assert out[2]["is_duplicate"] and not out[1]["is_duplicate"]
+    assert not out[3]["is_duplicate"]
+
+
+def test_simhash_dedup_pairs(spark):
+    state = spark.createDataFrame(
+        [("a", 0b1111000011110000), ("b", 0b1111000011110001), ("c", -4242424242424242)],
+        ["conv_id", "simhash"],
+    )
+    pairs = simhash_dedup_pairs(state, max_hamming=3).collect()
+    assert [(p["a"], p["b"], p["hamming"]) for p in pairs] == [("a", "b", 1)]
+
+
+def test_ngram_jaccard_pairs(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g x"), (3, "q w e r t y u i")],
+        ["doc_id", "text"],
+    )
+    pairs = ngram_jaccard_pairs(df, threshold=0.4).collect()
+    assert len(pairs) == 1 and pairs[0]["a"] == 1 and pairs[0]["b"] == 2
+
+
+# -------------------------------------------------------------- similarity
+
+def test_ann_recall_vs_bruteforce(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, queries, k=10)
+    # synthetic embeddings are ~isotropic (the LSH worst case): use the
+    # high-recall end of the dial (more tables, shorter codes)
+    approx = ann_topk(emb, queries, k=10, n_tables=32, n_bits=4)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.9, f"ANN recall {recall}"
+
+
+# -------------------------------------------------------------- multimodal
+
+def test_multimodal_features(spark):
+    media = synth_media(spark, n=64)
+    feats = extract_features(media, dim=16).collect()
+    assert len(feats) == 64
+    assert all(len(r["feature"]) == 16 for r in feats)
+    # deterministic across runs
+    again = extract_features(synth_media(spark, n=64), dim=16).collect()
+    m1 = {r["media_id"]: list(r["feature"]) for r in feats}
+    m2 = {r["media_id"]: list(r["feature"]) for r in again}
+    assert m1 == m2
+
+
+def test_frame_sample_plan(spark):
+    media = synth_media(spark, n=64)
+    plan = frame_sample_plan(media, every_ms=60000)
+    rows = plan.groupBy("media_id").count().collect()
+    assert rows and all(r["count"] >= 1 for r in rows)
+
+
+# --------------------------------------------------------------- streaming
+
+def test_streaming_windowed_sketches(spark, tmp_path):
+    from datasketches_server_spark.streaming.incremental import (
+        append_metrics_foreachBatch,
+        merged_view,
+        windowed_sketch_stream,
+    )
+
+    src = str(tmp_path / "stream_src")
+    out = str(tmp_path / "metrics")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    windowed = windowed_sketch_stream(stream)
+    # complete mode so windows still open at end-of-input are emitted too
+    q = (
+        windowed.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_metrics")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql(
+        "SELECT window_start, event_type, theta_sketch_estimate(theta_items) AS d, n_events "
+        "FROM win_metrics"
+    )
+    assert got.count() > 0
+    total_events = got.agg(F.sum("n_events")).collect()[0][0]
+    assert total_events == ev.count()
+
+    q2 = append_metrics_foreachBatch(stream, out).queryName("acc").start()
+    q2.processAllAvailable()
+    q2.stop()
+    merged = {r["event_type"]: r for r in merged_view(spark, out).collect()}
+    truth = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("d"), F.count("*").alias("n"))
+        .collect()
+    }
+    for et, t in truth.items():
+        assert merged[et]["n_events"] == t["n"]
+        assert merged[et]["distinct_items"] == pytest.approx(t["d"], rel=0.03)
