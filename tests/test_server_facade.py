@@ -1,0 +1,107 @@
+"""Run the reference's OWN example config through the facade -- the
+endpoint-level parity test (mirrors UpdateHandlerTest / SketchStorageTest
+flavors: config parsing, type enforcement, estimate tolerance, merge)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datasketches_server_spark.server import (
+    SketchDecl,
+    SketchTableServer,
+    parse_config,
+)
+
+REFERENCE_STYLE_CONFIG = {
+    "port": 8080,  # ignored: no server to bind
+    "sketches_A": [
+        {"name": "cpcOfNumbers", "k": 12, "type": "long", "family": "cpc"},
+        {"name": "topItems", "k": 10, "family": "frequency"},
+        {"name": "duration", "k": 200, "family": "kll"},
+    ],
+    "set1": {
+        "family": "theta",
+        "type": "int",
+        "k": 12,
+        "names": ["theta0", "theta1"],
+    },
+}
+
+
+def test_parse_config_forms():
+    decls = parse_config(REFERENCE_STYLE_CONFIG)
+    assert {d.name for d in decls} == {"cpcOfNumbers", "topItems", "duration", "theta0", "theta1"}
+    # bare-array form (SketchServerConfig.java:91-93)
+    bare = parse_config([{"name": "x", "family": "hll", "k": 12, "type": "string"}])
+    assert bare[0].family == "hll"
+    # duplicate names rejected (SketchStorage.java:156-158)
+    with pytest.raises(ValueError):
+        parse_config([
+            {"name": "x", "family": "hll", "k": 12, "type": "string"},
+            {"name": "x", "family": "theta", "k": 12, "type": "int"},
+        ])
+    # type required for distinct families (SketchStorage.java:72-73)
+    with pytest.raises(ValueError):
+        SketchDecl(name="bad", family="theta", k=12)
+
+
+def test_update_query_estimate_tolerance(spark):
+    """CPC-style 1%-of-2000-uniques check (UpdateHandlerTest.java:74)."""
+    srv = SketchTableServer(spark, parse_config(REFERENCE_STYLE_CONFIG))
+    data = spark.range(4000).select((F.col("id") % 2000).alias("value"))
+    srv.update("cpcOfNumbers", data)
+    est = srv.query("cpcOfNumbers").collect()[0]["estimate"]
+    assert est == pytest.approx(2000, rel=0.01)
+
+
+def test_incremental_updates_accumulate(spark):
+    srv = SketchTableServer(spark, parse_config(REFERENCE_STYLE_CONFIG))
+    srv.update("theta0", spark.range(0, 500).select(F.col("id").alias("value")))
+    srv.update("theta0", spark.range(250, 1000).select(F.col("id").alias("value")))
+    est = srv.query("theta0").collect()[0]["estimate"]
+    assert est == 1000  # theta exact below nominal entries
+
+
+def test_merge_and_family_compat(spark):
+    srv = SketchTableServer(spark, parse_config(REFERENCE_STYLE_CONFIG))
+    srv.update("theta0", spark.range(0, 600).select(F.col("id").alias("value")))
+    srv.update("theta1", spark.range(400, 1000).select(F.col("id").alias("value")))
+    merged = srv.merge(None, ["theta0", "theta1"])
+    est = merged.select(F.theta_sketch_estimate("sketch").alias("e")).collect()[0]["e"]
+    assert est == 1000
+    with pytest.raises(ValueError):
+        srv.merge(None, ["theta0", "duration"])  # MergeHandler.java:183-188
+
+
+def test_serialize_roundtrip_and_reset(spark):
+    srv = SketchTableServer(spark, parse_config(REFERENCE_STYLE_CONFIG))
+    srv.update("theta0", spark.range(100).select(F.col("id").alias("value")))
+    img = srv.serialize("theta0")
+    srv.reset("theta0")  # ResetHandler analog
+    with pytest.raises(KeyError):
+        srv.query("theta0")
+    srv.load_image("theta0", img)
+    assert srv.query("theta0").collect()[0]["estimate"] == 100
+
+
+def test_status_lists_all(spark):
+    srv = SketchTableServer(spark, parse_config(REFERENCE_STYLE_CONFIG))
+    rows = srv.status().collect()
+    assert len(rows) == 5  # StatusHandler analog
+    assert not any(r["has_data"] for r in rows)
+
+
+def test_frequency_and_kll_lanes(spark):
+    srv = SketchTableServer(spark, parse_config(REFERENCE_STYLE_CONFIG))
+    items = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 1, "value string"
+    )
+    srv.update("topItems", items)
+    top = srv.query("topItems", top_k=2).collect()
+    assert [(r["value"], r["estimate"]) for r in top] == [("a", 5.0), ("b", 3.0)]
+    vals = spark.range(1, 101).select(F.col("id").cast("float").alias("value"))
+    srv.update("duration", vals)
+    q = srv.query("duration", fractions=(0.5,)).collect()[0]
+    assert q["stream_length"] == 100
+    assert 40 <= q["quantiles"][0] <= 60

