@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q03_region_rollup": Q.q03_region_rollup,
         "q04_window_running_revenue": Q.q04_window_running_revenue,
         "q05_events_hourly": Q.q05_events_hourly,
+        "q06_sessionize": Q.q06_sessionize,
         # sketch parity (reference ops #2-18)
         "q10_theta_distinct_parts": Q.q10_theta_distinct_parts,
         "q11_theta_union_global": Q.q11_theta_union_global,
@@ -114,6 +115,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
                    event_type, count(*) AS n, round(sum(value), 2) AS total_value
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "q06_sessionize": """
+            WITH marked AS (
+                SELECT user_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
+            FROM marked GROUP BY user_id ORDER BY user_id
         """,
         "q10_theta_distinct_parts": """
             SELECT l_returnflag, count(DISTINCT l_partkey) AS distinct_parts

@@ -93,22 +93,21 @@ def _bottom_k_sample(
 
     Mergeable by construction: bottom-k of a union == bottom-k of the
     concatenated bottom-k's (ReservoirItemsUnion analog,
-    MergeHandler.java:330-346).
+    MergeHandler.java:330-346); the ``sample`` column keeps the keys so
+    sketch_merge can re-take the k smallest after a union.
     """
     keyed = df.withColumn("_key", _sample_key(F.col(item_col)))
     w = Window.partitionBy(*[F.col(c) for c in group_cols] or [F.lit(1)]).orderBy(
         "_key", item_col
     )
     g = keyed.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
-    agg_cols = [
-        F.sort_array(F.collect_list(F.struct("_key", F.col(item_col).alias("item")))).alias("_s"),
-        F.count("*").alias("_n_kept"),
-    ]
     base = g.groupBy(*group_cols) if group_cols else g.groupBy()
     tot = df.groupBy(*group_cols) if group_cols else df.groupBy()
     totals = tot.agg(F.count("*").cast("long").alias("stream_n"))
-    out = base.agg(*agg_cols).select(
-        *group_cols, F.transform("_s", lambda s: s["item"]).alias("items")
+    out = base.agg(
+        F.sort_array(F.collect_list(F.struct("_key", F.col(item_col).alias("item")))).alias("sample")
+    ).select(
+        *group_cols, "sample", F.transform("sample", lambda s: s["item"]).alias("items")
     )
     return out.join(totals, list(group_cols)) if group_cols else out.crossJoin(totals)
 
@@ -132,10 +131,11 @@ def _a_es_sample(
     out = base.agg(
         F.sort_array(
             F.collect_list(F.struct("_key", F.col(item_col).alias("item"), F.col(weight_col).alias("weight")))
-        ).alias("_s")
+        ).alias("sample")
     ).select(
         *group_cols,
-        F.transform("_s", lambda s: F.struct(s["item"].alias("item"), s["weight"].alias("weight"))).alias("items"),
+        "sample",
+        F.transform("sample", lambda s: F.struct(s["item"].alias("item"), s["weight"].alias("weight"))).alias("items"),
     )
     return out.join(totals, list(group_cols)) if group_cols else out.crossJoin(totals)
 
@@ -166,6 +166,25 @@ def sketch_merge(
         return state.groupBy(*group_cols, *item_cols).agg(
             F.sum("weight").cast("double").alias("weight")
         )
+    if family in ("reservoir", "varopt"):
+        # union of bottom-k samples -> re-take the k smallest keys
+        # (ReservoirItemsUnion / VarOptItemsUnion analog,
+        # MergeHandler.java:330-364); valid because the hash keys are a
+        # global total order over the stream
+        k = cfg.sample_k
+        total_col = "stream_n" if "stream_n" in state.columns else "stream_weight"
+        merged = state.groupBy(*group_cols) if group_cols else state.groupBy()
+        merged = merged.agg(
+            F.slice(F.sort_array(F.flatten(F.collect_list("sample"))), 1, k).alias("sample"),
+            F.sum(total_col).alias(total_col),
+        )
+        if family == "reservoir":
+            items = F.transform("sample", lambda s: s["item"])
+        else:
+            items = F.transform(
+                "sample", lambda s: F.struct(s["item"].alias("item"), s["weight"].alias("weight"))
+            )
+        return merged.select(*group_cols, "sample", items.alias("items"), total_col)
     raise ValueError(f"merge not supported for family {family!r}")
 
 

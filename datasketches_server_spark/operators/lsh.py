@@ -61,13 +61,24 @@ def candidate_pairs(
 ) -> DataFrame:
     """bucket memberships -> distinct candidate (a, b) pairs, a < b.
 
-    One shuffle (groupBy bucket) + one distinct.  Pure native expressions
-    for pair emission; no Python, no self-join.
+    Salted two-phase aggregation (the north rule's salted band-key
+    repartitioning): phase 1 groups by (bucket, salt(conv_id)) so a hot
+    bucket's members spread over ``salt_buckets`` tasks, each partial
+    list capped; phase 2 merges partials per bucket with the cap applied
+    again, bounding fan-in to salt_buckets x bucket_cap.  Pure native
+    expressions for pair emission; no Python, no self-join.
     """
+    salt = F.pmod(F.xxhash64("conv_id"), F.lit(cfg.salt_buckets))
+    partial = buckets.groupBy("bucket", salt.alias("_salt")).agg(
+        F.slice(F.sort_array(F.collect_set("conv_id")), 1, cfg.bucket_cap).alias("pids"),
+        F.count("*").alias("pn"),
+    )
     members = (
-        buckets.groupBy("bucket")
-        .agg(F.slice(F.sort_array(F.collect_set("conv_id")), 1, cfg.bucket_cap).alias("ids"),
-             F.count("*").alias("n_members"))
+        partial.groupBy("bucket")
+        .agg(
+            F.slice(F.array_sort(F.flatten(F.collect_list("pids"))), 1, cfg.bucket_cap).alias("ids"),
+            F.sum("pn").alias("n_members"),
+        )
         .where(F.size("ids") >= 2)
     )
     n = F.size(F.col("ids"))

@@ -103,6 +103,26 @@ def q05_events_hourly(spark, sf_dir):
     )
 
 
+def q06_sessionize(spark, sf_dir):
+    """Sessionization: 30-min-gap sessions per user (lag + cumsum)."""
+    e = _t(spark, sf_dir, "events")
+    e = e.withColumn("_ts", F.col("ts").cast("timestamp").cast("long"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("_ts") - F.lag("_ts").over(w)
+    marked = e.withColumn("new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+    sess = marked.withColumn(
+        "session_id", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.max("session_id").cast("long").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
 # ------------------------------------------------------------ sketch parity
 
 def q10_theta_distinct_parts(spark, sf_dir):

@@ -113,6 +113,23 @@ def test_reservoir_and_varopt_samples(spark, events):
     assert [i["item"] for i in vo["items"]] == [i["item"] for i in vo2["items"]]
 
 
+def test_sample_merge_equals_whole(spark, events):
+    """#20/#21: merging per-group bottom-k samples == sampling the whole
+    stream (keys give a global total order, so bottom-k is exact)."""
+    cfg = SketchConfig(sample_k=16)
+    whole = sketch_update(events, [], "user_id", "reservoir", cfg).collect()[0]
+    parts = sketch_update(events, ["event_type"], "user_id", "reservoir", cfg)
+    merged = sketch_merge(parts.drop("event_type"), "reservoir", (), cfg).collect()[0]
+    assert list(merged["items"]) == list(whole["items"])
+    assert merged["stream_n"] == whole["stream_n"]
+
+    vwhole = sketch_update(events, [], "event_type", "varopt", cfg, weight_col="value").collect()[0]
+    vparts = sketch_update(events, ["user_id"], "event_type", "varopt", cfg, weight_col="value")
+    vmerged = sketch_merge(vparts.drop("user_id"), "varopt", (), cfg).collect()[0]
+    assert [i["item"] for i in vmerged["items"]] == [i["item"] for i in vwhole["items"]]
+    assert vmerged["stream_weight"] == pytest.approx(vwhole["stream_weight"])
+
+
 def test_serialize_roundtrip(spark, events):
     state = sketch_update(events, ["event_type"], "user_id", "theta")
     img = serialize_sketch(state, "theta")
