@@ -99,6 +99,19 @@ def main() -> None:
     timed("q31_ann_lsh_cosine", lambda: Q.q31_ann_lsh_cosine(spark, sf_dir).collect())
 
     total = round(sum(timings.values()), 3)
+    # attach the latest two-parallelism evidence (tools/bench_scaling.py)
+    scaling = {}
+    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_scaling.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            s = json.load(f)["summary"]
+        scaling = {
+            "scaling_efficiency_Nto4N": s["value"],
+            "scaling_n_cores": s["n_cores"],
+            "scaling_4n_cores": s["4n_cores"],
+            "scaling_throughput_n": s["throughput_n"],
+            "scaling_throughput_4n": s["throughput_4n"],
+        }
     print(
         json.dumps(
             {
@@ -109,6 +122,7 @@ def main() -> None:
                 "sf": sf,
                 "cores": cores,
                 **extra,
+                **scaling,
             }
         )
     )

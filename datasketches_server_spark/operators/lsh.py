@@ -27,7 +27,6 @@ Scale design (the part that must survive 100 TB):
 
 from __future__ import annotations
 
-from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F

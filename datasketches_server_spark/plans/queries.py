@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..config import DEFAULT_CONFIG, PipelineConfig, ShingleConfig, SketchConfig
+from ..config import PipelineConfig, ShingleConfig, SketchConfig
 from ..functions import text as TXT
 from ..functions.sketches import (
     query_distinct,
