@@ -1,0 +1,100 @@
+"""spark-submit entry point: the full resumable dedup job.
+
+    spark-submit --master local[N] --py-files dss.zip \
+        -m datasketches_server_spark  # (or path to this file)
+        --input  /path/to/transcripts_parquet_or_table \
+        --workdir /path/to/checkpoints \
+        [--config config.json] [--synth-convs 100000]
+
+Re-running the same command after a kill resumes from the lineage
+manifest (plans/lineage.py): completed buckets are skipped, outputs are
+byte-identical.  --config accepts a JSON object with shingle/minhash/
+lsh/sketch overrides (our engine config, not the reference's sketch
+declarations -- for those see server.py:parse_config).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import SparkSession
+
+from .config import LshConfig, MinHashConfig, PipelineConfig, ShingleConfig, SketchConfig
+from .plans.lineage import LineageRunner
+from .plans.metrics import cluster_metrics, global_rollup, shingle_metrics, simscore_metrics
+from .sources.io import TableIO
+from .sources.synth import synth_transcripts
+
+
+def load_config(path: str | None) -> PipelineConfig:
+    if not path:
+        return PipelineConfig()
+    with open(path) as f:
+        raw = json.load(f)
+    return PipelineConfig(
+        shingle=ShingleConfig(**raw.get("shingle", {})),
+        minhash=MinHashConfig(**raw.get("minhash", {})),
+        lsh=LshConfig(**raw.get("lsh", {})),
+        sketch=SketchConfig(**raw.get("sketch", {})),
+        num_buckets=raw.get("num_buckets", 32),
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="datasketches_server_spark")
+    ap.add_argument("--input", help="transcripts parquet dir or table name")
+    ap.add_argument("--workdir", required=True, help="checkpoint/lineage root")
+    ap.add_argument("--config", help="engine config JSON")
+    ap.add_argument("--synth-convs", type=int, help="generate a planted corpus instead of --input")
+    ap.add_argument("--metrics", action="store_true", help="also emit sketch metric tables")
+    args = ap.parse_args(argv)
+
+    spark = SparkSession.builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    cfg = load_config(args.config)
+
+    if args.synth_convs:
+        transcripts = synth_transcripts(spark, n_convs=args.synth_convs, seed=cfg.minhash.seed)
+        input_fp = f"synth:{args.synth_convs}:{cfg.minhash.seed}"
+    elif args.input:
+        io = TableIO(spark, root="/")
+        transcripts = (
+            spark.read.table(args.input)
+            if "." in args.input and not args.input.startswith("/")
+            else spark.read.parquet(args.input)
+        )
+        input_fp = io.snapshot_fingerprint(args.input) if args.input.startswith("/") else args.input
+    else:
+        ap.error("--input or --synth-convs required")
+
+    runner = LineageRunner(spark, args.workdir, cfg)
+    out, stats = runner.run(transcripts, input_fp=input_fp)
+    summary = {
+        "config_hash": cfg.config_hash(),
+        "computed": stats.computed,
+        "skipped": stats.skipped,
+        "n_convs": out["conv_state"].count(),
+        "n_edges": out["edges"].count(),
+        "n_clusters": out["clusters"].select("cluster_id").distinct().count(),
+    }
+    if args.metrics:
+        row = global_rollup(
+            shingle_metrics(out["conv_state"], cfg),
+            simscore_metrics(out["edges"], cfg),
+            cluster_metrics(out["clusters"], cfg),
+            cfg,
+        ).collect()[0]
+        summary["metrics"] = {
+            "distinct_shingles": int(row["distinct_shingles"]),
+            "jaccard_quantiles": [float(x) for x in (row["jaccard_quantiles"] or [])],
+            "approx_clusters": int(row["approx_clusters"]),
+        }
+    print(json.dumps(summary))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -56,6 +56,9 @@ class LshConfig:
     # dropped-row counts logged (SURVEY.md section 4 custom work #1).
     bucket_cap: int = 2000
     salt_buckets: int = 8
+    # buckets above this size take the salted two-phase path; the cold
+    # majority keeps map-side-combined single-shuffle aggregation
+    hot_bucket_threshold: int = 1024
 
     def __post_init__(self) -> None:
         if self.bands * self.rows_per_band > 128:

@@ -60,26 +60,42 @@ def candidate_pairs(
 ) -> DataFrame:
     """bucket memberships -> distinct candidate (a, b) pairs, a < b.
 
-    Salted two-phase aggregation (the north rule's salted band-key
-    repartitioning): phase 1 groups by (bucket, salt(conv_id)) so a hot
-    bucket's members spread over ``salt_buckets`` tasks, each partial
-    list capped; phase 2 merges partials per bucket with the cap applied
-    again, bounding fan-in to salt_buckets x bucket_cap.  Pure native
+    Adaptively salted aggregation (the north rule's salted band-key
+    repartitioning, applied only where skew exists): a cheap partial-agg
+    size count finds hot buckets (> cfg.hot_bucket_threshold members);
+    the cold majority takes the single-shuffle map-side-combined
+    collect_set path, while hot buckets are salted two-phase --
+    (bucket, salt(conv_id)) partials, each capped, then a bounded merge
+    of at most salt_buckets x bucket_cap per bucket.  Salting
+    unconditionally would defeat map-side combining for the ~all-cold
+    common case (measured 40s vs 0.2s on 9.6M band rows).  Pure native
     expressions for pair emission; no Python, no self-join.
     """
-    salt = F.pmod(F.xxhash64("conv_id"), F.lit(cfg.salt_buckets))
-    partial = buckets.groupBy("bucket", salt.alias("_salt")).agg(
-        F.slice(F.sort_array(F.collect_set("conv_id")), 1, cfg.bucket_cap).alias("pids"),
-        F.count("*").alias("pn"),
-    )
-    members = (
-        partial.groupBy("bucket")
+    sizes = buckets.groupBy("bucket").agg(F.count("*").alias("sz"))
+    hot = sizes.where(F.col("sz") > cfg.hot_bucket_threshold).select("bucket")
+
+    cold_members = (
+        buckets.join(F.broadcast(hot), "bucket", "left_anti")
+        .groupBy("bucket")
         .agg(
-            F.slice(F.array_sort(F.flatten(F.collect_list("pids"))), 1, cfg.bucket_cap).alias("ids"),
-            F.sum("pn").alias("n_members"),
+            F.slice(F.sort_array(F.collect_set("conv_id")), 1, cfg.bucket_cap).alias("ids"),
+            F.count("*").alias("n_members"),
         )
-        .where(F.size("ids") >= 2)
     )
+    salt = F.pmod(F.xxhash64("conv_id"), F.lit(cfg.salt_buckets))
+    hot_partial = (
+        buckets.join(F.broadcast(hot), "bucket", "left_semi")
+        .groupBy("bucket", salt.alias("_salt"))
+        .agg(
+            F.slice(F.sort_array(F.collect_set("conv_id")), 1, cfg.bucket_cap).alias("pids"),
+            F.count("*").alias("pn"),
+        )
+    )
+    hot_members = hot_partial.groupBy("bucket").agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("pids"))), 1, cfg.bucket_cap).alias("ids"),
+        F.sum("pn").alias("n_members"),
+    )
+    members = cold_members.unionByName(hot_members).where(F.size("ids") >= 2)
     n = F.size(F.col("ids"))
     all_pairs = F.flatten(
         F.transform(
