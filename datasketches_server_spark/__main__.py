@@ -1,5 +1,8 @@
 """spark-submit entry point: the full resumable dedup job.
 
+Absolute imports so this file can be passed directly to spark-submit
+(with --py-files providing the package); `python -m` works too.
+
     spark-submit --master local[N] --py-files dss.zip \
         -m datasketches_server_spark  # (or path to this file)
         --input  /path/to/transcripts_parquet_or_table \
@@ -21,11 +24,11 @@ import sys
 
 from pyspark.sql import SparkSession
 
-from .config import LshConfig, MinHashConfig, PipelineConfig, ShingleConfig, SketchConfig
-from .plans.lineage import LineageRunner
-from .plans.metrics import cluster_metrics, global_rollup, shingle_metrics, simscore_metrics
-from .sources.io import TableIO
-from .sources.synth import synth_transcripts
+from datasketches_server_spark.config import LshConfig, MinHashConfig, PipelineConfig, ShingleConfig, SketchConfig
+from datasketches_server_spark.plans.lineage import LineageRunner
+from datasketches_server_spark.plans.metrics import cluster_metrics, global_rollup, shingle_metrics, simscore_metrics
+from datasketches_server_spark.sources.io import TableIO
+from datasketches_server_spark.sources.synth import synth_transcripts
 
 
 def load_config(path: str | None) -> PipelineConfig:
