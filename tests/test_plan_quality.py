@@ -49,10 +49,12 @@ def test_signature_state_reused_from_cache(spark):
     assert "BatchEvalPython" not in p  # no row-at-a-time Python anywhere
     res.conv_state.unpersist()
 
-    # uncached composition recomputes the subtree -- documented tradeoff
+    # uncached composition recomputes the subtree once per state
+    # reference (banding/sizes/verify sides) -- documented tradeoff that
+    # motivates the cache/persist default
     res2 = dedup_pipeline(t, cache_state=False)
     p2 = plan_str(res2.edges, "simple")
-    assert p2.count("ArrowEvalPython") == 3
+    assert p2.count("ArrowEvalPython") >= 3
 
 
 def test_clusters_plan_has_no_python(spark):
