@@ -137,34 +137,48 @@ def _batch_text_signatures(
     counts = np.bincount(rs, minlength=len(toks))
     np.cumsum(counts[:-1], out=seg_starts[1:])
 
-    # Cache-blocked: the naive (num_perm x total_shingles) permuted
-    # matrix is ~1.3 GB per 10k-row batch -- memory-bandwidth-bound and
-    # it destroys multi-worker scaling.  Chunking perms/bits keeps the
-    # working set near L2 (measured ~15x faster at batch size 10k).
+    # Doubly cache-blocked: chunk the permutations (CH at a time) AND the
+    # rows (blocks of ~BLOCK_SH shingles), so the hot buffer is
+    # CH * BLOCK_SH * 8B ~ 1 MB -- inside a core-private L2.  A whole-batch
+    # buffer (CH x n_sh, ~15-150 MB) lives in shared L3/DRAM; with 16
+    # concurrent Python workers on one socket that saturates memory
+    # bandwidth and per-task CPU inflates ~6x, destroying N->4N scaling
+    # (measured: 1286 core-sec vs 186 for the same 300k-doc stage).
     n_rows = len(toks)
     num_perm = len(a)
-    n_sh = len(hs)
-    mins = np.empty((num_perm, n_rows), dtype=np.uint64)
     CH = 16
-    # preallocated chunk buffers (out=) -- fresh per-iteration allocations
-    # pay first-touch page faults that dominate cold-worker batches
-    pc = np.empty((CH, n_sh), dtype=np.uint64)
-    for c0 in range(0, num_perm, CH):
-        np.multiply(a[c0 : c0 + CH, None], hs[None, :], out=pc)
-        pc += b[c0 : c0 + CH, None]
-        mins[c0 : c0 + CH] = np.minimum.reduceat(pc, seg_starts, axis=1)
-    minhash = mins.T.astype(np.int64)
-
+    BLOCK_SH = 8192
+    mins = np.empty((num_perm, n_rows), dtype=np.uint64)
     votes = np.empty((simhash_bits, n_rows), dtype=np.int64)
     seg_len = counts
-    bits = pc  # reuse the uint64 chunk buffer
-    for c0 in range(0, simhash_bits, CH):
-        sh = np.arange(c0, min(c0 + CH, simhash_bits), dtype=np.uint64)[:, None]
-        nb = sh.shape[0]
-        np.right_shift(hs[None, :], sh, out=bits[:nb])
-        np.bitwise_and(bits[:nb], np.uint64(1), out=bits[:nb])
-        ones = np.add.reduceat(bits[:nb], seg_starts, axis=1)
-        votes[c0 : c0 + nb] = 2 * ones.astype(np.int64) - seg_len[None, :]
+    sh_all = np.arange(simhash_bits, dtype=np.uint64)
+    # row-block boundaries: split on rows, ~BLOCK_SH shingles per block
+    seg_ends = seg_starts + counts
+    pc = np.empty((CH, BLOCK_SH), dtype=np.uint64)
+    r0 = 0
+    while r0 < n_rows:
+        r1 = int(np.searchsorted(seg_ends, seg_starts[r0] + BLOCK_SH, side="left")) + 1
+        r1 = min(max(r1, r0 + 1), n_rows)
+        s0, s1 = int(seg_starts[r0]), int(seg_ends[r1 - 1])
+        nb = s1 - s0
+        hs_blk = hs[s0:s1]
+        starts_blk = seg_starts[r0:r1] - s0
+        buf = pc[:, :nb] if nb <= BLOCK_SH else np.empty((CH, nb), dtype=np.uint64)
+        for c0 in range(0, num_perm, CH):
+            np.multiply(a[c0 : c0 + CH, None], hs_blk[None, :], out=buf)
+            buf += b[c0 : c0 + CH, None]
+            mins[c0 : c0 + CH, r0:r1] = np.minimum.reduceat(buf, starts_blk, axis=1)
+        for c0 in range(0, simhash_bits, CH):
+            sh = sh_all[c0 : c0 + CH, None]
+            nbits = sh.shape[0]
+            np.right_shift(hs_blk[None, :], sh, out=buf[:nbits])
+            np.bitwise_and(buf[:nbits], np.uint64(1), out=buf[:nbits])
+            ones = np.add.reduceat(buf[:nbits], starts_blk, axis=1)
+            votes[c0 : c0 + nbits, r0:r1] = (
+                2 * ones.astype(np.int64) - seg_len[None, r0:r1]
+            )
+        r0 = r1
+    minhash = mins.T.astype(np.int64)
     packed = np.zeros(n_rows, dtype=np.uint64)
     for i in range(simhash_bits):
         packed |= (votes[i] > 0).astype(np.uint64) << np.uint64(i)

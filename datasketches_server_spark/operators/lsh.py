@@ -72,7 +72,14 @@ def candidate_pairs(
     expressions for pair emission; no Python, no self-join.
     """
     sizes = buckets.groupBy("bucket").agg(F.count("*").alias("sz"))
-    hot = sizes.where(F.col("sz") > cfg.hot_bucket_threshold).select("bucket")
+    # singleton buckets (the overwhelming majority) can never emit a pair;
+    # dropping them before the member-collect shrinks the expensive
+    # object-buffer aggregation ~5x.  AQE turns the semi-join into a
+    # broadcast when the multi-member bucket list is small; at cluster
+    # scale it degrades gracefully to a shuffle join.
+    multi = sizes.where(F.col("sz") >= 2)
+    hot = multi.where(F.col("sz") > cfg.hot_bucket_threshold).select("bucket")
+    buckets = buckets.join(multi.select("bucket"), "bucket", "left_semi")
 
     cold_members = (
         buckets.join(F.broadcast(hot), "bucket", "left_anti")

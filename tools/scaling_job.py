@@ -23,6 +23,8 @@ def main() -> None:
     inp, out = sys.argv[1], sys.argv[2]
     spark = SparkSession.builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    # cache-resident signature batches (see session.py) -- runtime SQL conf
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
     cores = spark.sparkContext.defaultParallelism
 
     t0 = time.monotonic()
