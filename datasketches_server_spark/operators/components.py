@@ -59,11 +59,21 @@ def connected_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
     cluster_id is the lexicographic minimum conv_id of the component
     (deterministic tie-breaking).  Only nodes appearing in an edge are
     returned; callers attach singletons with a left join + coalesce.
+
+    Each round is ONE Spark job: a LAZY localCheckpoint truncates the
+    plan at the DataFrame level immediately (each star round references
+    its input ~5x, so without per-round truncation the plan tree grows
+    ~5^rounds and listener plan-serialization alone burns CPU-minutes),
+    while the materialization itself rides on the fingerprint action --
+    the loop is latency-bound on small edge sets, so job count is the
+    scaling-efficiency tax.
     """
-    e = edges.select("a", "b").where(F.col("a") != F.col("b")).distinct().localCheckpoint()
+    e = edges.select("a", "b").where(F.col("a") != F.col("b")).distinct().localCheckpoint(
+        eager=False
+    )
     prev = _fingerprint(e)
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint()
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         cur = _fingerprint(e)
         if cur == prev:
             break

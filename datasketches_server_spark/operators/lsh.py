@@ -141,6 +141,7 @@ def verify_pairs(
     conv_state: DataFrame,
     cfg: LshConfig = LshConfig(),
     tier: str = "exact",
+    prune_members: bool = False,
 ) -> DataFrame:
     """Attach similarity evidence to candidate pairs; keep those at/above
     the jaccard threshold.
@@ -149,6 +150,14 @@ def verify_pairs(
       * "exact"   -- exact jaccard on shingle arrays (no false positives;
                      default, and the config the oracle replays)
       * "minhash" -- signature-agreement estimate (cheap at extreme scale)
+
+    prune_members: semi-join the fat state down to pair members before
+    the verify joins.  Wins when candidates are a small fraction of the
+    corpus (real-world dedup: a few percent) by shrinking both fat
+    shuffles; loses on dup-dense corpora (the planted bench corpus is
+    50% duplicates, where members ~= corpus and the extra semi-join
+    shuffle is pure cost) -- hence opt-in.  CALLER must persist `pairs`
+    when enabling this: the pair list is referenced twice.
     """
     cols = ["conv_id"]
     if tier == "exact":
@@ -158,6 +167,14 @@ def verify_pairs(
     if "simhash" in conv_state.columns:
         cols.append("simhash")
     state = conv_state.select(*cols)
+
+    if prune_members:
+        member_ids = (
+            pairs.select(F.col("a").alias("conv_id"))
+            .union(pairs.select(F.col("b").alias("conv_id")))
+            .distinct()
+        )
+        state = state.join(member_ids, "conv_id", "left_semi")
 
     a_state = state.select([F.col(c).alias(f"{c}_a") for c in state.columns])
     b_state = state.select([F.col(c).alias(f"{c}_b") for c in state.columns])

@@ -59,6 +59,7 @@ def dedup_pipeline(
     cfg: PipelineConfig = DEFAULT_CONFIG,
     verify_tier: str = "exact",
     cache_state: bool = True,
+    prune_verify: bool = False,
 ) -> DedupResult:
     state = conv_signatures(transcripts, cfg)
     if cache_state:
@@ -66,7 +67,12 @@ def dedup_pipeline(
         state = state.persist()
     buckets = band_buckets(state, cfg.lsh)
     cands = candidate_pairs(buckets, cfg.lsh)
-    edges = verify_pairs(cands, state, cfg.lsh, tier=verify_tier)
+    if prune_verify:
+        # member pruning references the pair list twice -- materialize it
+        # once (count also fails fast on a pathological pair explosion)
+        cands = cands.persist()
+        cands.count()
+    edges = verify_pairs(cands, state, cfg.lsh, tier=verify_tier, prune_members=prune_verify)
     labels = connected_components(edges)
     clusters = attach_singletons(labels, state)
     return DedupResult(conv_state=state, edges=edges, clusters=clusters)

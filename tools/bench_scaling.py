@@ -6,8 +6,16 @@ and scaling efficiency = (thr_4N / thr_N) / 4.  Results -> BENCH_scaling.json
 and a measured-numbers section appended to BASELINE.md.
 
 The sandbox has no real cluster (driver instruction): two parallelism
-levels on one box stand in for N and 4N executors.  Cluster-size choice
-respects external host load; override with --n / --convs.
+levels on one box stand in for N and 4N executors.  The box is a shared
+VM with bursty hypervisor steal (observed 3x wall-clock swings on an
+idle guest), so the protocol is noise-aware:
+
+* runs are INTERLEAVED (N, 4N, N, 4N, ...) so a noisy window cannot
+  bias one level;
+* each parallelism takes the minimum wall across --repeats runs (the
+  least-stolen sample estimates true cost);
+* guest-visible idle/steal jiffies are sampled around every run and
+  recorded per run, so outliers are explainable in the artifact.
 """
 
 from __future__ import annotations
@@ -26,12 +34,18 @@ def sh(cmd: list[str], **kw):
     return subprocess.run(cmd, check=True, capture_output=True, text=True, **kw)
 
 
+def cpu_sample() -> dict[str, int]:
+    with open("/proc/stat") as f:
+        v = list(map(int, f.readline().split()[1:]))
+    return {"total": sum(v), "idle": v[3] + v[4], "steal": v[7] if len(v) > 7 else 0}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=4, help="small parallelism N (large is 4N)")
-    ap.add_argument("--convs", type=int, default=100_000)
+    ap.add_argument("--convs", type=int, default=1_000_000)
     ap.add_argument("--workdir", default="/tmp/scaling_bench")
-    ap.add_argument("--repeats", type=int, default=1)
+    ap.add_argument("--repeats", type=int, default=3)
     args = ap.parse_args()
 
     os.makedirs(args.workdir, exist_ok=True)
@@ -50,33 +64,46 @@ spark.stop()
 """
         sh([sys.executable, "-c", gen])
 
-    results = {}
-    for cores in (args.n, args.n * 4):
-        best = None
-        for _ in range(args.repeats):
-            out = os.path.join(args.workdir, f"clusters_{cores}")
-            r = sh(
-                [
-                    "spark-submit",
-                    "--master", f"local[{cores}]",
-                    "--conf", f"spark.sql.shuffle.partitions={2*cores}",
-                    "--conf", "spark.ui.enabled=false",
-                    "--conf", "spark.sql.adaptive.enabled=true",
-                    "--conf", "spark.driver.memory=48g",
-                    "--py-files", zip_path,
-                    os.path.join(REPO, "tools", "scaling_job.py"),
-                    corpus, out,
-                ],
-                cwd=args.workdir,
-            )
-            line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
-            rec = json.loads(line)
-            if best is None or rec["wall_sec"] < best["wall_sec"]:
-                best = rec
-        results[best["cores"]] = best
-        print(json.dumps(best))
+    def one_run(cores: int) -> dict:
+        out = os.path.join(args.workdir, f"clusters_{cores}")
+        before = cpu_sample()
+        t0 = time.monotonic()
+        r = sh(
+            [
+                "spark-submit",
+                "--master", f"local[{cores}]",
+                "--conf", f"spark.sql.shuffle.partitions={2*cores}",
+                "--conf", "spark.ui.enabled=false",
+                "--conf", "spark.sql.adaptive.enabled=true",
+                "--conf", "spark.driver.memory=48g",
+                "--py-files", zip_path,
+                os.path.join(REPO, "tools", "scaling_job.py"),
+                corpus, out,
+            ],
+            cwd=args.workdir,
+        )
+        wall_outer = time.monotonic() - t0
+        after = cpu_sample()
+        line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+        rec = json.loads(line)
+        dt = after["total"] - before["total"]
+        rec["busy_frac_32c"] = round(1 - (after["idle"] - before["idle"]) / max(dt, 1), 3)
+        rec["steal_frac"] = round((after["steal"] - before["steal"]) / max(dt, 1), 4)
+        rec["wall_outer"] = round(wall_outer, 1)
+        return rec
 
-    small, large = results[args.n], results[args.n * 4]
+    all_runs: list[dict] = []
+    best: dict[int, dict] = {}
+    for i in range(args.repeats):
+        for cores in (args.n, args.n * 4):
+            rec = one_run(cores)
+            rec["i"] = i
+            all_runs.append(rec)
+            print(json.dumps(rec), flush=True)
+            if cores not in best or rec["wall_sec"] < best[cores]["wall_sec"]:
+                best[cores] = rec
+
+    small, large = best[args.n], best[args.n * 4]
     assert small["fingerprint"] == large["fingerprint"], "results differ across parallelism!"
     eff = (large["turns_per_sec"] / small["turns_per_sec"]) / 4.0
     summary = {
@@ -88,11 +115,13 @@ spark.stop()
         "throughput_n": small["turns_per_sec"],
         "throughput_4n": large["turns_per_sec"],
         "n_turns": small["n_turns"],
+        "repeats": args.repeats,
+        "selection": "min wall per level, interleaved runs",
         "identical_output": True,
     }
     print(json.dumps(summary))
     with open(os.path.join(REPO, "BENCH_scaling.json"), "w") as f:
-        json.dump({"summary": summary, "runs": results}, f, indent=2)
+        json.dump({"summary": summary, "best": best, "runs": all_runs}, f, indent=2)
 
 
 if __name__ == "__main__":
