@@ -8,17 +8,18 @@ Scale design (the part that must survive 100 TB):
 
 * Band explosion is narrow -- only (conv_id, bucket) leaves the row, not
   signatures or shingles.
-* Candidate generation avoids a self-join entirely: one shuffle groups
-  members per bucket, then pairs are emitted with native array
-  expressions.  Small buckets (<= all_pairs_cap) emit all pairs; larger
-  buckets emit *star edges* to the bucket's minimum member -- O(m) edges
-  that preserve exactly what connected components needs (connectivity)
-  instead of the O(m^2) blowup a giant near-duplicate family would cause.
-  This is the explicit skew handling demanded by the north rule: a
-  pathological template family of 10^6 members costs 10^6 edges, not
-  10^12 pairs.
-* Buckets beyond bucket_cap are truncated deterministically (sorted
-  member order) and the drop is observable in the returned stats.
+* Candidate generation is Tungsten-pure: windowed rank per bucket
+  (binary sort, no per-group object buffers), then small buckets
+  (<= all_pairs_cap) emit all pairs via a sort-merge self-join that
+  reuses the window's partitioning; larger buckets emit *star edges*
+  to the bucket's minimum member -- O(m) edges that preserve exactly
+  what connected components needs (connectivity) instead of the O(m^2)
+  blowup a giant near-duplicate family would cause.  This is the
+  explicit skew handling demanded by the north rule: a pathological
+  template family of 10^6 members costs 10^6 edges, not 10^12 pairs.
+* Buckets beyond bucket_cap are truncated deterministically (salted
+  pre-cap bounds any single sort; global rank keeps the bucket_cap
+  minimum members) and the drop is observable in the returned stats.
 * Verification is a fan-in join of the pair list back to per-conv state:
   cheap tier joins 128-long MinHash signatures (estimate), exact tier
   joins shingle arrays (no false positives).  AQE skew-join splitting
@@ -28,7 +29,7 @@ Scale design (the part that must survive 100 TB):
 from __future__ import annotations
 
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..config import LshConfig
@@ -60,69 +61,76 @@ def candidate_pairs(
 ) -> DataFrame:
     """bucket memberships -> distinct candidate (a, b) pairs, a < b.
 
-    Adaptively salted aggregation (the north rule's salted band-key
-    repartitioning, applied only where skew exists): a cheap partial-agg
-    size count finds hot buckets (> cfg.hot_bucket_threshold members);
-    the cold majority takes the single-shuffle map-side-combined
-    collect_set path, while hot buckets are salted two-phase --
-    (bucket, salt(conv_id)) partials, each capped, then a bounded merge
-    of at most salt_buckets x bucket_cap per bucket.  Salting
-    unconditionally would defeat map-side combining for the ~all-cold
-    common case (measured 40s vs 0.2s on 9.6M band rows).  Pure native
-    expressions for pair emission; no Python, no self-join.
-    """
-    sizes = buckets.groupBy("bucket").agg(F.count("*").alias("sz"))
-    # singleton buckets (the overwhelming majority) can never emit a pair;
-    # dropping them before the member-collect shrinks the expensive
-    # object-buffer aggregation ~5x.  AQE turns the semi-join into a
-    # broadcast when the multi-member bucket list is small; at cluster
-    # scale it degrades gracefully to a shuffle join.
-    multi = sizes.where(F.col("sz") >= 2)
-    hot = multi.where(F.col("sz") > cfg.hot_bucket_threshold).select("bucket")
-    buckets = buckets.join(multi.select("bucket"), "bucket", "left_semi")
+    Tungsten-pure formulation (no collect_set / object aggregation
+    buffers: per-group object arrays thrashed the shared heap/LLC and
+    tripled per-CPU cost under 8-way concurrency -- event-log measured
+    53 -> 188 CPU-s on 7M band rows):
 
-    cold_members = (
-        buckets.join(F.broadcast(hot), "bucket", "left_anti")
-        .groupBy("bucket")
-        .agg(
-            F.slice(F.sort_array(F.collect_set("conv_id")), 1, cfg.bucket_cap).alias("ids"),
-            F.count("*").alias("n_members"),
-        )
+    1. salted pre-cap (the north rule's salted band-key repartitioning):
+       ``row_number`` per (bucket, salt(conv_id)) bounds ANY bucket --
+       a 10^7-member duplicate mega-family costs salt_buckets sorted
+       sub-groups, never one straggler sort -- keeping at most
+       salt_buckets x bucket_cap members;
+    2. global rank per bucket (window, binary sort) caps at bucket_cap
+       and yields deterministic sorted member order;
+    3. small buckets (post-cap size <= ALL_PAIRS_CAP) emit all pairs via
+       a sort-merge self-join on the bucket key -- the window's
+       partitioning and sort order are reused, so no extra shuffle;
+       larger buckets emit O(m) star edges to the bucket's minimum
+       member, which preserves exactly the connectivity clustering
+       needs instead of the O(m^2) blowup.
+
+    Every operator is a native window / join / filter over Tungsten
+    rows; no Python, no per-group buffers.
+    """
+    # singleton buckets (the overwhelming majority of band buckets) can
+    # never emit a pair; a codegen count-aggregate (no object buffers)
+    # finds the multi-member ones and a semi-join (AQE broadcasts the
+    # small list; degrades to shuffle join at cluster scale) drops ~80%
+    # of rows before the window sorts
+    multi = (
+        buckets.groupBy("bucket")
+        .agg(F.count("*").alias("_sz"))
+        .where(F.col("_sz") >= 2)
+        .select("bucket")
     )
+    buckets = buckets.join(multi, "bucket", "left_semi")
+
     salt = F.pmod(F.xxhash64("conv_id"), F.lit(cfg.salt_buckets))
-    hot_partial = (
-        buckets.join(F.broadcast(hot), "bucket", "left_semi")
-        .groupBy("bucket", salt.alias("_salt"))
-        .agg(
-            F.slice(F.sort_array(F.collect_set("conv_id")), 1, cfg.bucket_cap).alias("pids"),
-            F.count("*").alias("pn"),
-        )
+    w1 = Window.partitionBy("bucket", "_salt").orderBy("conv_id")
+    capped = (
+        buckets.withColumn("_salt", salt)
+        .withColumn("_rn1", F.row_number().over(w1))
+        .where(F.col("_rn1") <= cfg.bucket_cap)
+        .select("bucket", "conv_id")
     )
-    hot_members = hot_partial.groupBy("bucket").agg(
-        F.slice(F.array_sort(F.flatten(F.collect_list("pids"))), 1, cfg.bucket_cap).alias("ids"),
-        F.sum("pn").alias("n_members"),
+    w2 = Window.partitionBy("bucket").orderBy("conv_id")
+    ranked = (
+        capped.withColumn("rn", F.row_number().over(w2))
+        .withColumn("sz", F.count("*").over(Window.partitionBy("bucket")))
+        .where((F.col("rn") <= cfg.bucket_cap) & (F.col("sz") >= 2))
     )
-    members = cold_members.unionByName(hot_members).where(F.size("ids") >= 2)
-    n = F.size(F.col("ids"))
-    all_pairs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(0), n - 2),
-            lambda i: F.transform(
-                F.slice(F.col("ids"), i + 2, n),
-                lambda x: F.struct(
-                    F.element_at(F.col("ids"), (i + 1).cast("int")).alias("a"), x.alias("b")
-                ),
-            ),
-        )
+    # four downstream references (self-join sides, star members, roots);
+    # AQE does not reuse the window exchanges across them, so persist the
+    # small post-filter relation (multi-member band rows only) rather
+    # than recompute the two window sorts 4x (event-log measured ~200
+    # wasted CPU-s on 32M band rows)
+    ranked = ranked.persist()
+    small = ranked.where(F.col("sz") <= ALL_PAIRS_CAP)
+    left = small.select("bucket", F.col("conv_id").alias("a"), F.col("rn").alias("_ra"))
+    right = small.select("bucket", F.col("conv_id").alias("b"), F.col("rn").alias("_rb"))
+    pairs_small = (
+        left.join(right, "bucket").where(F.col("_ra") < F.col("_rb")).select("a", "b")
     )
-    star = F.transform(
-        F.slice(F.col("ids"), 2, n),
-        lambda x: F.struct(F.element_at(F.col("ids"), 1).alias("a"), x.alias("b")),
+    large = ranked.where(F.col("sz") > ALL_PAIRS_CAP)
+    roots = large.where(F.col("rn") == 1).select("bucket", F.col("conv_id").alias("a"))
+    pairs_large = (
+        large.where(F.col("rn") > 1)
+        .select("bucket", F.col("conv_id").alias("b"))
+        .join(roots, "bucket")
+        .select("a", "b")
     )
-    pairs = members.select(
-        F.explode(F.when(n <= ALL_PAIRS_CAP, all_pairs).otherwise(star)).alias("p")
-    )
-    return pairs.select(F.col("p.a").alias("a"), F.col("p.b").alias("b")).distinct()
+    return pairs_small.unionByName(pairs_large).distinct()
 
 
 def bucket_stats(buckets: DataFrame, cfg: LshConfig = LshConfig()) -> DataFrame:

@@ -63,8 +63,17 @@ def dedup_pipeline(
 ) -> DedupResult:
     state = conv_signatures(transcripts, cfg)
     if cache_state:
-        # reused by banding AND verification -- one materialization
+        # Reused by banding AND verification -- one materialization.
+        # Materialize EAGERLY: downstream fans out into several AQE
+        # stages that would otherwise race to compute the same cached
+        # partitions, and a pandas-UDF-computed partition with
+        # concurrent cache-lock waiters can deadlock the Python runner's
+        # socket flow control in local mode (observed: both directions'
+        # buffers full, worker blocked in write, JVM parked in select).
+        # Sequential materialization also costs nothing: the fan-out
+        # stages would all wait on the first computation anyway.
         state = state.persist()
+        state.count()
     buckets = band_buckets(state, cfg.lsh)
     cands = candidate_pairs(buckets, cfg.lsh)
     if prune_verify:

@@ -318,6 +318,7 @@ def q25_simhash_near_dups(spark, sf_dir):
     cfg = PipelineConfig(shingle=ShingleConfig(k=3))
     t = transcripts_from_documents(spark, sf_dir)
     state = conv_signatures(t, cfg).persist()
+    state.count()  # eager: see dedup_pipeline (python-runner deadlock guard)
     cands = candidate_pairs(band_buckets(state, cfg.lsh), cfg.lsh)
     s_a = state.select(F.col("conv_id").alias("a"), F.col("simhash").alias("sh_a"))
     s_b = state.select(F.col("conv_id").alias("b"), F.col("simhash").alias("sh_b"))

@@ -42,10 +42,12 @@ def cpu_sample() -> dict[str, int]:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n", type=int, default=4, help="small parallelism N (large is 4N)")
+    ap.add_argument("--n", type=int, default=2, help="small parallelism N (large is 4N)")
     ap.add_argument("--convs", type=int, default=1_000_000)
     ap.add_argument("--workdir", default="/tmp/scaling_bench")
-    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--repeats", type=int, default=4)
+    ap.add_argument("--quiet-load", type=float, default=1.5,
+                    help="wait for 1-min loadavg below this before each run")
     args = ap.parse_args()
 
     os.makedirs(args.workdir, exist_ok=True)
@@ -64,8 +66,25 @@ spark.stop()
 """
         sh([sys.executable, "-c", gen])
 
+    def wait_for_quiet(timeout_s: float = 600) -> float:
+        """Block until the box's 1-min loadavg drops below --quiet-load
+        (co-tenant noise on this shared VM swings identical runs 2-3x);
+        returns the load seen.  Gives up after timeout and runs anyway."""
+        t0 = time.monotonic()
+        while time.monotonic() - t0 < timeout_s:
+            with open("/proc/loadavg") as f:
+                load = float(f.read().split()[0])
+            if load < args.quiet_load:
+                return load
+            time.sleep(10)
+        return load
+
+    local_dir = "/dev/shm/spark-local"
+    os.makedirs(local_dir, exist_ok=True)
+
     def one_run(cores: int) -> dict:
         out = os.path.join(args.workdir, f"clusters_{cores}")
+        load = wait_for_quiet()
         before = cpu_sample()
         t0 = time.monotonic()
         r = sh(
@@ -76,6 +95,10 @@ spark.stop()
                 "--conf", "spark.ui.enabled=false",
                 "--conf", "spark.sql.adaptive.enabled=true",
                 "--conf", "spark.driver.memory=48g",
+                # tmpfs shuffle dir: the sandbox's virtio disk (~580 MB/s,
+                # async writeback) adds multi-second jitter per ~5 GB
+                # shuffle; a real cluster would have per-executor NVMe
+                "--conf", f"spark.local.dir={local_dir}",
                 "--py-files", zip_path,
                 os.path.join(REPO, "tools", "scaling_job.py"),
                 corpus, out,
@@ -90,6 +113,7 @@ spark.stop()
         rec["busy_frac_32c"] = round(1 - (after["idle"] - before["idle"]) / max(dt, 1), 3)
         rec["steal_frac"] = round((after["steal"] - before["steal"]) / max(dt, 1), 4)
         rec["wall_outer"] = round(wall_outer, 1)
+        rec["load_before"] = load
         return rec
 
     all_runs: list[dict] = []
