@@ -53,25 +53,63 @@ def _fingerprint(e: DataFrame) -> tuple[int, int]:
     return (row["n"], row["x"] if row["x"] is not None else 0)
 
 
-def connected_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
+def _driver_union_find(e: DataFrame) -> DataFrame:
+    """Small-graph fast path: collect the (deduped) edge list and run
+    union-find on the driver, returning the identical min-id labeling
+    the distributed loop produces.  The star loop costs ~5 driver
+    round-trips of shuffles regardless of size -- pure latency tax when
+    the edge set fits trivially in driver memory."""
+    rows = e.collect()
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        ra, rb = find(r["a"]), find(r["b"])
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    labels = [(x, find(x)) for x in parent]
+    return e.sparkSession.createDataFrame(labels, "conv_id string, cluster_id string")
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 30, driver_threshold: int = 2_000_000
+) -> DataFrame:
     """edges (a string, b string) -> labels (conv_id, cluster_id).
 
     cluster_id is the lexicographic minimum conv_id of the component
     (deterministic tie-breaking).  Only nodes appearing in an edge are
     returned; callers attach singletons with a left join + coalesce.
 
-    Each round is ONE Spark job: a LAZY localCheckpoint truncates the
-    plan at the DataFrame level immediately (each star round references
-    its input ~5x, so without per-round truncation the plan tree grows
-    ~5^rounds and listener plan-serialization alone burns CPU-minutes),
-    while the materialization itself rides on the fingerprint action --
-    the loop is latency-bound on small edge sets, so job count is the
-    scaling-efficiency tax.
+    Hybrid execution: below ``driver_threshold`` edges the component
+    structure is computed with driver-side union-find (one collect --
+    the distributed loop's ~5 rounds of shuffles are pure latency on
+    small graphs); above it, the alternating star loop runs fully
+    distributed.  Both paths produce the identical labeling, and the
+    threshold is an edge COUNT known after the first dedup pass, so the
+    choice is deterministic in the input.
+
+    Each distributed round is ONE Spark job: a LAZY localCheckpoint
+    truncates the plan at the DataFrame level immediately (each star
+    round references its input ~5x, so without per-round truncation the
+    plan tree grows ~5^rounds and listener plan-serialization alone
+    burns CPU-minutes), while the materialization itself rides on the
+    fingerprint action.
     """
     e = edges.select("a", "b").where(F.col("a") != F.col("b")).distinct().localCheckpoint(
         eager=False
     )
     prev = _fingerprint(e)
+    if prev[0] <= driver_threshold:
+        return _driver_union_find(e)
     for _ in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         cur = _fingerprint(e)

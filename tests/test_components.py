@@ -46,3 +46,19 @@ def test_attach_singletons_covers_all(spark):
     all_nodes = spark.createDataFrame([("a",), ("b",), ("z",)], ["conv_id"])
     out = {r["conv_id"]: r["cluster_id"] for r in attach_singletons(labels, all_nodes).collect()}
     assert out == {"a": "a", "b": "a", "z": "z"}
+
+
+def test_distributed_star_loop_matches_driver_union_find(spark):
+    """driver_threshold=0 forces the distributed large/small-star loop;
+    both execution paths must produce the identical min-id labeling."""
+    rng = random.Random(11)
+    nodes = [f"m{i:03d}" for i in range(150)]
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(160)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, ["a", "b"])
+    dist = {
+        r["conv_id"]: r["cluster_id"]
+        for r in connected_components(df, driver_threshold=0).collect()
+    }
+    drv = {r["conv_id"]: r["cluster_id"] for r in connected_components(df).collect()}
+    assert dist == drv == union_find_clusters(edges)
