@@ -45,7 +45,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
-    n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", str(max(2000, int(200_000 * sf)))))
+    n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", str(max(2000, int(1_000_000 * sf)))))
 
     spark = get_spark("bench", cores=cores)
     timings: dict[str, float] = {}

@@ -26,6 +26,13 @@ def get_spark(
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
+        # tmpfs shuffle dir when available: the sandbox's virtio disk
+        # (~580 MB/s, async writeback) adds multi-second jitter per
+        # multi-GB shuffle; real clusters have per-executor local disks
+        .config(
+            "spark.local.dir",
+            "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp",
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
