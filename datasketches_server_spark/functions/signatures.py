@@ -227,7 +227,11 @@ def simhash_hamming(a: Column, b: Column) -> Column:
 
 
 def exact_jaccard(shingles_a: Column, shingles_b: Column) -> Column:
-    """Exact jaccard of two distinct-element shingle arrays (native)."""
+    """Exact jaccard of two distinct-element shingle arrays (native).
+
+    |union| is derived by inclusion-exclusion rather than a second
+    hash-set pass (array_union costs the same as array_intersect and
+    the verify stage runs this per candidate pair)."""
     inter = F.size(F.array_intersect(shingles_a, shingles_b))
-    union = F.size(F.array_union(shingles_a, shingles_b))
+    union = F.size(shingles_a) + F.size(shingles_b) - inter
     return (inter / F.greatest(union, F.lit(1))).cast("double")

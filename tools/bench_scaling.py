@@ -48,6 +48,8 @@ def main() -> None:
     ap.add_argument("--repeats", type=int, default=4)
     ap.add_argument("--quiet-load", type=float, default=1.5,
                     help="wait for 1-min loadavg below this before each run")
+    ap.add_argument("--mode", choices=["local", "local-cluster"], default="local",
+                    help="local[N] threads, or local-cluster[N,1,6g] real executor JVMs")
     args = ap.parse_args()
 
     os.makedirs(args.workdir, exist_ok=True)
@@ -87,10 +89,18 @@ spark.stop()
         load = wait_for_quiet()
         before = cpu_sample()
         t0 = time.monotonic()
+        if args.mode == "local-cluster":
+            master = [
+                "--master", f"local-cluster[{cores},1,6144]",
+                "--conf", "spark.scheduler.minRegisteredResourcesRatio=1.0",
+                "--conf", "spark.scheduler.maxRegisteredResourcesWaitingTime=60s",
+            ]
+        else:
+            master = ["--master", f"local[{cores}]"]
         r = sh(
             [
                 "spark-submit",
-                "--master", f"local[{cores}]",
+                *master,
                 "--conf", f"spark.sql.shuffle.partitions={2*cores}",
                 "--conf", "spark.ui.enabled=false",
                 "--conf", "spark.sql.adaptive.enabled=true",
