@@ -68,6 +68,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "q30_cosine_topk": Q.q30_cosine_topk,
         "q31_ann_lsh_cosine": Q.q31_ann_lsh_cosine,
+        "q32_bow_cosine_near_dups": Q.q32_bow_cosine_near_dups,
+        "q33_embedding_lsh_near_dups": Q.q33_embedding_lsh_near_dups,
     }
 
 
@@ -238,5 +240,29 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(embedding::DOUBLE[], qe), 4) AS cosine
             FROM embeddings, q WHERE vec_id <> 0
             ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
+        "q32_bow_cosine_near_dups": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({_NORM_TOKS}) AS tok FROM documents
+            ), dims AS (
+                SELECT doc_id,
+                       (ascii(substr(tok, 1, 1)) * 97
+                        + ascii(substr(tok || '~', 2, 1)) * 31
+                        + length(tok) * 7) % 64 AS dim,
+                       count(*) AS w
+                FROM tok GROUP BY 1, 2
+            ), norms AS (
+                SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM dims GROUP BY 1
+            ), dots AS (
+                SELECT l.doc_id AS a, r.doc_id AS b, sum(l.w * r.w) AS dot
+                FROM dims l JOIN dims r ON l.dim = r.dim AND l.doc_id < r.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT a, b, round(dot / (na.nrm * nb.nrm), 4) AS cosine
+            FROM dots
+            JOIN norms na ON dots.a = na.doc_id
+            JOIN norms nb ON dots.b = nb.doc_id
+            WHERE dot / (na.nrm * nb.nrm) >= 0.9
+            ORDER BY a, b
         """,
     }

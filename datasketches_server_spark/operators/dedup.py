@@ -99,3 +99,55 @@ def ngram_jaccard_pairs(
         .select("a", "b", (inter / uni).cast("double").alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def hashed_bow_near_dup_pairs(
+    docs: DataFrame,
+    dim: int = 64,
+    threshold: float = 0.9,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs over documents (dedup
+    family member): each doc is embedded as a ``dim``-dimensional hashed
+    bag-of-words vector, and pairs with cosine >= threshold are emitted
+    (a < b).
+
+    The dimension hash is deliberately portable arithmetic
+    (ascii/length, no engine-specific hash), so the DuckDB oracle
+    replays it exactly; dot products and norms are integer sums, so the
+    cosine predicate is bit-identical across engines.  Sparse
+    formulation: one narrow (id, dim, weight) relation, an equi-join on
+    dim, and a sum -- Catalyst keeps the whole plan in codegen.  This is
+    the brute-force tier (all dims join); the scale path for dense
+    learned embeddings is :func:`..similarity.embedding_near_dup_pairs`
+    (hyperplane LSH buckets -> exact rerank).
+    """
+    tok = docs.select(
+        F.col(id_col).alias("_id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    d = F.pmod(
+        F.ascii(F.substring(F.col("tok"), 1, 1)) * 97
+        + F.ascii(F.substring(F.concat(F.col("tok"), F.lit("~")), 2, 1)) * 31
+        + F.length(F.col("tok")) * 7,
+        F.lit(dim),
+    )
+    dims = tok.groupBy("_id", d.alias("dim")).agg(F.count("*").alias("w"))
+    norms = dims.groupBy("_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    left = dims.select(F.col("_id").alias("a"), "dim", F.col("w").alias("wa"))
+    right = dims.select(F.col("_id").alias("b"), "dim", F.col("w").alias("wb"))
+    dots = (
+        left.join(right, "dim")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("_id").alias("a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("_id").alias("b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(na, "a")
+        .join(nb, "b")
+        .withColumn("_cos", F.col("dot") / (F.col("na") * F.col("nb")))
+        .where(F.col("_cos") >= threshold)
+        .select("a", "b", F.round("_cos", 4).alias("cosine"))
+    )

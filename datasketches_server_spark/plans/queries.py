@@ -398,6 +398,30 @@ def q27_transcript_turn_equality(spark, sf_dir):
     )
 
 
+def q32_bow_cosine_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs over documents: hashed
+    bag-of-words vectors, exact sparse cosine (oracle-able: the dim
+    hash is portable arithmetic and dot/norms are integer sums)."""
+    from ..operators.dedup import hashed_bow_near_dup_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return hashed_bow_near_dup_pairs(d, dim=64, threshold=0.9).orderBy("a", "b")
+
+
+def q33_embedding_lsh_near_dups(spark, sf_dir):
+    """Dense-embedding near-dup pairs via hyperplane-LSH buckets +
+    exact cosine rerank (rows-only: LSH candidate generation is
+    approximate; recall vs brute force asserted in pytest)."""
+    from ..operators.similarity import embedding_near_dup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        embedding_near_dup_pairs(e, threshold=0.4, n_tables=32, n_bits=4)
+        .select("a", "b", F.round("cosine", 4).alias("cosine"))
+        .orderBy("a", "b")
+    )
+
+
 # ------------------------------------------------------------- similarity
 
 def q30_cosine_topk(spark, sf_dir):

@@ -182,3 +182,50 @@ def test_streaming_windowed_sketches(spark, tmp_path):
     for et, t in truth.items():
         assert merged[et]["n_events"] == t["n"]
         assert merged[et]["distinct_items"] == pytest.approx(t["d"], rel=0.03)
+
+
+# ----------------------------------------------------- embedding near-dups
+
+def test_embedding_lsh_near_dups_recall_vs_exact(spark, sf_dir):
+    """Hyperplane-LSH near-dup pairs must recover >= 90% of the exact
+    brute-force cosine pairs at the same threshold (and no false
+    positives: every emitted pair is exact-cosine >= threshold by
+    construction of the rerank)."""
+    from datasketches_server_spark.operators.similarity import (
+        cosine,
+        embedding_near_dup_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    found = embedding_near_dup_pairs(e, threshold=0.5, n_tables=32, n_bits=4)
+    fset = {(r["a"], r["b"]) for r in found.collect()}
+    ea = e.select(F.col("vec_id").alias("a"), F.col("embedding").alias("emb_a"))
+    eb = e.select(F.col("vec_id").alias("b"), F.col("embedding").alias("emb_b"))
+    exact = (
+        ea.join(eb, F.col("a") < F.col("b"))
+        .select("a", "b", cosine(F.col("emb_a"), F.col("emb_b")).alias("c"))
+        .where(F.col("c") >= 0.5)
+    )
+    oset = {(r["a"], r["b"]) for r in exact.collect()}
+    assert fset <= oset, "false positives escaped the exact rerank"
+    if oset:
+        assert len(fset & oset) / len(oset) >= 0.9
+
+
+def test_hashed_bow_near_dups_finds_planted_dups(spark):
+    """Exact-duplicate texts must score cosine 1.0; unrelated texts must
+    not appear at a 0.9 threshold."""
+    from datasketches_server_spark.operators.dedup import hashed_bow_near_dup_pairs
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "the quick brown fox jumps over the lazy cat"),
+        (4, "completely different words about spark shuffle partitions"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {(r["a"], r["b"]): r["cosine"] for r in hashed_bow_near_dup_pairs(df).collect()}
+    assert out[(1, 2)] == 1.0
+    assert (1, 3) in out and out[(1, 3)] >= 0.9
+    assert not any(4 in p for p in out)
