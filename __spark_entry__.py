@@ -74,9 +74,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from datasketches_server_spark.functions.portable import u01_sql
     from datasketches_server_spark.sources.synth import transcripts_from_documents_sql
 
+    res_key = u01_sql("event_id", salt="res|")
+    vo_key = u01_sql("event_id", salt="vo|")
+
     return {
+        "q17_reservoir_sample": f"""
+            WITH keyed AS (
+                SELECT event_type, user_id, {res_key} AS key FROM events
+            ), ranked AS (
+                SELECT event_type, user_id,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY key, user_id) AS rn
+                FROM keyed
+            ), totals AS (
+                SELECT event_type, count(*) AS stream_n FROM events GROUP BY 1
+            )
+            SELECT r.event_type, r.user_id AS sampled_user, t.stream_n
+            FROM ranked r JOIN totals t USING (event_type)
+            WHERE rn <= 8 ORDER BY 1, 2
+        """,
+        "q18_varopt_sample": f"""
+            WITH keyed AS (
+                SELECT event_type, value, ({vo_key}) / value AS key FROM events
+            ), ranked AS (
+                SELECT event_type, value, key,
+                       row_number() OVER (ORDER BY key, event_type) AS rn
+                FROM keyed
+            ), totals AS (
+                SELECT round(sum(value), 2) AS stream_weight,
+                       count(*) AS stream_n
+                FROM events
+            ), tau AS (
+                SELECT 1.0 / key AS tau FROM ranked WHERE rn = 9
+            )
+            SELECT r.event_type, round(r.value, 2) AS weight,
+                   round(greatest(r.value, tau.tau), 4) AS adjusted_weight,
+                   round(tau.tau, 4) AS tau,
+                   t.stream_weight, t.stream_n
+            FROM ranked r, totals t, tau
+            WHERE r.rn <= 8 ORDER BY 1, 2
+        """,
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

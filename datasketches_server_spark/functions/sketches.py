@@ -20,11 +20,24 @@ Family tiers (SURVEY.md section 7.4 risk #2):
 * frequency -- exact weighted counts (groupBy + sum + top-k): strictly
   stronger than the reference's ItemsSketch at any scale Spark can hold
   the distinct item set; `count_min_sketch` offered as the sketched tier.
-* reservoir -- bottom-k-by-hash (KMV-style): deterministic, mergeable
-  uniform sample; merge = re-take k smallest keys of the union, exactly
-  matching ReservoirItemsUnion semantics for distinct-row streams.
-* varopt -- Efraimidis-Spirakis A-ES weighted sampling without
-  replacement (key = u^(1/w) via -ln(u)/w), deterministic via hashed u.
+* reservoir -- bottom-k-by-hash over ROW identities (occurrence
+  semantics: duplicate items sample with multiplicity, matching
+  ReservoirItemsSketch's stream sampling, UpdateHandler.java:166-168);
+  deterministic and mergeable (bottom-k of a union == bottom-k of
+  concatenated bottom-k's).  Pass ``row_key_col`` (any unique row id)
+  for occurrence semantics; without one the key derives from the item
+  alone (distinct-item semantics, documented degradation).
+* varopt -- Duffield-Lund-Thorup PRIORITY SAMPLING: priority q_i =
+  w_i / u_i, keep the k largest, threshold tau = (k+1)-th priority,
+  subset-sum estimator weight = max(w_i, tau).  Priority sampling is
+  the published near-optimal subset-sum sample (the role VarOpt plays
+  in the reference, DataQueryHandler.java:349-361) built entirely from
+  exactly-rounded IEEE ops (division, comparison, max) -- so the DuckDB
+  oracle replays it bit-identically; no logarithms (libm ln is not
+  correctly rounded and differs across engines).
+
+All sampling randomness comes from functions/portable.py's u01 (md5
+based) -- deterministic across runs, executors, resume, and engines.
 """
 
 from __future__ import annotations
@@ -36,6 +49,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..config import SketchConfig
+from .portable import u01
 
 DISTINCT_FAMILIES = ("theta", "hll", "cpc")  # SketchStorage.java:56-58
 
@@ -51,11 +65,18 @@ def sketch_update(
     family: str,
     cfg: SketchConfig = SketchConfig(),
     weight_col: str | None = None,
+    row_key_col: str | None = None,
 ) -> DataFrame:
     """Stream items into per-group sketch state (the /update endpoint).
 
     Returns one row per group with a ``sketch`` column (BINARY for
     theta/hll/cpc/kll) or exact/sample state for the non-native families.
+
+    row_key_col: a unique row identity column for the sampling families
+    (reservoir/varopt).  With it, sampling has the reference's
+    occurrence semantics (duplicate items sample with multiplicity,
+    UpdateHandler.java:166-185); without it the key derives from the
+    item value alone (distinct-item semantics).
     """
     g = df.groupBy(*group_cols) if group_cols else df.groupBy()
     if family == "theta":
@@ -71,32 +92,37 @@ def sketch_update(
         keys = [*group_cols, item_col]
         return df.groupBy(*keys).agg(F.sum(w).cast("double").alias("weight"))
     if family == "reservoir":
-        return _bottom_k_sample(df, group_cols, item_col, cfg.sample_k)
+        return _bottom_k_sample(df, group_cols, item_col, cfg.sample_k, row_key_col)
     if family == "varopt":
         if weight_col is None:
             df = df.withColumn("_w", F.lit(1.0))
             weight_col = "_w"
-        return _a_es_sample(df, group_cols, item_col, weight_col, cfg.sample_k)
+        return _priority_sample(df, group_cols, item_col, weight_col, cfg.sample_k, row_key_col)
     raise ValueError(f"unknown family {family!r}")
 
 
-def _sample_key(item: Column, salt: int = 0xD5) -> Column:
-    """Deterministic uniform (0,1] from the item via xxhash64."""
-    h = F.pmod(F.xxhash64(item, F.lit(salt)), F.lit(2**40))
-    return (h + 1) / F.lit(float(2**40))
+def _sample_u(item_col: str, row_key_col: str | None, salt: str) -> Column:
+    """Deterministic uniform (0,1] driving the sampling families --
+    portable md5 arithmetic (functions/portable.py) so the DuckDB oracle
+    replays the exact sample."""
+    return u01(F.col(row_key_col if row_key_col else item_col), salt=salt)
 
 
 def _bottom_k_sample(
-    df: DataFrame, group_cols: Sequence[str], item_col: str, k: int
+    df: DataFrame,
+    group_cols: Sequence[str],
+    item_col: str,
+    k: int,
+    row_key_col: str | None = None,
 ) -> DataFrame:
-    """KMV-style uniform sample: k smallest hash keys per group.
+    """Bottom-k-by-key uniform sample per group.
 
     Mergeable by construction: bottom-k of a union == bottom-k of the
     concatenated bottom-k's (ReservoirItemsUnion analog,
     MergeHandler.java:330-346); the ``sample`` column keeps the keys so
     sketch_merge can re-take the k smallest after a union.
     """
-    keyed = df.withColumn("_key", _sample_key(F.col(item_col)))
+    keyed = df.withColumn("_key", _sample_u(item_col, row_key_col, "res|"))
     w = Window.partitionBy(*[F.col(c) for c in group_cols] or [F.lit(1)]).orderBy(
         "_key", item_col
     )
@@ -112,32 +138,78 @@ def _bottom_k_sample(
     return out.join(totals, list(group_cols)) if group_cols else out.crossJoin(totals)
 
 
-def _a_es_sample(
-    df: DataFrame, group_cols: Sequence[str], item_col: str, weight_col: str, k: int
+def _priority_sample(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    item_col: str,
+    weight_col: str,
+    k: int,
+    row_key_col: str | None = None,
 ) -> DataFrame:
-    """Efraimidis-Spirakis weighted sample w/o replacement (varopt analog,
-    UpdateHandler.java:170-185): keep k items with largest u^(1/w), i.e.
-    smallest -ln(u)/w."""
+    """Duffield-Lund-Thorup priority sample (varopt analog): priority
+    q_i = w_i/u_i, keep the k largest == keep the k smallest keys
+    u_i/w_i.  The state retains k+1 entries so the threshold
+    tau = (k+1)-th priority survives merging: bottom-(k+1) of a union
+    of bottom-(k+1)'s is the global bottom-(k+1)."""
     keyed = df.withColumn(
-        "_key", -F.log(_sample_key(F.col(item_col))) / F.col(weight_col)
+        "_key", _sample_u(item_col, row_key_col, "vo|") / F.col(weight_col).cast("double")
     )
     w = Window.partitionBy(*[F.col(c) for c in group_cols] or [F.lit(1)]).orderBy(
         "_key", item_col
     )
-    g = keyed.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
+    g = keyed.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k + 1)
     base = g.groupBy(*group_cols) if group_cols else g.groupBy()
     tot = df.groupBy(*group_cols) if group_cols else df.groupBy()
-    totals = tot.agg(F.sum(weight_col).cast("double").alias("stream_weight"))
+    totals = tot.agg(
+        F.sum(F.col(weight_col).cast("double")).alias("stream_weight"),
+        F.count("*").cast("long").alias("stream_n"),
+    )
     out = base.agg(
         F.sort_array(
-            F.collect_list(F.struct("_key", F.col(item_col).alias("item"), F.col(weight_col).alias("weight")))
+            F.collect_list(
+                F.struct(
+                    "_key",
+                    F.col(item_col).alias("item"),
+                    F.col(weight_col).cast("double").alias("weight"),
+                )
+            )
         ).alias("sample")
     ).select(
         *group_cols,
         "sample",
-        F.transform("sample", lambda s: F.struct(s["item"].alias("item"), s["weight"].alias("weight"))).alias("items"),
+        F.transform(
+            F.slice("sample", 1, k),
+            lambda s: F.struct(s["item"].alias("item"), s["weight"].alias("weight")),
+        ).alias("items"),
     )
     return out.join(totals, list(group_cols)) if group_cols else out.crossJoin(totals)
+
+
+def query_sampling(state: DataFrame, family: str, k: int) -> DataFrame:
+    """Sampling query (op #13, DataQueryHandler.java:324-375): exploded
+    sample rows.  For varopt, attaches the priority-sampling subset-sum
+    estimator weight max(w_i, tau) with tau = the (k+1)-th priority
+    (exact mode: stream shorter than k+1 -> tau = 0 -> weight = w_i).
+    """
+    cols = [c for c in state.columns if c not in ("sample", "items")]
+    if family == "reservoir":
+        return state.select(
+            *cols, F.explode(F.transform("sample", lambda s: s["item"])).alias("item")
+        )
+    if family == "varopt":
+        kth = F.element_at("sample", k + 1)
+        tau = F.when(F.size("sample") > k, 1.0 / kth["_key"]).otherwise(F.lit(0.0))
+        sampled = state.withColumn("tau", tau).withColumn(
+            "_s", F.explode(F.slice("sample", 1, k))
+        )
+        return sampled.select(
+            *cols,
+            F.col("_s.item").alias("item"),
+            F.col("_s.weight").alias("weight"),
+            F.greatest(F.col("_s.weight"), F.col("tau")).alias("adjusted_weight"),
+            "tau",
+        )
+    raise ValueError(f"{family!r} is not a sampling family")
 
 
 # ---------------------------------------------------------------------------
@@ -170,21 +242,24 @@ def sketch_merge(
         # union of bottom-k samples -> re-take the k smallest keys
         # (ReservoirItemsUnion / VarOptItemsUnion analog,
         # MergeHandler.java:330-364); valid because the hash keys are a
-        # global total order over the stream
+        # global total order over the stream.  varopt retains k+1 so the
+        # DLT threshold tau survives merging (see _priority_sample).
         k = cfg.sample_k
-        total_col = "stream_n" if "stream_n" in state.columns else "stream_weight"
+        keep = k if family == "reservoir" else k + 1
+        total_cols = [c for c in ("stream_n", "stream_weight") if c in state.columns]
         merged = state.groupBy(*group_cols) if group_cols else state.groupBy()
         merged = merged.agg(
-            F.slice(F.sort_array(F.flatten(F.collect_list("sample"))), 1, k).alias("sample"),
-            F.sum(total_col).alias(total_col),
+            F.slice(F.sort_array(F.flatten(F.collect_list("sample"))), 1, keep).alias("sample"),
+            *[F.sum(c).alias(c) for c in total_cols],
         )
         if family == "reservoir":
             items = F.transform("sample", lambda s: s["item"])
         else:
             items = F.transform(
-                "sample", lambda s: F.struct(s["item"].alias("item"), s["weight"].alias("weight"))
+                F.slice("sample", 1, k),
+                lambda s: F.struct(s["item"].alias("item"), s["weight"].alias("weight")),
             )
-        return merged.select(*group_cols, "sample", items.alias("items"), total_col)
+        return merged.select(*group_cols, "sample", items.alias("items"), *total_cols)
     raise ValueError(f"merge not supported for family {family!r}")
 
 
@@ -223,7 +298,12 @@ def query_distinct(
     elif family in ("hll", "cpc"):
         est = F.hll_sketch_estimate("sketch").cast("double")
         rse = 1.04 / math.sqrt(2**cfg.hll_lg_k)
-        exact = F.lit(False)
+        # HLL is exact while the sketch is still in coupon (LIST/SET)
+        # mode; the reference then reports estimation_mode=false and
+        # collapsed bounds (DataQueryHandler.java:144-162).  Spark
+        # exposes no mode flag, so gate conservatively on the analytic
+        # promotion point (~k/4 coupons for HLL_4 at lg_k).
+        exact = est < F.lit(float(2**cfg.hll_lg_k) / 4.0)
     else:
         raise ValueError(f"{family!r} is not a distinct-counting family")
     cols = [c for c in state.columns if c != "sketch"]

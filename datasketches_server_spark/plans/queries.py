@@ -23,6 +23,7 @@ from ..functions.sketches import (
     query_distinct,
     query_frequency,
     query_quantiles,
+    query_sampling,
     sketch_update,
 )
 from ..sources.synth import transcripts_from_documents
@@ -216,21 +217,42 @@ def q16_kll_value_quantiles(spark, sf_dir):
 
 
 def q17_reservoir_sample(spark, sf_dir):
-    """op #7+#13: deterministic mergeable uniform sample (rows-only)."""
+    """op #7+#13: uniform sample with occurrence semantics (row key =
+    event_id).  Oracle-able: the sample key is portable md5 arithmetic
+    (functions/portable.py) that DuckDB replays bit-identically, so the
+    oracle reproduces the exact sampled rows."""
     e = _t(spark, sf_dir, "events")
-    state = sketch_update(e, ["event_type"], "user_id", "reservoir", SketchConfig(sample_k=8))
-    return state.select(
-        "event_type", F.size("items").alias("k"), "stream_n"
-    ).orderBy("event_type")
+    state = sketch_update(
+        e, ["event_type"], "user_id", "reservoir", SketchConfig(sample_k=8),
+        row_key_col="event_id",
+    )
+    return (
+        query_sampling(state, "reservoir", 8)
+        .select("event_type", F.col("item").alias("sampled_user"), "stream_n")
+        .orderBy("event_type", "sampled_user")
+    )
 
 
 def q18_varopt_sample(spark, sf_dir):
-    """op #8+#13: weighted sample; stream_weight == sum(weights)."""
+    """op #8+#13: weighted sample via Duffield-Lund-Thorup priority
+    sampling (the varopt analog): priorities w/u, threshold tau,
+    subset-sum weights max(w, tau).  Exactly-rounded IEEE ops only
+    (division/comparison/max -- no ln), so the DuckDB oracle replays
+    the sample AND the estimator weights bit-identically."""
     e = _t(spark, sf_dir, "events")
-    state = sketch_update(e, [], "event_type", "varopt", SketchConfig(sample_k=8), weight_col="value")
-    return state.select(
-        F.size("items").alias("k"), F.round("stream_weight", 2).alias("stream_weight")
+    state = sketch_update(
+        e, [], "event_type", "varopt", SketchConfig(sample_k=8),
+        weight_col="value", row_key_col="event_id",
     )
+    out = query_sampling(state, "varopt", 8)
+    return out.select(
+        F.col("item").alias("event_type"),
+        F.round("weight", 2).alias("weight"),
+        F.round("adjusted_weight", 4).alias("adjusted_weight"),
+        F.round("tau", 4).alias("tau"),
+        F.round("stream_weight", 2).alias("stream_weight"),
+        "stream_n",
+    ).orderBy("event_type", "weight")
 
 
 # ------------------------------------------------------- text / dedup family

@@ -20,7 +20,7 @@ from __future__ import annotations
 import json
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .config import SketchConfig
@@ -88,6 +88,9 @@ class SketchTableServer:
         self.decls = {d.name: d for d in decls}
         # binary sketch state: name -> one-row DF (sketch BINARY)
         self._state: dict[str, DataFrame] = {}
+        # per-name update counter: gives sampling-family rows a stable
+        # cross-batch identity so occurrence sampling is deterministic
+        self._batch_seq: dict[str, int] = {}
 
     def _cfg(self, d: SketchDecl) -> SketchConfig:
         if d.family == "kll":
@@ -105,16 +108,34 @@ class SketchTableServer:
         cfg = self._cfg(d)
         if d.value_type and d.family in DISTINCT:
             values = values.withColumn(value_col, F.col(value_col).cast(VALUE_TYPES[d.value_type]))
-        batch = SK.sketch_update(values, [], value_col, d.family, cfg, weight_col=weight_col)
+        row_key = None
+        if d.family in ("reservoir", "varopt"):
+            # occurrence semantics across update calls (UpdateHandler.java:
+            # 166-185 streams items with multiplicity): synthesize a stable
+            # row identity = (item, occurrence-index-in-batch, batch-seq)
+            seq = self._batch_seq.get(name, 0)
+            self._batch_seq[name] = seq + 1
+            occ = F.row_number().over(
+                Window.partitionBy(value_col).orderBy(F.col(value_col))
+            )
+            values = values.withColumn(
+                "_row_key",
+                F.concat_ws("#", F.col(value_col).cast("string"), occ.cast("string"), F.lit(seq)),
+            )
+            row_key = "_row_key"
+        batch = SK.sketch_update(
+            values, [], value_col, d.family, cfg, weight_col=weight_col, row_key_col=row_key
+        )
         prev = self._state.get(name)
         if prev is None:
             self._state[name] = batch
-        elif d.family in BINARY_FAMILIES:
-            self._state[name] = SK.sketch_merge(prev.unionByName(batch), d.family, (), cfg)
-        elif d.family == "frequency":
-            self._state[name] = SK.sketch_merge(prev.unionByName(batch), "frequency", [])
-        else:  # samples: recompute-from-union tier
-            self._state[name] = batch
+        else:
+            # every family merges across update calls (the reference
+            # accumulates: UpdateHandler.java:72-94); sample states carry
+            # their keys so bottom-k re-merge is exact
+            self._state[name] = SK.sketch_merge(
+                prev.unionByName(batch), d.family if d.family != "cpc" else "hll", (), cfg
+            )
         self._state[name] = self._state[name].localCheckpoint()
 
     # -- /query -------------------------------------------------------------

@@ -63,6 +63,25 @@ def test_incremental_updates_accumulate(spark):
     assert est == 1000  # theta exact below nominal entries
 
 
+def test_incremental_sample_updates_accumulate(spark):
+    """ADVICE fix: reservoir/varopt updates must merge across calls
+    (the reference accumulates, UpdateHandler.java:72-94) -- a second
+    update may not discard the first batch's stream."""
+    cfg = parse_config([{"name": "samp", "family": "reservoir", "k": 8}])
+    srv = SketchTableServer(spark, cfg)
+    srv.update("samp", spark.range(0, 50).select(F.col("id").cast("string").alias("value")))
+    n1 = srv.query("samp").collect()[0]["stream_n"]
+    srv.update("samp", spark.range(50, 120).select(F.col("id").cast("string").alias("value")))
+    row = srv.query("samp").collect()[0]
+    assert n1 == 50 and row["stream_n"] == 120
+    assert len(row["items"]) == 8
+    # determinism across an identical replay
+    srv2 = SketchTableServer(spark, cfg)
+    srv2.update("samp", spark.range(0, 50).select(F.col("id").cast("string").alias("value")))
+    srv2.update("samp", spark.range(50, 120).select(F.col("id").cast("string").alias("value")))
+    assert list(srv2.query("samp").collect()[0]["items"]) == list(row["items"])
+
+
 def test_merge_and_family_compat(spark):
     srv = SketchTableServer(spark, parse_config(REFERENCE_STYLE_CONFIG))
     srv.update("theta0", spark.range(0, 600).select(F.col("id").alias("value")))

@@ -130,6 +130,75 @@ def test_sample_merge_equals_whole(spark, events):
     assert vmerged["stream_weight"] == pytest.approx(vwhole["stream_weight"])
 
 
+def test_occurrence_sampling_multiplicity(spark):
+    """Reference semantics (UpdateHandler.java:166-185): reservoir/varopt
+    sample stream OCCURRENCES, not distinct items -- a duplicate-heavy
+    stream must be able to sample the same item more than once when a
+    row identity is provided."""
+    rows = [(i, "hot" if i < 900 else f"cold{i}") for i in range(1000)]
+    df = spark.createDataFrame(rows, "row_id long, item string")
+    cfg = SketchConfig(sample_k=16)
+    res = sketch_update(df, [], "item", "reservoir", cfg, row_key_col="row_id").collect()[0]
+    # 90% of occurrences are 'hot': expected ~14.4 of 16 sampled slots
+    n_hot = sum(1 for it in res["items"] if it == "hot")
+    assert n_hot >= 8, f"occurrence sampling broken: {n_hot}/16 hot"
+    assert res["stream_n"] == 1000
+    vo = sketch_update(
+        df.withColumn("w", F.lit(1.0)), [], "item", "varopt", cfg,
+        weight_col="w", row_key_col="row_id",
+    ).collect()[0]
+    n_hot_vo = sum(1 for it in vo["items"] if it["item"] == "hot")
+    assert n_hot_vo >= 8
+
+
+def test_varopt_priority_subset_sum(spark):
+    """Duffield-Lund-Thorup estimator: sum of adjusted weights
+    max(w_i, tau) over the sample estimates the total stream weight
+    (near-optimal subset-sum sampling -- the role VarOpt plays in
+    DataQueryHandler.java:349-361)."""
+    from datasketches_server_spark.functions.sketches import query_sampling
+
+    rows = [(i, f"it{i}", 1.0 + (i * 37 % 100) / 10.0) for i in range(5000)]
+    df = spark.createDataFrame(rows, "row_id long, item string, w double")
+    k = 64
+    state = sketch_update(
+        df, [], "item", "varopt", SketchConfig(sample_k=k),
+        weight_col="w", row_key_col="row_id",
+    )
+    out = query_sampling(state, "varopt", k).collect()
+    assert len(out) == k
+    total = df.agg(F.sum("w")).collect()[0][0]
+    est = sum(r["adjusted_weight"] for r in out)
+    assert est == pytest.approx(total, rel=0.35)  # k=64: RSE ~ 1/sqrt(k-1)
+    assert all(r["adjusted_weight"] >= r["weight"] - 1e-12 for r in out)
+    assert all(r["tau"] > 0 for r in out)  # estimation mode (n >> k)
+    # exact mode: stream shorter than k+1 -> tau=0, weights unadjusted
+    small = sketch_update(
+        df.limit(10), [], "item", "varopt", SketchConfig(sample_k=k),
+        weight_col="w", row_key_col="row_id",
+    )
+    sm = query_sampling(small, "varopt", k).collect()
+    assert len(sm) == 10
+    assert all(r["tau"] == 0.0 and r["adjusted_weight"] == r["weight"] for r in sm)
+
+
+def test_hll_exact_mode_small_stream(spark):
+    """Reference parity (DataQueryHandler.java:144-162): in the exact
+    (coupon) regime HLL reports estimation_mode=false and collapsed
+    bounds."""
+    df = spark.range(100).select(F.col("id").cast("string").alias("v"))
+    state = sketch_update(df, [], "v", "hll")
+    row = query_distinct(state, "hll").collect()[0]
+    assert row["estimation_mode"] is False
+    assert row["lb_1"] == row["estimate"] == row["ub_3"]
+    big = sketch_update(
+        spark.range(200_000).select(F.col("id").cast("string").alias("v")), [], "v", "hll"
+    )
+    brow = query_distinct(big, "hll").collect()[0]
+    assert brow["estimation_mode"] is True
+    assert brow["lb_1"] < brow["estimate"] < brow["ub_1"]
+
+
 def test_serialize_roundtrip(spark, events):
     state = sketch_update(events, ["event_type"], "user_id", "theta")
     img = serialize_sketch(state, "theta")
