@@ -74,11 +74,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from datasketches_server_spark.functions.portable import u01_sql
+    from datasketches_server_spark.functions.portable import (
+        md5_long60_sql,
+        u01_sql,
+        word_grams_sql,
+    )
     from datasketches_server_spark.sources.synth import transcripts_from_documents_sql
 
     res_key = u01_sql("event_id", salt="res|")
     vo_key = u01_sql("event_id", salt="vo|")
+    grams3 = word_grams_sql(_NORM_TOKS, 3)
+    simhash_bits = " + ".join(
+        f"(CASE WHEN sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) > 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i in range(48)
+    )
 
     return {
         "q17_reservoir_sample": f"""
@@ -231,6 +241,117 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_intersect(a.grams, b.grams))
                   / len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE >= 0.8
             ORDER BY a, b
+        """,
+        # q24: the full LSH+CC pipeline vs an exact-SQL reference: DuckDB
+        # computes ALL >=0.7-jaccard pairs (inverted gram index, same
+        # [a-z0-9]+/k=3 shingle semantics as the signature UDF) and their
+        # transitive closure via a recursive CTE.  The pipeline's exact-
+        # jaccard verify has no false positives, so hash-equality here
+        # PROVES dup-pair recall = 1.0 on this corpus (the north rule's
+        # cluster-match criterion, checked by the driver every round).
+        "q24_dedup_clusters_documents": f"""
+            WITH RECURSIVE g AS (
+                SELECT CAST(doc_id AS VARCHAR) AS id,
+                       {grams3} AS grams FROM documents
+            ), x AS (
+                SELECT id, unnest(grams) AS gram FROM g
+            ), inter AS (
+                SELECT l.id AS a, r.id AS b, count(*) AS i
+                FROM x l JOIN x r ON l.gram = r.gram AND l.id < r.id
+                GROUP BY 1, 2
+            ), sz AS (
+                SELECT id, len(grams) AS n FROM g
+            ), edges AS (
+                SELECT a, b FROM inter
+                JOIN sz sa ON inter.a = sa.id
+                JOIN sz sb ON inter.b = sb.id
+                WHERE i / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.7
+            ), sym AS (
+                SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges
+            ), cc(id, lbl) AS (
+                SELECT DISTINCT a, a FROM sym
+                UNION
+                SELECT s.b, cc.lbl FROM cc JOIN sym s ON cc.id = s.a
+            ), labels AS (
+                SELECT id, min(lbl) AS cluster_id FROM cc GROUP BY id
+            )
+            SELECT cluster_id, count(*) AS cluster_size FROM labels
+            GROUP BY 1 ORDER BY cluster_size DESC, cluster_id
+        """,
+        "q29_multimodal_features": """
+            SELECT CASE doc_id % 3 WHEN 0 THEN 'image'
+                                   WHEN 1 THEN 'audio'
+                                   ELSE 'video' END AS kind,
+                   count(*) AS n,
+                   round(avg(CAST(concat('0x', substr(md5(text), 1, 2)) AS BIGINT)
+                             / 255.0), 4) AS mean_f0,
+                   round(avg(octet_length(encode(text))), 2) AS avg_bytes
+            FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        "q26_dup_spans": f"""
+            WITH g AS (
+                SELECT CAST(doc_id AS VARCHAR) AS id, {_NORM_TOKS} AS toks,
+                       {grams3} AS grams FROM documents
+            ), x AS (
+                SELECT id, unnest(grams) AS gram FROM g
+            ), inter AS (
+                SELECT l.id AS a, r.id AS b, count(*) AS i
+                FROM x l JOIN x r ON l.gram = r.gram AND l.id < r.id
+                GROUP BY 1, 2
+            ), sz AS (
+                SELECT id, len(grams) AS n FROM g
+            ), edges AS (
+                SELECT a, b, i / CAST(sa.n + sb.n - i AS DOUBLE) AS j
+                FROM inter
+                JOIN sz sa ON inter.a = sa.id
+                JOIN sz sb ON inter.b = sb.id
+                WHERE i / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.7
+            ), pd AS (
+                SELECT DISTINCT a AS id FROM edges
+                UNION SELECT DISTINCT b FROM edges
+            ), tokd AS (
+                SELECT g.id, g.toks FROM g JOIN pd USING (id)
+            ), starts AS (
+                SELECT id, toks, unnest(range(0, len(toks))) AS s FROM tokd
+            ), runs AS (
+                SELECT id, s, unnest(range(1, len(toks) - s + 1)) AS l, toks
+                FROM starts
+            ), runs2 AS (
+                SELECT DISTINCT id, l, array_to_string(toks[s+1:s+l], ' ') AS run
+                FROM runs
+            ), spans AS (
+                SELECT e.a, e.b, max(ra.l) AS span_len
+                FROM edges e
+                JOIN runs2 ra ON ra.id = e.a
+                JOIN runs2 rb ON rb.id = e.b AND rb.l = ra.l AND rb.run = ra.run
+                GROUP BY 1, 2
+            ), ntok AS (
+                SELECT id, len(toks) AS n FROM tokd
+            )
+            SELECT e.a, e.b, round(e.j, 4) AS jaccard,
+                   coalesce(s.span_len, 0) AS span_len,
+                   round(coalesce(s.span_len, 0)
+                         / CAST(greatest(least(na.n, nb.n), 1) AS DOUBLE), 4) AS span_frac
+            FROM edges e
+            LEFT JOIN spans s ON e.a = s.a AND e.b = s.b
+            JOIN ntok na ON e.a = na.id
+            JOIN ntok nb ON e.b = nb.id
+            ORDER BY 1, 2
+        """,
+        "q25_simhash_near_dups": f"""
+            WITH g AS (
+                SELECT doc_id, {grams3} AS grams FROM documents
+            ), gh AS (
+                SELECT doc_id, {md5_long60_sql("gram")} AS h
+                FROM (SELECT doc_id, unnest(grams) AS gram FROM g)
+            ), fp AS (
+                SELECT doc_id, {simhash_bits} AS f FROM gh GROUP BY doc_id
+            )
+            SELECT l.doc_id AS a, r.doc_id AS b,
+                   bit_count(xor(l.f, r.f)) AS hamming
+            FROM fp l JOIN fp r ON l.doc_id < r.doc_id
+            WHERE bit_count(xor(l.f, r.f)) <= 6
+            ORDER BY 1, 2
         """,
         "q23_lang_quality": f"""
             WITH scored AS (

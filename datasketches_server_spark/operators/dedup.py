@@ -20,6 +20,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from functools import reduce
+
+from ..functions.portable import md5_long60, word_grams
 from ..functions.signatures import simhash_hamming
 from ..functions.text import fingerprint64, tokens
 
@@ -37,16 +40,54 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
-def simhash_dedup_pairs(
-    state: DataFrame, max_hamming: int = 3, n_bands: int = 4, id_col: str = "conv_id"
+def portable_simhash_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    bits: int = 48,
 ) -> DataFrame:
-    """SimHash near-dup pairs: split the 64-bit fingerprint into
+    """SimHash fingerprints from ENGINE-PORTABLE arithmetic: word
+    n-grams hashed via md5 (functions/portable.py), per-bit +/-1 votes,
+    sign -> bit.  The DuckDB oracle replays the identical fingerprint,
+    which is what makes q25 hash-checkable; the numpy signature UDF
+    (functions/signatures.py) remains the pipeline hot path.
+
+    48 bits (not 64): the md5-derived hash is 60 bits, and staying under
+    it keeps every shift/mask in plain BIGINT range on both engines."""
+    g = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_grams(tokens(F.col(text_col)), n)).alias("gram"),
+    )
+    gh = g.select("id", md5_long60(F.col("gram")).alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    agg = gh.groupBy("id").agg(*votes)
+    fp = reduce(
+        lambda a, b: a + b,
+        [F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)) for i in range(bits)],
+    )
+    return agg.select("id", fp.cast("long").alias("fingerprint"))
+
+
+def simhash_dedup_pairs(
+    state: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    id_col: str = "conv_id",
+    bits: int = 64,
+) -> DataFrame:
+    """SimHash near-dup pairs: split the ``bits``-wide fingerprint into
     ``n_bands`` bands; pairs colliding on any band are verified with
     bit_count(xor).  With n_bands > max_hamming every pair within the
     hamming radius collides on >= 1 band (pigeonhole) -- exact recall,
     LSH cost profile.  state: (id_col, simhash)."""
     assert n_bands > max_hamming, "need n_bands > max_hamming for full recall"
-    width = 64 // n_bands
+    width = bits // n_bands
     mask = (1 << width) - 1
     bands = state.select(
         F.col(id_col).alias("id"),

@@ -56,13 +56,41 @@ def synth_media(spark: SparkSession, n: int = 256, seed: int = 42) -> DataFrame:
     return df
 
 
+def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media table derived deterministically from the documents table
+    (payload = utf-8 bytes of the text): gives the multimodal plumbing a
+    driver-replayable input, so q29's aggregate features can be
+    hash-checked by the DuckDB oracle (md5/octet_length over the same
+    bytes)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            F.pmod(F.col("doc_id"), F.lit(3)).cast("int") + 1,
+        ).alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        (F.pmod(F.col("doc_id") * 37, F.lit(1920)) + 64).cast("int").alias("width"),
+        (F.pmod(F.col("doc_id") * 23, F.lit(1080)) + 64).cast("int").alias("height"),
+        (F.pmod(F.col("doc_id") * 17, F.lit(600000)) + 1000).cast("int").alias("duration_ms"),
+    )
+
+
 def _fake_decode_features(payload: bytes, dim: int) -> np.ndarray:
     """STUB decoder: a real build replaces this with PIL/torchvision/
-    ffmpeg.  Deterministic: features derive from sha256(payload) so tests
-    and resume see identical outputs."""
-    h = hashlib.sha256(payload or b"").digest()
-    rng = np.random.default_rng(int.from_bytes(h[:8], "big"))
-    return rng.standard_normal(dim).astype(np.float32)
+    ffmpeg.  Deterministic AND engine-portable: features are md5 bytes
+    of the payload scaled to [0, 1] (feature[j] = md5[j]/255), extended
+    by counter-salted md5 blocks for dim > 16 -- so tests, resume, and
+    the DuckDB oracle all reproduce them."""
+    data = payload or b""
+    feats: list[float] = []
+    counter = 0
+    while len(feats) < dim:
+        block = data if counter == 0 else data + b"#%d" % counter
+        feats.extend(b / 255.0 for b in hashlib.md5(block).digest())
+        counter += 1
+    return np.asarray(feats[:dim], dtype=np.float32)
 
 
 DECODERS: dict[str, Callable[[bytes, int], np.ndarray]] = {

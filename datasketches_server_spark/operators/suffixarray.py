@@ -68,12 +68,12 @@ def lcp_kasai(codes: np.ndarray, sa: np.ndarray) -> np.ndarray:
     return lcp
 
 
-def longest_common_substring(a: str, b: str) -> tuple[int, int, int]:
-    """(length, start_in_a, start_in_b) of the longest common substring."""
-    ca = np.fromiter((ord(c) for c in a), dtype=np.int64, count=len(a))
-    cb = np.fromiter((ord(c) for c in b), dtype=np.int64, count=len(b))
-    codes = np.concatenate([ca, np.array([SEP], dtype=np.int64), cb])
-    n_a = len(a)
+def longest_common_subarray(ca: np.ndarray, cb: np.ndarray, sep: int = SEP) -> tuple[int, int, int]:
+    """(length, start_in_a, start_in_b) of the longest common contiguous
+    run between two int sequences (SA + Kasai over the concatenation;
+    ``sep`` must not occur in either input)."""
+    codes = np.concatenate([ca, np.array([sep], dtype=np.int64), cb])
+    n_a = len(ca)
     sa = suffix_array(codes)
     lcp = lcp_kasai(codes, sa)
     side = sa < n_a  # suffix starts in A (separator suffix counts as B-side)
@@ -90,10 +90,47 @@ def longest_common_substring(a: str, b: str) -> tuple[int, int, int]:
     return length, start_a, start_b
 
 
-def attach_dup_spans(edges: DataFrame, convs: DataFrame) -> DataFrame:
+def longest_common_substring(a: str, b: str) -> tuple[int, int, int]:
+    """(length, start_in_a, start_in_b) of the longest common substring
+    (character unit)."""
+    ca = np.fromiter((ord(c) for c in a), dtype=np.int64, count=len(a))
+    cb = np.fromiter((ord(c) for c in b), dtype=np.int64, count=len(b))
+    return longest_common_subarray(ca, cb)
+
+
+_TOKEN_RE = None
+
+
+def _norm_tokens(s: str) -> list[str]:
+    """Same normalization as the shingle path ([a-z0-9]+ on lowercased
+    text) so token spans line up with shingle jaccard."""
+    global _TOKEN_RE
+    if _TOKEN_RE is None:
+        import re
+
+        _TOKEN_RE = re.compile(r"[a-z0-9]+")
+    return _TOKEN_RE.findall(s.lower())
+
+
+def longest_common_token_span(a: str, b: str) -> tuple[int, int, int, int, int]:
+    """(span_len, start_a, start_b, n_tokens_a, n_tokens_b) where
+    span_len is the longest common contiguous TOKEN run -- the unit a
+    dedup pipeline reasons in, and SQL-replayable (max shared n-gram)."""
+    ta, tb = _norm_tokens(a), _norm_tokens(b)
+    vocab: dict[str, int] = {}
+    ca = np.fromiter((vocab.setdefault(t, len(vocab)) for t in ta), dtype=np.int64, count=len(ta))
+    cb = np.fromiter((vocab.setdefault(t, len(vocab)) for t in tb), dtype=np.int64, count=len(tb))
+    L, s1, s2 = longest_common_subarray(ca, cb, sep=-1)
+    return L, s1, s2, len(ta), len(tb)
+
+
+def attach_dup_spans(edges: DataFrame, convs: DataFrame, unit: str = "char") -> DataFrame:
     """edges (a, b, ...) + convs (conv_id, full_text) ->
     edges + (span_len, span_a_start, span_b_start, span_frac).
 
+    unit: "char" (longest common substring) or "token" (longest common
+    normalized-token run; span_frac then uses token counts -- the
+    SQL-replayable variant the q26 oracle checks).
     span_frac = span_len / min(len_a, len_b): 1.0 means one text is a
     substring of the other.
     """
@@ -120,9 +157,13 @@ def attach_dup_spans(edges: DataFrame, convs: DataFrame) -> DataFrame:
             sb_ = np.zeros(len(pdf), dtype=np.int64)
             frac = np.zeros(len(pdf), dtype=np.float64)
             for i, (x, y) in enumerate(zip(pdf["text_a"], pdf["text_b"])):
-                L, s1, s2 = longest_common_substring(x, y)
+                if unit == "token":
+                    L, s1, s2, na, nb = longest_common_token_span(x, y)
+                else:
+                    L, s1, s2 = longest_common_substring(x, y)
+                    na, nb = len(x), len(y)
                 lens[i], sa_[i], sb_[i] = L, s1, s2
-                frac[i] = L / max(min(len(x), len(y)), 1)
+                frac[i] = L / max(min(na, nb), 1)
             out = pdf[keep].copy()
             out["span_len"] = lens
             out["span_a_start"] = sa_

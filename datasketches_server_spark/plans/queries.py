@@ -331,30 +331,29 @@ def q24_dedup_clusters_documents(spark, sf_dir):
 
 
 def q25_simhash_near_dups(spark, sf_dir):
-    """SimHash fingerprints: near-dup doc pairs at hamming <= 6 over the
-    candidate set (rows-only; exercises the SimHash lane)."""
-    from .pipeline import conv_signatures
-    from ..operators.lsh import band_buckets, candidate_pairs
-    from ..functions.signatures import simhash_hamming
+    """SimHash near-dup doc pairs at hamming <= 6: portable 48-bit
+    fingerprints (md5 gram hashes, bit votes) + banded candidate join
+    (8 bands of 6 bits: pigeonhole-complete at radius 6, so the banded
+    result EQUALS brute force).  Oracle: DuckDB recomputes fingerprints
+    and brute-forces all pairs -- hash equality proves both the
+    fingerprint arithmetic and the banding's completeness."""
+    from ..operators.dedup import portable_simhash_fingerprints, simhash_dedup_pairs
 
-    cfg = PipelineConfig(shingle=ShingleConfig(k=3))
-    t = transcripts_from_documents(spark, sf_dir)
-    state = conv_signatures(t, cfg).persist()
-    state.count()  # eager: see dedup_pipeline (python-runner deadlock guard)
-    cands = candidate_pairs(band_buckets(state, cfg.lsh), cfg.lsh)
-    s_a = state.select(F.col("conv_id").alias("a"), F.col("simhash").alias("sh_a"))
-    s_b = state.select(F.col("conv_id").alias("b"), F.col("simhash").alias("sh_b"))
+    d = _t(spark, sf_dir, "documents")
+    fps = portable_simhash_fingerprints(d, n=3, bits=48)
+    state = fps.select(F.col("id").alias("conv_id"), F.col("fingerprint").alias("simhash"))
     return (
-        cands.join(s_a, "a").join(s_b, "b")
-        .select("a", "b", simhash_hamming(F.col("sh_a"), F.col("sh_b")).alias("hamming"))
-        .where(F.col("hamming") <= 6)
+        simhash_dedup_pairs(state, max_hamming=6, n_bands=8, bits=48)
         .orderBy("a", "b")
     )
 
 
 def q26_dup_spans(spark, sf_dir):
-    """Suffix-array longest-duplicate-substring spans on verified pairs
-    (rows-only: SA+LCP in a mapInPandas kernel)."""
+    """Suffix-array longest-duplicate-span (token unit) on verified
+    pairs (SA+LCP in a mapInPandas kernel).  Oracle-able: the longest
+    common token run equals the max shared token n-gram, which DuckDB
+    computes by brute force over the (small) verified pair set; the
+    pair list itself is the LSH pipeline's, proven exact by q24."""
     from ..operators.suffixarray import attach_dup_spans
     from ..functions.text import assemble_conversations
     from .pipeline import dedup_pipeline
@@ -364,7 +363,7 @@ def q26_dup_spans(spark, sf_dir):
     res = dedup_pipeline(t, cfg)
     convs = assemble_conversations(t)
     return (
-        attach_dup_spans(res.edges, convs)
+        attach_dup_spans(res.edges.select("a", "b", "jaccard"), convs, unit="token")
         .select("a", "b", F.round("jaccard", 4).alias("jaccard"), "span_len",
                 F.round("span_frac", 4).alias("span_frac"))
         .orderBy("a", "b")
@@ -385,17 +384,21 @@ def q28_exact_dedup_assignments(spark, sf_dir):
 
 
 def q29_multimodal_features(spark, sf_dir):
-    """Multimodal plumbing: deterministic stub decode -> feature stats
-    (rows-only; exercises binary columns + mapInPandas batch shapes)."""
-    from ..operators.multimodal import extract_features, synth_media
+    """Multimodal plumbing over a documents-derived media table: binary
+    payload column -> mapInPandas stub decode -> feature stats.  The
+    stub decoder is md5-portable, so the DuckDB oracle replays the
+    aggregate features from the same bytes (the Spark side genuinely
+    reads the BINARY payload in the kernel)."""
+    from ..operators.multimodal import extract_features, media_from_documents
 
-    media = synth_media(spark, n=256)
+    media = media_from_documents(spark, sf_dir)
     feats = extract_features(media, dim=16)
     return (
         feats.groupBy("kind")
         .agg(
             F.count("*").alias("n"),
             F.round(F.avg(F.element_at("feature", 1)), 4).alias("mean_f0"),
+            F.round(F.avg("n_bytes"), 2).alias("avg_bytes"),
         )
         .orderBy("kind")
     )
