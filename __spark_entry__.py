@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_kll_value_quantiles": Q.q16_kll_value_quantiles,
         "q17_reservoir_sample": Q.q17_reservoir_sample,
         "q18_varopt_sample": Q.q18_varopt_sample,
+        "q19_cms_heavy_hitters": Q.q19_cms_heavy_hitters,
         # text analysis / dedup family
         "q20_token_stats": Q.q20_token_stats,
         "q21_exact_dedup_fingerprint": Q.q21_exact_dedup_fingerprint,
@@ -74,6 +75,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from datasketches_server_spark.functions.cms import cms_hash_sql as _cms_hash_sql
     from datasketches_server_spark.functions.portable import (
         md5_long60_sql,
         u01_sql,
@@ -89,6 +91,35 @@ def oracle_sql() -> dict[str, str]:
         f" THEN {1 << i} ELSE 0 END)"
         for i in range(48)
     )
+
+    # ANN oracle scaffolding (q31/q33): replay the sign-projection LSH
+    # exactly -- planes as literals, power-of-2 quantization, integer
+    # code bits, capped buckets, hamming<=1 multi-probe, cosine rerank.
+    from datasketches_server_spark.operators.similarity import (
+        cap_order_sql,
+        sign_planes_sql_values,
+    )
+
+    ANN_T, ANN_B, ANN_CAP = 24, 6, 128
+    plane_rows = sign_planes_sql_values(64, ANN_T, ANN_B, 42)
+    probe_list = "[code, " + ", ".join(f"xor(code, {1 << b})" for b in range(ANN_B)) + "]"
+    ann_codes = f"""
+        planes AS (SELECT * FROM (VALUES {plane_rows}) p(pid, vec)),
+        qv AS (
+            SELECT vec_id,
+                   [CAST(floor(CAST(x AS DOUBLE) * 512) AS DOUBLE) FOR x IN embedding] AS q
+            FROM embeddings
+        ),
+        bits AS (
+            SELECT vec_id, pid // {ANN_B} AS tbl, pid % {ANN_B} AS bit,
+                   CASE WHEN list_dot_product(q, vec) > 0 THEN 1 ELSE 0 END AS b
+            FROM qv, planes
+        ),
+        codes AS (
+            SELECT vec_id, tbl, CAST(sum(b * (1 << bit)) AS BIGINT) AS code
+            FROM bits GROUP BY 1, 2
+        )
+    """
 
     return {
         "q17_reservoir_sample": f"""
@@ -202,6 +233,28 @@ def oracle_sql() -> dict[str, str]:
                 FROM events GROUP BY event_type
             ) WHERE rank <= 5 ORDER BY rank
         """,
+        "q19_cms_heavy_hitters": """
+            WITH u AS (
+                {cell_union}
+            ), cells AS (
+                SELECT r, cell, count(*) AS cnt FROM u GROUP BY 1, 2
+            ), exact AS (
+                SELECT user_id, count(*) AS exact_n FROM events
+                GROUP BY 1 ORDER BY exact_n DESC, user_id LIMIT 10
+            ), probes AS (
+                SELECT DISTINCT u.user_id, u.r, u.cell
+                FROM u JOIN exact USING (user_id)
+            ), est AS (
+                SELECT p.user_id, min(c.cnt) AS cms_estimate
+                FROM probes p JOIN cells c USING (r, cell) GROUP BY 1
+            )
+            SELECT e.user_id, e.exact_n, est.cms_estimate
+            FROM exact e JOIN est USING (user_id)
+            ORDER BY e.exact_n DESC, e.user_id
+        """.format(cell_union=" UNION ALL ".join(
+            f"SELECT user_id, {j} AS r, {_cms_hash_sql('user_id', j, 256)} AS cell FROM events"
+            for j in range(4)
+        )),
         "q14_exact_percentiles": """
             SELECT event_type,
                    round(quantile_cont(value, 0.5), 4) AS p50,
@@ -401,6 +454,62 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(embedding::DOUBLE[], qe), 4) AS cosine
             FROM embeddings, q WHERE vec_id <> 0
             ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
+        "q31_ann_lsh_cosine": f"""
+            WITH {ann_codes},
+            capped AS (
+                SELECT vec_id, tbl, code FROM (
+                    SELECT vec_id, tbl, code,
+                           row_number() OVER (
+                               PARTITION BY tbl, code
+                               ORDER BY {cap_order_sql("vec_id")}, vec_id) AS rn
+                    FROM codes WHERE vec_id <> 0
+                ) WHERE rn <= {ANN_CAP}
+            ), probes AS (
+                SELECT tbl, unnest({probe_list}) AS code
+                FROM codes WHERE vec_id = 0
+            ), cands AS (
+                SELECT DISTINCT c.vec_id
+                FROM capped c JOIN probes p ON c.tbl = p.tbl AND c.code = p.code
+            ), scored AS (
+                SELECT e.vec_id,
+                       list_cosine_similarity(e.embedding::DOUBLE[], q.qe) AS cos
+                FROM embeddings e
+                JOIN cands USING (vec_id),
+                     (SELECT embedding::DOUBLE[] AS qe FROM embeddings
+                      WHERE vec_id = 0) q
+            )
+            SELECT 0 AS query_id, vec_id, round(cos, 4) AS cosine
+            FROM scored ORDER BY cos DESC, vec_id LIMIT 10
+        """,
+        "q33_embedding_lsh_near_dups": f"""
+            WITH {ann_codes},
+            capped AS (
+                SELECT vec_id, tbl, code FROM (
+                    SELECT vec_id, tbl, code,
+                           row_number() OVER (
+                               PARTITION BY tbl, code
+                               ORDER BY {cap_order_sql("vec_id")}, vec_id) AS rn
+                    FROM codes
+                ) WHERE rn <= {ANN_CAP}
+            ), probes AS (
+                SELECT vec_id, tbl, unnest({probe_list}) AS code FROM codes
+            ), cands AS (
+                SELECT DISTINCT least(p.vec_id, c.vec_id) AS a,
+                                greatest(p.vec_id, c.vec_id) AS b
+                FROM probes p
+                JOIN capped c ON p.tbl = c.tbl AND p.code = c.code
+                                 AND p.vec_id <> c.vec_id
+            )
+            SELECT cands.a, cands.b,
+                   round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                                eb.embedding::DOUBLE[]), 4) AS cosine
+            FROM cands
+            JOIN embeddings ea ON cands.a = ea.vec_id
+            JOIN embeddings eb ON cands.b = eb.vec_id
+            WHERE list_cosine_similarity(ea.embedding::DOUBLE[],
+                                         eb.embedding::DOUBLE[]) >= 0.4
+            ORDER BY 1, 2
         """,
         "q32_bow_cosine_near_dups": f"""
             WITH tok AS (

@@ -5,16 +5,29 @@ Two tiers (task brief "Similarity search"):
 * :func:`cosine_topk` -- brute-force exact top-k, fully native
   (zip_with/aggregate dot products; broadcast the query side).  The
   baseline and the verifier for the ANN tier.
-* :func:`ann_topk` -- random-hyperplane LSH (SimHash for vectors):
-  L tables x m bits; candidates = bucket collisions in any table,
-  reranked by exact cosine.  The scale path: candidate generation is an
-  equi-join on (table, code), so a 10^10-vector corpus shuffles narrow
-  (id, code) rows instead of embeddings, and only candidates touch the
-  wide vectors again.
+* :func:`ann_topk` / :func:`embedding_near_dup_pairs` -- sign-random-
+  projection LSH (hyperplanes with +/-1 entries over POWER-OF-2-QUANTIZED
+  embeddings): L tables x m bits, MULTI-PROBE on the query side (also
+  probe codes within hamming `probe_radius`), PER-BUCKET MEMBER CAPS on
+  the data side.  Candidates are equi-join collisions reranked by exact
+  cosine.
 
-Hyperplanes are seeded -- deterministic across runs and executors.  The
-code computation is one vectorized pandas UDF (numpy matmul per Arrow
-batch); everything else is native.
+Scale design: candidate generation shuffles narrow (id, table, code)
+longs, never embeddings; a pathological dense cluster (10^6 copies of
+one vector) lands in one bucket per table and is CAPPED at bucket_cap
+members ordered by a deterministic hash -- candidate volume is bounded
+by n_tables x probes x bucket_cap per query instead of going quadratic
+(the same skew discipline as the text LSH's salted caps, operators/
+lsh.py).  Multi-probe buys the recall that deeper codes would otherwise
+cost, WITHOUT shrinking bucket count -- the standard production-ANN
+trade (probe the neighboring codes instead of multiplying tables).
+
+Determinism/portability: planes have +/-1 entries from a seeded rng;
+embeddings are quantized by floor(x * 512) (a power-of-2 scale, so the
+multiply is EXACT in IEEE doubles); code bits are signs of integer dot
+products.  Every step is exact integer arithmetic, so runs, resume, and
+the DuckDB oracle (q31/q33) reproduce identical buckets; the float
+cosine only appears in the final rerank.
 """
 
 from __future__ import annotations
@@ -25,6 +38,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql import Window
+
+from ..functions.portable import u01, u01_sql
+
+QUANT = 512  # power of 2: floor(x*QUANT) is exact in doubles on every engine
 
 
 def cosine(a: Column, b: Column) -> Column:
@@ -46,22 +63,37 @@ def cosine_topk(data: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame:
     return scored.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k).drop("_rn")
 
 
-def _hyperplane_udf(dim_hint: int, n_tables: int, n_bits: int, seed: int):
-    rng = np.random.default_rng(seed)
-    planes: dict[int, np.ndarray] = {}
+def sign_planes(dim: int, n_tables: int, n_bits: int, seed: int = 42) -> np.ndarray:
+    """(n_tables*n_bits, dim) matrix of +/-1 hyperplane signs, seeded --
+    shared by the Spark UDF and the SQL-oracle literal builder."""
+    rng = np.random.default_rng(seed + dim)
+    return (rng.integers(0, 2, size=(n_tables * n_bits, dim)) * 2 - 1).astype(np.int64)
 
-    def get_planes(dim: int) -> np.ndarray:
-        if dim not in planes:
-            r = np.random.default_rng(seed + dim)
-            planes[dim] = r.standard_normal((n_tables * n_bits, dim))
-        return planes[dim]
+
+def sign_planes_sql_values(dim: int, n_tables: int, n_bits: int, seed: int = 42) -> str:
+    """VALUES rows '(pid, [s0, s1, ...])' replaying sign_planes in SQL."""
+    planes = sign_planes(dim, n_tables, n_bits, seed)
+    rows = [
+        f"({pid}, [{', '.join(f'{int(s)}.0' for s in row)}])"
+        for pid, row in enumerate(planes)
+    ]
+    return ", ".join(rows)
+
+
+def _codes_udf(n_tables: int, n_bits: int, seed: int):
+    """pandas UDF: embedding -> array<long> of per-table bucket codes.
+    Exact integer arithmetic end to end (see module docstring)."""
+    planes: dict[int, np.ndarray] = {}
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def codes(emb: pd.Series) -> pd.Series:
         mat = np.stack([np.asarray(e, dtype=np.float64) for e in emb])
-        h = get_planes(mat.shape[1])
-        bits = (mat @ h.T) > 0  # (n, tables*bits)
-        weights = (1 << np.arange(n_bits, dtype=np.int64))
+        dim = mat.shape[1]
+        if dim not in planes:
+            planes[dim] = sign_planes(dim, n_tables, n_bits, seed)
+        qv = np.floor(mat * QUANT).astype(np.int64)
+        bits = (qv @ planes[dim].T) > 0  # (n, tables*bits), exact int dots
+        weights = 1 << np.arange(n_bits, dtype=np.int64)
         out = np.einsum(
             "ntb,b->nt", bits.reshape(len(mat), n_tables, n_bits).astype(np.int64), weights
         )
@@ -70,28 +102,69 @@ def _hyperplane_udf(dim_hint: int, n_tables: int, n_bits: int, seed: int):
     return codes
 
 
+def _bucketize(
+    df: DataFrame, id_alias: str, n_tables: int, n_bits: int, seed: int
+) -> DataFrame:
+    codes = _codes_udf(n_tables, n_bits, seed)
+    return df.select(
+        F.col("vec_id").alias(id_alias), codes("embedding").alias("_codes")
+    ).select(id_alias, F.posexplode("_codes").alias("table_idx", "code"))
+
+
+def _cap_buckets(buckets: DataFrame, id_col: str, bucket_cap: int) -> DataFrame:
+    """Deterministic per-bucket member cap: rank by a portable hash of
+    the id (unbiased, engine-replayable) and keep bucket_cap members.
+    The skew guard: a mega-cluster bucket costs bucket_cap rows, never
+    its full membership."""
+    w = Window.partitionBy("table_idx", "code").orderBy("_capkey", id_col)
+    return (
+        buckets.withColumn("_capkey", u01(F.col(id_col), salt="cap|"))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= bucket_cap)
+        .select(id_col, "table_idx", "code")
+    )
+
+
+def cap_order_sql(id_expr: str) -> str:
+    """SQL twin of the _cap_buckets ranking key."""
+    return u01_sql(id_expr, salt="cap|")
+
+
+def _probe(buckets: DataFrame, n_bits: int, probe_radius: int) -> DataFrame:
+    """Multi-probe expansion: each (table, code) row also probes the
+    codes within hamming <= probe_radius (bit flips) -- recall without
+    shallower codes.  Narrow rows only; radius 1 multiplies by n_bits+1."""
+    if probe_radius <= 0:
+        return buckets
+    flips = [F.col("code")]
+    flips += [F.col("code").bitwiseXOR(F.lit(1 << b)) for b in range(n_bits)]
+    if probe_radius >= 2:
+        flips += [
+            F.col("code").bitwiseXOR(F.lit((1 << b1) | (1 << b2)))
+            for b1 in range(n_bits)
+            for b2 in range(b1 + 1, n_bits)
+        ]
+    return buckets.select(
+        *[c for c in buckets.columns if c != "code"],
+        F.explode(F.array(*flips)).alias("code"),
+    )
+
+
 def ann_topk(
     data: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    n_tables: int = 12,
-    n_bits: int = 10,
+    n_tables: int = 24,
+    n_bits: int = 6,
     seed: int = 42,
+    bucket_cap: int = 128,
+    probe_radius: int = 1,
 ) -> DataFrame:
     """LSH-bucketed approximate top-k, reranked exactly within candidates."""
-    codes = _hyperplane_udf(0, n_tables, n_bits, seed)
-
-    def bucketize(df: DataFrame, id_alias: str) -> DataFrame:
-        coded = df.select(
-            F.col("vec_id").alias(id_alias), F.col("embedding"), codes("embedding").alias("_codes")
-        )
-        return coded.select(
-            id_alias,
-            F.posexplode("_codes").alias("table_idx", "code"),
-        )
-
-    d_b = bucketize(data, "vec_id")
-    q_b = bucketize(queries, "query_id")
+    d_b = _cap_buckets(
+        _bucketize(data, "vec_id", n_tables, n_bits, seed), "vec_id", bucket_cap
+    )
+    q_b = _probe(_bucketize(queries, "query_id", n_tables, n_bits, seed), n_bits, probe_radius)
     cands = (
         d_b.join(q_b, ["table_idx", "code"])
         .select("query_id", "vec_id")
@@ -110,18 +183,28 @@ def ann_topk(
 
 
 def embedding_near_dup_pairs(
-    data: DataFrame, threshold: float = 0.95, n_tables: int = 12, n_bits: int = 10, seed: int = 42
+    data: DataFrame,
+    threshold: float = 0.95,
+    n_tables: int = 24,
+    n_bits: int = 6,
+    seed: int = 42,
+    bucket_cap: int = 128,
+    probe_radius: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (dedup family member):
-    LSH bucket collisions -> exact cosine filter, a < b."""
-    codes = _hyperplane_udf(0, n_tables, n_bits, seed)
-    coded = data.select("vec_id", "embedding", codes("embedding").alias("_codes"))
-    buckets = coded.select("vec_id", F.posexplode("_codes").alias("table_idx", "code"))
-    left = buckets.select(F.col("vec_id").alias("a"), "table_idx", "code")
-    right = buckets.select(F.col("vec_id").alias("b"), "table_idx", "code")
+    multi-probe LSH bucket collisions against capped buckets -> exact
+    cosine filter, a < b."""
+    buckets = _bucketize(data, "vec_id", n_tables, n_bits, seed)
+    capped = _cap_buckets(buckets, "vec_id", bucket_cap)
+    probes = _probe(buckets, n_bits, probe_radius)
     cands = (
-        left.join(right, ["table_idx", "code"]).where(F.col("a") < F.col("b"))
-        .select("a", "b").distinct()
+        probes.withColumnRenamed("vec_id", "pid")
+        .join(capped, ["table_idx", "code"])
+        .where(F.col("pid") != F.col("vec_id"))
+        .select(
+            F.least("pid", "vec_id").alias("a"), F.greatest("pid", "vec_id").alias("b")
+        )
+        .distinct()
     )
     ea = data.select(F.col("vec_id").alias("a"), F.col("embedding").alias("emb_a"))
     eb = data.select(F.col("vec_id").alias("b"), F.col("embedding").alias("emb_b"))

@@ -255,6 +255,30 @@ def q18_varopt_sample(spark, sf_dir):
     ).orderBy("event_type", "weight")
 
 
+def q19_cms_heavy_hitters(spark, sf_dir):
+    """Sketched frequency tier (op #6/#12, approximate lane): Count-Min
+    cells over user_id, probed for the exact top-10 users.  CMS
+    estimates are deterministic upper bounds; the hashes are portable,
+    so the DuckDB oracle replays estimate AND bound behavior exactly."""
+    from ..functions.cms import cms_estimate, cms_update
+
+    e = _t(spark, sf_dir, "events")
+    depth, width = 4, 256
+    cells = cms_update(e, "user_id", depth=depth, width=width)
+    exact = (
+        e.groupBy("user_id")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "user_id")
+        .limit(10)
+    )
+    est = cms_estimate(cells, exact.select("user_id"), "user_id", depth, width)
+    return (
+        exact.join(est, "user_id")
+        .select("user_id", "exact_n", "cms_estimate")
+        .orderBy(F.desc("exact_n"), "user_id")
+    )
+
+
 # ------------------------------------------------------- text / dedup family
 
 def q20_token_stats(spark, sf_dir):
@@ -434,14 +458,17 @@ def q32_bow_cosine_near_dups(spark, sf_dir):
 
 
 def q33_embedding_lsh_near_dups(spark, sf_dir):
-    """Dense-embedding near-dup pairs via hyperplane-LSH buckets +
-    exact cosine rerank (rows-only: LSH candidate generation is
-    approximate; recall vs brute force asserted in pytest)."""
+    """Dense-embedding near-dup pairs via sign-projection LSH (multi-
+    probe, capped buckets) + exact cosine rerank.  The quantized codes
+    are exact integer arithmetic, so the DuckDB oracle replays buckets,
+    probes, caps, and the rerank bit-identically (q31 likewise)."""
     from ..operators.similarity import embedding_near_dup_pairs
 
     e = _t(spark, sf_dir, "embeddings")
     return (
-        embedding_near_dup_pairs(e, threshold=0.4, n_tables=32, n_bits=4)
+        embedding_near_dup_pairs(
+            e, threshold=0.4, n_tables=24, n_bits=6, bucket_cap=128, probe_radius=1
+        )
         .select("a", "b", F.round("cosine", 4).alias("cosine"))
         .orderBy("a", "b")
     )
@@ -469,13 +496,15 @@ def q30_cosine_topk(spark, sf_dir):
 
 
 def q31_ann_lsh_cosine(spark, sf_dir):
-    """ANN tier: random-hyperplane LSH bucketing + in-bucket rerank
-    (rows-only; recall vs q30 asserted in pytest)."""
+    """ANN tier: sign-projection LSH with multi-probe queries and
+    capped buckets, exact rerank.  Recall vs exact (q30) asserted in
+    pytest; buckets/probes/caps replayed exactly by the DuckDB oracle
+    (quantized integer codes -- see operators/similarity.py)."""
     from ..operators.similarity import ann_topk
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") == 0)
-    # high-recall dial for the ~isotropic synthetic vectors
-    return ann_topk(e.where(F.col("vec_id") != 0), q, k=10, n_tables=32, n_bits=4).select(
-        "query_id", "vec_id", F.round("cosine", 4).alias("cosine")
-    )
+    return ann_topk(
+        e.where(F.col("vec_id") != 0), q, k=10,
+        n_tables=24, n_bits=6, bucket_cap=128, probe_radius=1,
+    ).select("query_id", "vec_id", F.round("cosine", 4).alias("cosine"))

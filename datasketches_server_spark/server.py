@@ -177,21 +177,94 @@ class SketchTableServer:
 
     # -- /serialize ---------------------------------------------------------
     def serialize(self, name: str) -> str:
+        """base64 image for EVERY family (SerializationHandler.java:53-107):
+        theta/hll/cpc/kll export the DataSketches-compatible binary; the
+        strings-SerDe families (frequency/reservoir/varopt -- the
+        reference uses ArrayOfStringsSerDe, lines 78/87/90) export a
+        portable base64url JSON image of (items/sample + totals + k)."""
+        import base64
+
         d = self.decls[name]
-        if d.family not in BINARY_FAMILIES:
-            raise ValueError("binary image only for theta/hll/cpc/kll here")
-        row = SK.serialize_sketch(self._state[name], d.family).collect()[0]
-        return row["image"]
+        st = self._state[name]
+        if d.family in BINARY_FAMILIES:
+            row = SK.serialize_sketch(st, d.family).collect()[0]
+            return row["image"]
+        if d.family == "frequency":
+            item_cols = [c for c in st.columns if c != "weight"]
+            payload = {
+                "family": "frequency", "k": d.k, "item_col": item_cols[0],
+                "items": [
+                    {"item": r[item_cols[0]], "weight": r["weight"]} for r in st.collect()
+                ],
+            }
+        else:
+            row = st.collect()[0]
+            payload = {
+                "family": d.family, "k": d.k,
+                "sample": [s.asDict() for s in row["sample"]],
+            }
+            for tc in ("stream_n", "stream_weight"):
+                if tc in st.columns:
+                    payload[tc] = row[tc]
+        return base64.urlsafe_b64encode(json.dumps(payload).encode()).decode()
 
     def load_image(self, name: str, image: str) -> None:
         """Absorb a base64 sketch image (the /merge data: input,
-        MergeHandler.java:203-235); binaries are DataSketches-compatible."""
+        MergeHandler.java:203-235); binary families are DataSketches-
+        compatible, sample/frequency families use the JSON image from
+        :meth:`serialize`."""
+        import base64
+
         d = self.decls[name]
-        df = self.spark.createDataFrame([(image,)], "image string")
-        sk = SK.deserialize_sketch(df).select("sketch")
+        cfg = self._cfg(d)
         prev = self._state.get(name)
-        merged = sk if prev is None else SK.sketch_merge(
-            prev.select("sketch").unionByName(sk), d.family if d.family != "cpc" else "hll", (), self._cfg(d)
+        if d.family in BINARY_FAMILIES:
+            df = self.spark.createDataFrame([(image,)], "image string")
+            sk = SK.deserialize_sketch(df).select("sketch")
+            merged = sk if prev is None else SK.sketch_merge(
+                prev.select("sketch").unionByName(sk),
+                d.family if d.family != "cpc" else "hll", (), cfg,
+            )
+            self._state[name] = merged.localCheckpoint()
+            return
+        p = json.loads(base64.urlsafe_b64decode(image))
+        if p["family"] != d.family:
+            raise ValueError(f"image family {p['family']!r} != {d.family!r}")
+        if d.family == "frequency":
+            col = p["item_col"]
+            batch = self.spark.createDataFrame(
+                [(i["item"], float(i["weight"])) for i in p["items"]],
+                f"{col} string, weight double",
+            )
+        elif d.family == "reservoir":
+            rows = self.spark.createDataFrame(
+                [(s["_key"], s["item"]) for s in p["sample"]], "_key double, item string"
+            )
+            batch = rows.agg(
+                F.sort_array(F.collect_list(F.struct("_key", "item"))).alias("sample")
+            ).select(
+                "sample",
+                F.transform("sample", lambda s: s["item"]).alias("items"),
+                F.lit(int(p["stream_n"])).cast("long").alias("stream_n"),
+            )
+        else:  # varopt
+            rows = self.spark.createDataFrame(
+                [(s["_key"], s["item"], s["weight"]) for s in p["sample"]],
+                "_key double, item string, weight double",
+            )
+            batch = rows.agg(
+                F.sort_array(F.collect_list(F.struct("_key", "item", "weight"))).alias("sample")
+            ).select(
+                "sample",
+                F.transform(
+                    F.slice("sample", 1, d.k),
+                    lambda s: F.struct(s["item"].alias("item"), s["weight"].alias("weight")),
+                ).alias("items"),
+                F.lit(float(p["stream_weight"])).alias("stream_weight"),
+                F.lit(int(p["stream_n"])).cast("long").alias("stream_n"),
+            )
+        merged = batch if prev is None else SK.sketch_merge(
+            prev.unionByName(batch), d.family, (), cfg
         )
         self._state[name] = merged.localCheckpoint()
 

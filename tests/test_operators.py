@@ -106,9 +106,9 @@ def test_ann_recall_vs_bruteforce(spark):
     emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     queries = emb.where(F.col("vec_id") < 5)
     exact = cosine_topk(emb, queries, k=10)
-    # synthetic embeddings are ~isotropic (the LSH worst case): use the
-    # high-recall end of the dial (more tables, shorter codes)
-    approx = ann_topk(emb, queries, k=10, n_tables=32, n_bits=4)
+    # synthetic embeddings are ~isotropic (the LSH worst case): recall
+    # comes from multi-probe, not from shallow codes
+    approx = ann_topk(emb, queries, k=10, n_tables=24, n_bits=6, probe_radius=1)
     e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
     a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
     recall = len(e & a) / len(e)
@@ -198,7 +198,7 @@ def test_embedding_lsh_near_dups_recall_vs_exact(spark, sf_dir):
     from pyspark.sql import functions as F
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    found = embedding_near_dup_pairs(e, threshold=0.5, n_tables=32, n_bits=4)
+    found = embedding_near_dup_pairs(e, threshold=0.5, n_tables=24, n_bits=6, probe_radius=1)
     fset = {(r["a"], r["b"]) for r in found.collect()}
     ea = e.select(F.col("vec_id").alias("a"), F.col("embedding").alias("emb_a"))
     eb = e.select(F.col("vec_id").alias("b"), F.col("embedding").alias("emb_b"))

@@ -104,6 +104,40 @@ def test_serialize_roundtrip_and_reset(spark):
     assert srv.query("theta0").collect()[0]["estimate"] == 100
 
 
+def test_serialize_all_seven_families(spark):
+    """Serialize parity for EVERY family (SerializationHandler.java:
+    78-90 serializes all 7; strings-SerDe families get a portable JSON
+    image here): update -> serialize -> reset -> load -> same answers."""
+    decls = parse_config([
+        {"name": "t", "family": "theta", "k": 12, "type": "long"},
+        {"name": "h", "family": "hll", "k": 12, "type": "long"},
+        {"name": "c", "family": "cpc", "k": 12, "type": "long"},
+        {"name": "q", "family": "kll", "k": 200},
+        {"name": "f", "family": "frequency", "k": 10},
+        {"name": "r", "family": "reservoir", "k": 8},
+        {"name": "v", "family": "varopt", "k": 8},
+    ])
+    srv = SketchTableServer(spark, decls)
+    nums = spark.range(500).select(F.col("id").alias("value"))
+    strs = spark.range(500).select(
+        F.concat(F.lit("it"), (F.col("id") % 40).cast("string")).alias("value")
+    )
+    for n in ("t", "h", "c"):
+        srv.update(n, nums)
+    srv.update("q", nums.select(F.col("value").cast("float").alias("value")))
+    for n in ("f", "r", "v"):
+        srv.update(n, strs)
+    before = {}
+    images = {}
+    for n in ("t", "h", "c", "q", "f", "r", "v"):
+        before[n] = [tuple(r) for r in srv.query(n).collect()]
+        images[n] = srv.serialize(n)
+        srv.reset(n)
+    for n, img in images.items():
+        srv.load_image(n, img)
+        assert [tuple(r) for r in srv.query(n).collect()] == before[n], n
+
+
 def test_status_lists_all(spark):
     srv = SketchTableServer(spark, parse_config(REFERENCE_STYLE_CONFIG))
     rows = srv.status().collect()

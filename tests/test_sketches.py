@@ -199,6 +199,36 @@ def test_hll_exact_mode_small_stream(spark):
     assert brow["lb_1"] < brow["estimate"] < brow["ub_1"]
 
 
+def test_cms_bounds_and_merge(spark, events):
+    """Sketched frequency tier: CMS estimates are upper bounds on exact
+    counts (no false negatives), with the classic ~2N/width error band;
+    merging partition sketches equals sketching the whole stream."""
+    from datasketches_server_spark.functions.cms import (
+        cms_estimate,
+        cms_merge,
+        cms_update,
+    )
+
+    depth, width = 4, 128
+    cells = cms_update(events, "user_id", depth=depth, width=width)
+    exact = events.groupBy("user_id").agg(F.count("*").alias("n"))
+    est = cms_estimate(cells, exact.select("user_id"), "user_id", depth, width)
+    joined = exact.join(est, "user_id").collect()
+    n_total = events.count()
+    for r in joined:
+        assert r["cms_estimate"] >= r["n"], "CMS must never underestimate"
+        assert r["cms_estimate"] <= r["n"] + 2 * n_total / width * 4
+    # merge property: per-partition cells summed == whole-stream cells
+    parts = cms_update(events, "user_id", depth=depth, width=width, group_cols=["event_type"])
+    merged = cms_merge(parts.drop("event_type"))
+    assert merged.exceptAll(cells).count() == 0
+    assert cells.exceptAll(merged).count() == 0
+    # unseen probe estimates 0
+    ghost = spark.createDataFrame([(10**12,)], "user_id long")
+    g = cms_estimate(cells, ghost, "user_id", depth, width).collect()[0]
+    assert g["cms_estimate"] >= 0
+
+
 def test_serialize_roundtrip(spark, events):
     state = sketch_update(events, ["event_type"], "user_id", "theta")
     img = serialize_sketch(state, "theta")
