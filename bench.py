@@ -84,14 +84,17 @@ def main() -> None:
         extra["distinct_shingles"] = int(row["distinct_shingles"])
 
     timed("sketch_rollup", run_sketch_rollup)
+    state["res"].unpersist()
 
-    timed(
-        "dedup_documents",
-        lambda: dedup_pipeline(
+    def run_dedup_documents():
+        res = dedup_pipeline(
             transcripts_from_documents(spark, sf_dir),
             PipelineConfig(shingle=ShingleConfig(k=3)),
-        ).clusters.count(),
-    )
+        )
+        res.clusters.count()
+        res.unpersist()
+
+    timed("dedup_documents", run_dedup_documents)
     timed("q01_pricing_summary", lambda: Q.q01_pricing_summary(spark, sf_dir).collect())
     timed("q02_top_revenue_customers", lambda: Q.q02_top_revenue_customers(spark, sf_dir).collect())
     timed("q05_events_hourly", lambda: Q.q05_events_hourly(spark, sf_dir).count())

@@ -21,13 +21,18 @@ MERSENNE_61 = (1 << 61) - 1
 
 @dataclass(frozen=True)
 class ShingleConfig:
-    """k-word shingles hashed to 64 bits (xxhash64, fixed seed)."""
+    """k-word shingles hashed to 64 bits (fixed seed).
+
+    token_pattern is a MATCH pattern (re.findall semantics -- tokens are
+    the runs the pattern matches), consumed verbatim by the signature
+    UDF; the default is equivalent to splitting on non-alphanumeric runs
+    and is what the DuckDB oracles replay.  Every field here feeds both
+    the UDF and config_hash, so changing any of them invalidates lineage
+    AND changes the signatures (never one without the other)."""
 
     k: int = 4
     lowercase: bool = True
-    # tokens = split on runs of non-alphanumerics; mirrors a simple public
-    # whitespace/punct tokenizer so the DuckDB oracle can reproduce it.
-    token_pattern: str = "[^a-z0-9]+"
+    token_pattern: str = "[a-z0-9]+"
 
 
 @dataclass(frozen=True)

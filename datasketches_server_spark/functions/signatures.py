@@ -161,26 +161,27 @@ def _batch_text_signatures(
     b: np.ndarray,
     simhash_bits: int,
     token_pattern: str,
+    lowercase: bool = True,
 ) -> pd.DataFrame:
     """Fused tokenize -> k-shingle-hash -> MinHash/SimHash, all C loops.
 
-    The default token pattern takes the bytes-level vectorized path
-    (:func:`_tokenize_hash_bytes`); custom patterns fall back to
-    pandas regex + siphash.  Shingle hash = degree-(k-1) polynomial of
-    the k token hashes in uint64 wraparound arithmetic.  Rows shorter
-    than k tokens clamp the window to the row end (one shingle), so no
-    row is dropped.
+    The default token pattern (lowercased) takes the bytes-level
+    vectorized path (:func:`_tokenize_hash_bytes`); custom patterns or
+    lowercase=False fall back to pandas regex + siphash.  Shingle hash =
+    degree-(k-1) polynomial of the k token hashes in uint64 wraparound
+    arithmetic.  Rows shorter than k tokens clamp the window to the row
+    end (one shingle), so no row is dropped.
     """
     if len(texts) == 0:
         return pd.DataFrame({"shingles": [], "minhash": [], "simhash": []})
     P = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd multiplier
-    if token_pattern == DEFAULT_TOKEN_PATTERN:
+    if token_pattern == DEFAULT_TOKEN_PATTERN and lowercase:
         tok_hash, m = _tokenize_hash_bytes(texts)
         m_eff = np.maximum(m, 1)
         tok_starts = np.zeros(len(texts), dtype=np.int64)
         np.cumsum(m_eff[:-1], out=tok_starts[1:])
     else:
-        toks = texts.str.lower().str.findall(token_pattern)
+        toks = (texts.str.lower() if lowercase else texts).str.findall(token_pattern)
         m = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(toks))
         m_eff = np.maximum(m, 1)
         tok_starts = np.zeros(len(toks), dtype=np.int64)
@@ -277,12 +278,18 @@ def _batch_text_signatures(
     )
 
 
-def text_signature_udf(k: int, cfg: MinHashConfig = MinHashConfig(), token_pattern: str = "[a-z0-9]+"):
+def text_signature_udf(
+    k: int,
+    cfg: MinHashConfig = MinHashConfig(),
+    token_pattern: str = DEFAULT_TOKEN_PATTERN,
+    lowercase: bool = True,
+):
     """pandas UDF: full_text -> struct(shingles array<long>, minhash
     array<long>, simhash long).  The pipeline hot path: one Arrow round
     trip per document, zero interpreted Catalyst lambdas (the native
     shingle expression is ~50x slower at scale -- kept only for the
-    SQL-replayable oracle queries)."""
+    SQL-replayable oracle queries).  token_pattern uses re.findall
+    (match) semantics -- the same convention as ShingleConfig."""
     a, b = _perm_params(cfg.num_perm, cfg.seed)
     out_type = T.StructType(
         [
@@ -294,7 +301,9 @@ def text_signature_udf(k: int, cfg: MinHashConfig = MinHashConfig(), token_patte
 
     @F.pandas_udf(out_type)
     def _sig(texts: pd.Series) -> pd.DataFrame:
-        return _batch_text_signatures(texts, k, a, b, cfg.simhash_bits, token_pattern)
+        return _batch_text_signatures(
+            texts, k, a, b, cfg.simhash_bits, token_pattern, lowercase
+        )
 
     return _sig
 

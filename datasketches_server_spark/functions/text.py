@@ -36,10 +36,14 @@ def assemble_conversations(transcripts: DataFrame) -> DataFrame:
     )
 
 
-def tokens(col: Column, lowercase: bool = True, pattern: str = "[^a-z0-9]+") -> Column:
-    """Normalize + tokenize: lowercase, split on non-alphanumeric runs."""
+def tokens(col: Column, lowercase: bool = True, pattern: str = "[a-z0-9]+") -> Column:
+    """Normalize + tokenize.  `pattern` is a MATCH pattern (re.findall
+    semantics -- one token per match), the same convention as
+    ShingleConfig.token_pattern and the signature UDF, so one config
+    drives every tokenizer tier.  The default equals splitting on
+    non-alphanumeric runs (what the DuckDB oracles replay)."""
     c = F.lower(col) if lowercase else col
-    return F.filter(F.split(c, pattern), lambda t: t != "")
+    return F.regexp_extract_all(c, F.lit(pattern), F.lit(0))
 
 
 def token_count(col: Column) -> Column:

@@ -53,16 +53,15 @@ def _fingerprint(e: DataFrame) -> tuple[int, int]:
     return (row["n"], row["x"] if row["x"] is not None else 0)
 
 
-def _driver_union_find(e: DataFrame) -> DataFrame:
-    """Small-graph fast path: collect the (deduped) edge list and run
-    union-find on the driver, returning the identical min-id labeling
-    the distributed loop produces.  The star loop costs ~5 driver
-    round-trips of shuffles regardless of size -- pure latency tax when
-    the edge set fits trivially in driver memory."""
-    rows = e.collect()
-    parent: dict[str, str] = {}
+def _driver_union_find(rows, spark, id_type: str) -> DataFrame:
+    """Small-graph fast path: union-find over a collected edge list,
+    returning the identical min-id labeling the distributed loop
+    produces.  The star loop costs ~5 driver round-trips of shuffles
+    regardless of size -- pure latency tax when the edge set fits
+    trivially in driver memory."""
+    parent: dict = {}
 
-    def find(x: str) -> str:
+    def find(x):
         parent.setdefault(x, x)
         root = x
         while parent[root] != root:
@@ -77,25 +76,25 @@ def _driver_union_find(e: DataFrame) -> DataFrame:
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
     labels = [(x, find(x)) for x in parent]
-    return e.sparkSession.createDataFrame(labels, "conv_id string, cluster_id string")
+    return spark.createDataFrame(labels, f"conv_id {id_type}, cluster_id {id_type}")
 
 
 def connected_components(
     edges: DataFrame, max_iter: int = 30, driver_threshold: int = 2_000_000
 ) -> DataFrame:
-    """edges (a string, b string) -> labels (conv_id, cluster_id).
+    """edges (a, b) -> labels (conv_id, cluster_id); any orderable id type.
 
-    cluster_id is the lexicographic minimum conv_id of the component
-    (deterministic tie-breaking).  Only nodes appearing in an edge are
-    returned; callers attach singletons with a left join + coalesce.
+    cluster_id is the minimum conv_id of the component (deterministic
+    tie-breaking).  Only nodes appearing in an edge are returned;
+    callers attach singletons with a left join + coalesce.
 
-    Hybrid execution: below ``driver_threshold`` edges the component
-    structure is computed with driver-side union-find (one collect --
-    the distributed loop's ~5 rounds of shuffles are pure latency on
-    small graphs); above it, the alternating star loop runs fully
-    distributed.  Both paths produce the identical labeling, and the
-    threshold is an edge COUNT known after the first dedup pass, so the
-    choice is deterministic in the input.
+    Hybrid execution: the first action collects up to driver_threshold+1
+    deduped edges (ONE job).  If the graph fits, union-find on the
+    driver finishes without any further jobs -- the distributed loop's
+    ~5 rounds of shuffles are pure latency on small graphs.  Otherwise
+    the alternating star loop runs fully distributed on the (lazily
+    checkpointed) edge set.  Both paths produce the identical labeling,
+    and the threshold is deterministic in the input.
 
     Each distributed round is ONE Spark job: a LAZY localCheckpoint
     truncates the plan at the DataFrame level immediately (each star
@@ -104,12 +103,13 @@ def connected_components(
     burns CPU-minutes), while the materialization itself rides on the
     fingerprint action.
     """
-    e = edges.select("a", "b").where(F.col("a") != F.col("b")).distinct().localCheckpoint(
-        eager=False
-    )
+    id_type = dict(edges.dtypes)["a"]
+    e0 = edges.select("a", "b").where(F.col("a") != F.col("b")).distinct()
+    head = e0.limit(driver_threshold + 1).collect()
+    if len(head) <= driver_threshold:
+        return _driver_union_find(head, edges.sparkSession, id_type)
+    e = e0.localCheckpoint(eager=False)
     prev = _fingerprint(e)
-    if prev[0] <= driver_threshold:
-        return _driver_union_find(e)
     for _ in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         cur = _fingerprint(e)

@@ -113,16 +113,35 @@ def simhash_dedup_pairs(
     )
 
 
+MAX_BRUTE_ROWS = 20_000
+
+
+def _guard_brute_force(df: DataFrame, max_rows: int, op: str, alt: str) -> None:
+    """Refuse to launch an all-pairs plan on a large input (VERDICT:
+    nothing should let a user accidentally start a cartesian at corpus
+    scale).  One cheap count against the pushed-down scan."""
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"{op}: {n} rows exceeds the brute-force guard ({max_rows}); "
+            f"this tier is O(n^2) -- use {alt} at scale, or raise max_rows "
+            "explicitly if you really mean it"
+        )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
+    max_rows: int = MAX_BRUTE_ROWS,
 ) -> DataFrame:
     """Exact word n-gram jaccard over all pairs -- the brute-force tier
-    (O(n^2); use the LSH pipeline at scale).  Shares token semantics with
-    functions.text.tokens so results line up with the fingerprints."""
+    (O(n^2); use the LSH pipeline at scale, guarded by max_rows).
+    Shares token semantics with functions.text.tokens so results line
+    up with the fingerprints."""
+    _guard_brute_force(df, max_rows, "ngram_jaccard_pairs", "plans.pipeline.dedup_pipeline")
     toks = tokens(F.col(text_col))
     grams = F.array_distinct(
         F.transform(
@@ -148,6 +167,7 @@ def hashed_bow_near_dup_pairs(
     threshold: float = 0.9,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_rows: int = MAX_BRUTE_ROWS,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs over documents (dedup
     family member): each doc is embedded as a ``dim``-dimensional hashed
@@ -162,8 +182,11 @@ def hashed_bow_near_dup_pairs(
     dim, and a sum -- Catalyst keeps the whole plan in codegen.  This is
     the brute-force tier (all dims join); the scale path for dense
     learned embeddings is :func:`..similarity.embedding_near_dup_pairs`
-    (hyperplane LSH buckets -> exact rerank).
+    (hyperplane LSH buckets -> exact rerank).  Guarded by max_rows.
     """
+    _guard_brute_force(
+        docs, max_rows, "hashed_bow_near_dup_pairs", "similarity.embedding_near_dup_pairs"
+    )
     tok = docs.select(
         F.col(id_col).alias("_id"), F.explode(tokens(F.col(text_col))).alias("tok")
     )

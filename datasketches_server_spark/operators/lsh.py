@@ -57,7 +57,9 @@ def band_buckets(sigs: DataFrame, cfg: LshConfig = LshConfig()) -> DataFrame:
 
 
 def candidate_pairs(
-    buckets: DataFrame, cfg: LshConfig = LshConfig()
+    buckets: DataFrame,
+    cfg: LshConfig = LshConfig(),
+    resources: list[DataFrame] | None = None,
 ) -> DataFrame:
     """bucket memberships -> distinct candidate (a, b) pairs, a < b.
 
@@ -114,8 +116,13 @@ def candidate_pairs(
     # AQE does not reuse the window exchanges across them, so persist the
     # small post-filter relation (multi-member band rows only) rather
     # than recompute the two window sorts 4x (event-log measured ~200
-    # wasted CPU-s on 32M band rows)
+    # wasted CPU-s on 32M band rows).  The cache's lifetime belongs to
+    # the CALLER (the pair list is re-evaluated by every downstream
+    # action): pass `resources` and unpersist after the last consumer
+    # materializes (DedupResult.unpersist() does this for the pipeline).
     ranked = ranked.persist()
+    if resources is not None:
+        resources.append(ranked)
     small = ranked.where(F.col("sz") <= ALL_PAIRS_CAP)
     left = small.select("bucket", F.col("conv_id").alias("a"), F.col("rn").alias("_ra"))
     right = small.select("bucket", F.col("conv_id").alias("b"), F.col("rn").alias("_rb"))

@@ -13,9 +13,16 @@ Design:
   single ALL unit for the global stages (LSH edges, clusters), which are
   cheap relative to signatures and cannot be bucketed without losing
   cross-bucket candidate pairs.
-* Stage outputs land under ``{workdir}/{stage}/bucket=<i>`` with
-  mode=overwrite per bucket -- idempotent: a re-run of a crashed bucket
-  replaces any partial files.
+* Stage outputs land under ``{workdir}/{stage}/{config_hash}_{input_fp}/
+  _bucket=<i>`` -- the output path is KEYED by config hash and input
+  fingerprint, so two configs (or two input snapshots) can never serve
+  each other's outputs (a config change writes to a fresh keyspace and
+  the old outputs stay valid for the old config).
+* Stage 1 writes ALL pending buckets in ONE ``partitionBy("_bucket")``
+  job (dynamic partition overwrite: re-running a crashed subset replaces
+  only those buckets) followed by ONE bulk manifest append -- at 10^4-
+  10^5 buckets a per-bucket write loop would be a driver-side bottleneck
+  (one Spark job per bucket).
 * The manifest (``{workdir}/_lineage`` parquet) gains one row per
   completed unit: (stage, partition_id, config_hash, input_fingerprint,
   row_count, finished_at).  It is append-only; the newest row per key
@@ -66,10 +73,15 @@ class LineageRunner:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(p)
 
-    def _record(self, stage: str, partition_id: int, input_fp: str, row_count: int) -> None:
-        row = [(stage, partition_id, self.config_hash, input_fp, row_count, time.time())]
+    def _record_bulk(self, stage: str, counts: dict[int, int], input_fp: str) -> None:
+        """ONE manifest append for any number of completed units."""
+        now = time.time()
+        rows = [
+            (stage, int(pid), self.config_hash, input_fp, int(n), now)
+            for pid, n in counts.items()
+        ]
         df = self.spark.createDataFrame(
-            row,
+            rows,
             "stage string, partition_id int, config_hash string, input_fingerprint string, row_count long, finished_at double",
         )
         df.coalesce(1).write.mode("append").parquet(self._manifest_path())
@@ -89,15 +101,21 @@ class LineageRunner:
         done = set()
         for r in rows:
             # trust manifest only if the output dir actually exists
-            if os.path.isdir(self._unit_path(stage, r["partition_id"])):
+            if os.path.isdir(self._unit_path(stage, r["partition_id"], input_fp)):
                 done.add(r["partition_id"])
         return done
 
-    def _unit_path(self, stage: str, partition_id: int) -> str:
-        return os.path.join(self.workdir, stage, f"bucket={partition_id}")
+    def _stage_key(self, input_fp: str) -> str:
+        return f"{self.config_hash}_{input_fp}"
 
-    def _stage_df(self, stage: str) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.workdir, stage, "bucket=*"))
+    def _stage_dir(self, stage: str, input_fp: str) -> str:
+        return os.path.join(self.workdir, stage, self._stage_key(input_fp))
+
+    def _unit_path(self, stage: str, partition_id: int, input_fp: str = "static") -> str:
+        return os.path.join(self._stage_dir(stage, input_fp), f"_bucket={partition_id}")
+
+    def _stage_df(self, stage: str, input_fp: str) -> DataFrame:
+        return self.spark.read.parquet(self._stage_dir(stage, input_fp)).drop("_bucket")
 
     # -- pipeline ----------------------------------------------------------
     def run(self, transcripts: DataFrame, input_fp: str = "static") -> tuple[dict[str, DataFrame], RunStats]:
@@ -110,7 +128,8 @@ class LineageRunner:
         B = self.cfg.num_buckets
         bucket = F.pmod(F.xxhash64("conv_id"), F.lit(B)).cast("int")
 
-        # stage 1: per-bucket signatures
+        # stage 1: per-bucket signatures -- ONE partitioned write for all
+        # pending buckets + ONE bulk manifest append (see module docstring)
         done = self.done_units("signatures", input_fp)
         pending = [i for i in range(B) if i not in done]
         stats.skipped["signatures"] = len(done)
@@ -125,29 +144,45 @@ class LineageRunner:
             sigs = conv_signatures(pend.drop("_bucket"), self.cfg).withColumn(
                 "_bucket", bucket
             )
-            sigs = sigs.persist()
+            (
+                sigs.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_bucket")
+                .parquet(self._stage_dir("signatures", input_fp))
+            )
+            written = self.spark.read.parquet(self._stage_dir("signatures", input_fp))
             counts = {
                 r["_bucket"]: r["n"]
-                for r in sigs.groupBy("_bucket").agg(F.count("*").alias("n")).collect()
+                for r in written.where(F.col("_bucket").isin(pending))
+                .groupBy("_bucket").agg(F.count("*").alias("n")).collect()
             }
+            # buckets that received no conv still count as completed units
+            self._record_bulk(
+                "signatures", {i: counts.get(i, 0) for i in pending}, input_fp
+            )
+            # empty buckets produce no directory; materialize an empty one
+            # so done_units' existence check passes on resume
             for i in pending:
-                out = sigs.where(F.col("_bucket") == i).drop("_bucket")
-                out.write.mode("overwrite").parquet(self._unit_path("signatures", i))
-                self._record("signatures", i, input_fp, counts.get(i, 0))
-            sigs.unpersist()
-        state = self._stage_df("signatures")
+                os.makedirs(self._unit_path("signatures", i, input_fp), exist_ok=True)
+        state = self._stage_df("signatures", input_fp)
 
         # stage 2: global LSH edges (single unit)
         if 0 in self.done_units("edges", input_fp):
             stats.skipped["edges"] = 1
             stats.computed["edges"] = 0
         else:
-            cands = candidate_pairs(band_buckets(state, self.cfg.lsh), self.cfg.lsh)
+            resources: list[DataFrame] = []
+            cands = candidate_pairs(
+                band_buckets(state, self.cfg.lsh), self.cfg.lsh, resources=resources
+            )
             edges = verify_pairs(cands, state, self.cfg.lsh)
-            edges.write.mode("overwrite").parquet(self._unit_path("edges", 0))
-            self._record("edges", 0, input_fp, self.spark.read.parquet(self._unit_path("edges", 0)).count())
+            edges.write.mode("overwrite").parquet(self._unit_path("edges", 0, input_fp))
+            for df in resources:  # cache lifetime ends at the write
+                df.unpersist()
+            n = self.spark.read.parquet(self._unit_path("edges", 0, input_fp)).count()
+            self._record_bulk("edges", {0: n}, input_fp)
             stats.computed["edges"] = 1
-        edges = self._stage_df("edges")
+        edges = self._stage_df("edges", input_fp)
 
         # stage 3: clusters (single unit)
         if 0 in self.done_units("clusters", input_fp):
@@ -156,10 +191,11 @@ class LineageRunner:
         else:
             labels = connected_components(edges)
             clusters = attach_singletons(labels, state)
-            clusters.write.mode("overwrite").parquet(self._unit_path("clusters", 0))
-            self._record("clusters", 0, input_fp, self.spark.read.parquet(self._unit_path("clusters", 0)).count())
+            clusters.write.mode("overwrite").parquet(self._unit_path("clusters", 0, input_fp))
+            n = self.spark.read.parquet(self._unit_path("clusters", 0, input_fp)).count()
+            self._record_bulk("clusters", {0: n}, input_fp)
             stats.computed["clusters"] = 1
-        clusters = self._stage_df("clusters")
+        clusters = self._stage_df("clusters", input_fp)
 
         return {"conv_state": state, "edges": edges, "clusters": clusters}, stats
 
@@ -172,6 +208,8 @@ class LineageRunner:
         p = os.path.join(self.workdir, stage)
         if os.path.isdir(p):
             shutil.rmtree(p)
+        if not os.path.isdir(self._manifest_path()):
+            return  # nothing recorded yet (guarded: reset before any run)
         m = self.manifest().where(F.col("stage") != stage)
         tmp = self._manifest_path() + ".tmp"
         m.coalesce(1).write.mode("overwrite").parquet(tmp)

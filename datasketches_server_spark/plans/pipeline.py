@@ -16,7 +16,7 @@ plans/lineage.py can persist and resume any prefix):
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -35,7 +35,12 @@ def conv_signatures(transcripts: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG
     One fused pandas UDF computes shingles + both signatures (the only
     Python on the path); everything around it is native."""
     convs = assemble_conversations(transcripts)
-    sig = text_signature_udf(cfg.shingle.k, cfg.minhash)
+    sig = text_signature_udf(
+        cfg.shingle.k,
+        cfg.minhash,
+        token_pattern=cfg.shingle.token_pattern,
+        lowercase=cfg.shingle.lowercase,
+    )
     convs = convs.withColumn("_sig", sig(F.col("full_text")))
     return convs.select(
         "conv_id",
@@ -52,6 +57,16 @@ class DedupResult:
     conv_state: DataFrame   # per-conv signatures
     edges: DataFrame        # verified dup pairs (a, b, jaccard, hamming)
     clusters: DataFrame     # (conv_id, cluster_id) covering every conv
+    resources: list = field(default_factory=list)  # persisted relations
+
+    def unpersist(self) -> None:
+        """Release every relation the pipeline persisted.  Call after the
+        last consumer of edges/clusters has materialized (written or
+        collected); repeated pipeline invocations in one session
+        otherwise accumulate cached blocks."""
+        for df in self.resources:
+            df.unpersist()
+        self.resources.clear()
 
 
 def dedup_pipeline(
@@ -61,6 +76,7 @@ def dedup_pipeline(
     cache_state: bool = True,
     prune_verify: bool = False,
 ) -> DedupResult:
+    resources: list[DataFrame] = []
     state = conv_signatures(transcripts, cfg)
     if cache_state:
         # Reused by banding AND verification -- one materialization.
@@ -74,17 +90,19 @@ def dedup_pipeline(
         # stages would all wait on the first computation anyway.
         state = state.persist()
         state.count()
+        resources.append(state)
     buckets = band_buckets(state, cfg.lsh)
-    cands = candidate_pairs(buckets, cfg.lsh)
+    cands = candidate_pairs(buckets, cfg.lsh, resources=resources)
     if prune_verify:
         # member pruning references the pair list twice -- materialize it
         # once (count also fails fast on a pathological pair explosion)
         cands = cands.persist()
         cands.count()
+        resources.append(cands)
     edges = verify_pairs(cands, state, cfg.lsh, tier=verify_tier, prune_members=prune_verify)
     labels = connected_components(edges)
     clusters = attach_singletons(labels, state)
-    return DedupResult(conv_state=state, edges=edges, clusters=clusters)
+    return DedupResult(conv_state=state, edges=edges, clusters=clusters, resources=resources)
 
 
 def cluster_summary(clusters: DataFrame) -> DataFrame:

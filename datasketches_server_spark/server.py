@@ -165,6 +165,8 @@ class SketchTableServer:
             raise ValueError(f"incompatible families {fams}")
         fam = fams.pop()
         parts = [self._state[s] for s in dict.fromkeys(sources + ([target] if target else [])) if s in self._state]
+        if not parts:
+            raise ValueError("merge: no listed source has any data")  # 422 analog
         merged = SK.sketch_merge(
             _union_all(parts),
             fam if fam != "cpc" else "hll",

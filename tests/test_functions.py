@@ -103,3 +103,35 @@ def test_per_turn_text_equality_invariant(spark, sf_dir):
     )
     bad = convs.join(docs, "conv_id").where(F.col("full_text") != F.col("text")).count()
     assert bad == 0
+
+
+def test_shingle_config_plumbs_through_pipeline(spark):
+    """ADVICE fix: cfg.shingle.token_pattern and lowercase must actually
+    change the signatures (they feed config_hash, so they must feed the
+    UDF too)."""
+    from datasketches_server_spark.config import PipelineConfig, ShingleConfig
+    from datasketches_server_spark.plans.pipeline import conv_signatures
+
+    t = spark.createDataFrame(
+        [("c1", 0, "user", "Alpha BETA 42 gamma delta epsilon zeta", None, None)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    base = conv_signatures(t, PipelineConfig(shingle=ShingleConfig(k=3))).collect()[0]
+    no_digits = conv_signatures(
+        t, PipelineConfig(shingle=ShingleConfig(k=3, token_pattern="[a-z]+"))
+    ).collect()[0]
+    assert list(base["shingles"]) != list(no_digits["shingles"])
+    case_sensitive = conv_signatures(
+        t, PipelineConfig(shingle=ShingleConfig(k=3, token_pattern="[A-Za-z0-9]+", lowercase=False))
+    ).collect()[0]
+    assert list(base["shingles"]) != list(case_sensitive["shingles"])
+    # and the three configs hash differently (lineage invalidation)
+    hashes = {
+        PipelineConfig(shingle=s).config_hash()
+        for s in (
+            ShingleConfig(k=3),
+            ShingleConfig(k=3, token_pattern="[a-z]+"),
+            ShingleConfig(k=3, token_pattern="[A-Za-z0-9]+", lowercase=False),
+        )
+    }
+    assert len(hashes) == 3

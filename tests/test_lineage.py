@@ -69,6 +69,30 @@ def test_config_change_invalidates(spark, workdir):
     assert s2.computed["signatures"] == 4
 
 
+def test_config_roundtrip_serves_own_outputs(spark, workdir):
+    """ADVICE fix: run config A, then config B, then A again -- A must
+    resume from A's OWN outputs (paths are keyed by config hash), never
+    serve B's results under A's name."""
+    from datasketches_server_spark.config import ShingleConfig
+
+    t = synth_transcripts(spark, n_convs=100, seed=11)
+    cfg_a = PipelineConfig(num_buckets=4)
+    cfg_b = PipelineConfig(num_buckets=4, shingle=ShingleConfig(k=5))
+
+    out_a, _ = LineageRunner(spark, workdir, cfg_a).run(t)
+    f_a = _fingerprint(out_a["clusters"])
+    LineageRunner(spark, workdir, cfg_b).run(t)
+
+    out_a2, s = LineageRunner(spark, workdir, cfg_a).run(t)
+    assert s.computed == {"signatures": 0, "edges": 0, "clusters": 0}
+    assert _fingerprint(out_a2["clusters"]) == f_a
+
+
+def test_reset_before_any_run_is_safe(spark, workdir):
+    runner = LineageRunner(spark, workdir, PipelineConfig(num_buckets=4))
+    runner.reset_stage("clusters")  # ADVICE fix: no manifest yet -> no-op
+
+
 def test_reset_stage(spark, workdir):
     cfg = PipelineConfig(num_buckets=4)
     t = synth_transcripts(spark, n_convs=100, seed=11)

@@ -97,6 +97,14 @@ spark.stop()
             ]
         else:
             master = ["--master", f"local[{cores}]"]
+        env = dict(os.environ)
+        # worker-daemon preload: forked Python workers inherit imported
+        # numpy/pandas/pyarrow + the warm signature module via
+        # copy-on-write instead of each paying ~1-2 s of import on its
+        # first task.  The daemon module must resolve at worker LAUNCH
+        # (before --py-files lands on sys.path), hence PYTHONPATH; on a
+        # real cluster this rides the image or --archives env.
+        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
         r = sh(
             [
                 "spark-submit",
@@ -105,6 +113,7 @@ spark.stop()
                 "--conf", "spark.ui.enabled=false",
                 "--conf", "spark.sql.adaptive.enabled=true",
                 "--conf", "spark.driver.memory=48g",
+                "--conf", "spark.python.daemon.module=datasketches_server_spark.worker_daemon",
                 # tmpfs shuffle dir: the sandbox's virtio disk (~580 MB/s,
                 # async writeback) adds multi-second jitter per ~5 GB
                 # shuffle; a real cluster would have per-executor NVMe
@@ -114,6 +123,7 @@ spark.stop()
                 corpus, out,
             ],
             cwd=args.workdir,
+            env=env,
         )
         wall_outer = time.monotonic() - t0
         after = cpu_sample()

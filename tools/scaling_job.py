@@ -31,6 +31,7 @@ def main() -> None:
     transcripts = spark.read.parquet(inp)
     res = dedup_pipeline(transcripts, DEFAULT_CONFIG)
     res.clusters.write.mode("overwrite").parquet(out)
+    res.unpersist()
     wall = time.monotonic() - t0
 
     n_turns = transcripts.count()
