@@ -106,9 +106,14 @@ def _bucketize(
     df: DataFrame, id_alias: str, n_tables: int, n_bits: int, seed: int
 ) -> DataFrame:
     codes = _codes_udf(n_tables, n_bits, seed)
+    # posexplode wrapped around the UDF call in ONE select: a two-step
+    # projection makes Catalyst's UDF extraction evaluate the codes UDF
+    # twice per row (stacked ArrowEvalPython, plan-asserted in
+    # tests/test_plan_quality.py); this form evaluates it once.
     return df.select(
-        F.col("vec_id").alias(id_alias), codes("embedding").alias("_codes")
-    ).select(id_alias, F.posexplode("_codes").alias("table_idx", "code"))
+        F.col("vec_id").alias(id_alias),
+        F.posexplode(codes("embedding")).alias("table_idx", "code"),
+    )
 
 
 def _cap_buckets(buckets: DataFrame, id_col: str, bucket_cap: int) -> DataFrame:

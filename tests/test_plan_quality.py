@@ -64,3 +64,44 @@ def test_clusters_plan_has_no_python(spark):
     res = dedup_pipeline(t, cache_state=False)
     p = plan_str(res.clusters, "simple")
     assert "BatchEvalPython" not in p
+
+
+def test_cms_plan_partial_aggregation(spark, sf_dir):
+    """CMS update must map-side combine (partial HashAggregate before the
+    shuffle) and stay fully codegen'd -- the property that makes the
+    sketched frequency tier scale."""
+    from datasketches_server_spark.functions.cms import cms_update
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    p = plan_str(cms_update(e, "user_id", depth=4, width=256))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert p.count("HashAggregate") >= 2, "no map-side partial aggregation"
+    read = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "props" not in read, "column pruning failed"
+
+
+def test_ann_candidates_shuffle_narrow_rows(spark, sf_dir):
+    """ANN candidate generation must not carry embeddings through the
+    bucket join -- only (id, table, code) longs shuffle; vectors rejoin
+    at the rerank."""
+    from pyspark.sql import functions as F
+    from datasketches_server_spark.operators.similarity import ann_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = ann_topk(e.where(F.col("vec_id") != 0), e.where(F.col("vec_id") == 0), k=10)
+    p = plan_str(out)
+    assert "CartesianProduct" not in p
+    # exactly two code-UDF evaluations (data side + query side -- each
+    # node prints twice in formatted mode: tree line + detail header);
+    # the rerank joins embeddings natively
+    import re
+
+    assert len(re.findall(r"^\(\d+\) ArrowEvalPython", p, re.M)) == 2, p.count("ArrowEvalPython")
+    assert "BatchEvalPython" not in p
+
+
+def test_q24_exact_oracle_plan_no_cartesian(spark, sf_dir):
+    """The q24-proven pipeline must never degrade to a cartesian."""
+    p = plan_str(Q.q24_dedup_clusters_documents(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
