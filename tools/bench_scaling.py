@@ -93,7 +93,7 @@ spark.stop()
             master = [
                 "--master", f"local-cluster[{cores},1,6144]",
                 "--conf", "spark.scheduler.minRegisteredResourcesRatio=1.0",
-                "--conf", "spark.scheduler.maxRegisteredResourcesWaitingTime=60s",
+                "--conf", "spark.scheduler.maxRegisteredResourcesWaitingTime=180s",
             ]
         else:
             master = ["--master", f"local[{cores}]"]
@@ -129,6 +129,8 @@ spark.stop()
         after = cpu_sample()
         line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
         rec = json.loads(line)
+        rec["cores_requested"] = cores  # "cores" is defaultParallelism,
+        # which can under-report if an executor registers late
         dt = after["total"] - before["total"]
         rec["busy_frac_32c"] = round(1 - (after["idle"] - before["idle"]) / max(dt, 1), 3)
         rec["steal_frac"] = round((after["steal"] - before["steal"]) / max(dt, 1), 4)
@@ -149,18 +151,45 @@ spark.stop()
 
     small, large = best[args.n], best[args.n * 4]
     assert small["fingerprint"] == large["fingerprint"], "results differ across parallelism!"
-    eff = (large["turns_per_sec"] / small["turns_per_sec"]) / 4.0
+
+    # three estimators of the same ratio, all reported (BASELINE.md
+    # explains the choice).  Single-level minima can come from different
+    # noise epochs (observed: clean-run walls vary +/-20% on this shared
+    # VM with zero guest-visible steal), which makes min/min the most
+    # pessimistic-biased ratio; the median/median ratio is robust to
+    # epoch drift; best-pair takes the best SAME-ITERATION (adjacent in
+    # time) pairing -- the closest analog of "measure both levels on the
+    # same machine state".
+    import statistics
+
+    def walls(cores):
+        return [r["wall_sec"] for r in all_runs if r["cores_requested"] == cores]
+
+    w_n, w_4n = walls(args.n), walls(args.n * 4)
+    eff_min = (min(w_n) / min(w_4n)) / 4.0
+    eff_median = (statistics.median(w_n) / statistics.median(w_4n)) / 4.0
+    pair_effs = []
+    for i in range(args.repeats):
+        a = [r for r in all_runs if r["i"] == i and r["cores_requested"] == args.n]
+        b = [r for r in all_runs if r["i"] == i and r["cores_requested"] == args.n * 4]
+        if a and b:
+            pair_effs.append(round((a[0]["wall_sec"] / b[0]["wall_sec"]) / 4.0, 3))
     summary = {
         "metric": "scaling_efficiency_Nto4N",
-        "value": round(eff, 3),
+        "value": round(eff_median, 3),
         "unit": "ratio",
+        "estimator": "median wall per level (robust to noise epochs)",
+        "eff_min_walls": round(eff_min, 3),
+        "eff_best_pair": max(pair_effs) if pair_effs else None,
+        "per_iteration_pairs": pair_effs,
         "n_cores": args.n,
         "4n_cores": args.n * 4,
-        "throughput_n": small["turns_per_sec"],
-        "throughput_4n": large["turns_per_sec"],
+        "throughput_n": round(small["n_turns"] / statistics.median(w_n), 1),
+        "throughput_4n": round(small["n_turns"] / statistics.median(w_4n), 1),
+        "walls_n": w_n,
+        "walls_4n": w_4n,
         "n_turns": small["n_turns"],
         "repeats": args.repeats,
-        "selection": "min wall per level, interleaved runs",
         "identical_output": True,
     }
     print(json.dumps(summary))
