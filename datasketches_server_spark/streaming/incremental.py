@@ -82,6 +82,60 @@ def append_metrics_foreachBatch(
     return stream.writeStream.foreachBatch(_sink)
 
 
+def streaming_exact_dedup(
+    stream: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+):
+    """Custom stateful operator (applyInPandasWithState): continuous
+    exact dedup -- emit only the FIRST occurrence of each normalized-
+    text fingerprint across the whole stream.
+
+    State layout: groups are fingerprint buckets (pmod(fp, n_buckets)),
+    each holding its seen-fingerprint set -- so state shards evenly
+    across executors regardless of key skew, and a bucket's state size
+    is |distinct docs|/n_buckets longs.  At 10^12 turns, n_buckets
+    scales up and state stays bounded per task; this is the streaming
+    tier of operators/dedup.exact_dedup (same fingerprint64).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..functions.text import fingerprint64
+
+    tagged = stream.withColumn("_fp", fingerprint64(F.col(text_col))).withColumn(
+        "_bucket", F.pmod(F.col("_fp"), F.lit(n_buckets)).cast("int")
+    )
+    out_schema = f"{id_col} string, {text_col} string, _fp long"
+    state_schema = "fps array<long>"
+
+    def dedup_fn(key, pdf_iter, state: GroupState):
+        seen = set(state.get[0]) if state.exists else set()
+        for pdf in pdf_iter:
+            keep = []
+            for fp in pdf["_fp"]:
+                fp = int(fp)
+                if fp in seen:
+                    keep.append(False)
+                else:
+                    seen.add(fp)
+                    keep.append(True)
+            out = pdf.loc[keep, [id_col, text_col, "_fp"]]
+            if len(out):
+                yield out
+        state.update((list(seen),))
+
+    return (
+        tagged.select(id_col, text_col, "_fp", "_bucket")
+        .withColumn(id_col, F.col(id_col).cast("string"))
+        .groupBy("_bucket")
+        .applyInPandasWithState(
+            dedup_fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
 def merged_view(spark: SparkSession, metrics_path: str, key_col: str = "event_type",
                 cfg: SketchConfig = SketchConfig()) -> DataFrame:
     """Query the append log: merge partial sketches per key (the /query

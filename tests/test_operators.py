@@ -184,6 +184,44 @@ def test_streaming_windowed_sketches(spark, tmp_path):
         assert merged[et]["distinct_items"] == pytest.approx(t["d"], rel=0.03)
 
 
+def test_streaming_stateful_exact_dedup(spark, tmp_path):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    only the first occurrence of each fingerprint survives, across
+    micro-batches (state persists between batches)."""
+    from datasketches_server_spark.streaming.incremental import streaming_exact_dedup
+
+    src = str(tmp_path / "dedup_src")
+    ckpt = str(tmp_path / "ckpt")
+    rows1 = [(f"d{i}", f"text number {i % 6}") for i in range(12)]  # 6 uniques, 12 rows
+    df1 = spark.createDataFrame(rows1, "doc_id string, text string")
+    df1.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(df1.schema).parquet(src)
+    deduped = streaming_exact_dedup(stream, n_buckets=8)
+    q = (
+        deduped.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("memory")
+        .queryName("dedup_out")
+        .start()
+    )
+    q.processAllAvailable()
+    assert spark.sql("SELECT count(*) FROM dedup_out").collect()[0][0] == 6
+
+    # second batch: 3 repeats of old texts + 2 new -> only the new emit
+    rows2 = [("x1", "text number 0"), ("x2", "text number 1"), ("x3", "text number 5"),
+             ("x4", "brand new text a"), ("x5", "brand new text b")]
+    spark.createDataFrame(rows2, "doc_id string, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    out = spark.sql("SELECT doc_id FROM dedup_out").collect()
+    ids = {r["doc_id"] for r in out}
+    assert len(out) == 8  # 6 + 2 new
+    assert {"x4", "x5"} <= ids and not ({"x1", "x2", "x3"} & ids)
+
+
 # ----------------------------------------------------- embedding near-dups
 
 def test_embedding_lsh_near_dups_recall_vs_exact(spark, sf_dir):
