@@ -23,6 +23,14 @@ def get_spark(
         # ~cores in local mode; a 1000-executor cluster would use
         # 2-3x total cores and rely on AQE coalescing.
         shuffle_partitions = max(cores, 8)
+    # worker-daemon preload: forked Python workers inherit imported
+    # numpy/pandas/pyarrow + the warm signature module via copy-on-write
+    # (~1-2 s saved per worker's first task).  The daemon module must be
+    # importable at worker LAUNCH, so the package root (a directory or a
+    # --py-files zip -- both are valid PYTHONPATH entries) goes on the
+    # environment before the JVM starts.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    os.environ["PYTHONPATH"] = pkg_root + os.pathsep + os.environ.get("PYTHONPATH", "")
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
@@ -46,6 +54,7 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.python.daemon.module", "datasketches_server_spark.worker_daemon")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
