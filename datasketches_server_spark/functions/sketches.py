@@ -289,6 +289,15 @@ def query_distinct(
     -- the 'analytic tier' noted in SURVEY.md #10.  In exact mode
     (theta below nominal entries) bounds collapse to the estimate,
     matching the reference's behavior for small streams.
+
+    Why not sketch-native bounds from the binary (the reference calls
+    getLower/UpperBound, DataQueryHandler.java:131-162): Spark 4 emits
+    *compressed* compact theta images (serial version 4), whose retained
+    count/theta fields are not at fixed offsets -- parsing them is
+    format-fragile, and for a quickselect sketch in estimation mode the
+    library's bound is itself the ~1/sqrt(k-1) RSE of a full sketch, so
+    the analytic tier matches it wherever the regime gate (exact vs
+    estimation) is decided correctly.
     """
     if family == "theta":
         est = F.theta_sketch_estimate("sketch").cast("double")

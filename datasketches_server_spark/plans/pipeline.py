@@ -74,9 +74,18 @@ def dedup_pipeline(
     cfg: PipelineConfig = DEFAULT_CONFIG,
     verify_tier: str = "exact",
     cache_state: bool = True,
-    prune_verify: bool = False,
+    prune_verify: bool | str = "auto",
 ) -> DedupResult:
+    """prune_verify: semi-join the fat signature state down to candidate
+    members before the verify joins.  True/False force it; "auto"
+    (default) decides from measured counts -- pruning wins when pair
+    members are a small fraction of the corpus (real-world sparse dedup)
+    and loses on dup-dense corpora where members ~= corpus (the planted
+    bench corpus), so the heuristic compares the candidate-pair count
+    against the corpus size.  Auto requires cache_state (it uses the
+    corpus count that materialization already produces)."""
     resources: list[DataFrame] = []
+    n_convs: int | None = None
     state = conv_signatures(transcripts, cfg)
     if cache_state:
         # Reused by banding AND verification -- one materialization.
@@ -89,17 +98,29 @@ def dedup_pipeline(
         # Sequential materialization also costs nothing: the fan-out
         # stages would all wait on the first computation anyway.
         state = state.persist()
-        state.count()
+        n_convs = state.count()
         resources.append(state)
     buckets = band_buckets(state, cfg.lsh)
     cands = candidate_pairs(buckets, cfg.lsh, resources=resources)
-    if prune_verify:
-        # member pruning references the pair list twice -- materialize it
-        # once (count also fails fast on a pathological pair explosion)
-        cands = cands.persist()
-        cands.count()
-        resources.append(cands)
-    edges = verify_pairs(cands, state, cfg.lsh, tier=verify_tier, prune_members=prune_verify)
+    if prune_verify == "auto":
+        if n_convs is None:
+            prune = False  # no corpus count available without cache_state
+        else:
+            cands = cands.persist()
+            resources.append(cands)
+            n_pairs = cands.count()
+            # members <= 2*pairs; pruning pays when that is well under
+            # the corpus (each fat verify shuffle shrinks accordingly)
+            prune = 2 * n_pairs < n_convs // 2
+    else:
+        prune = bool(prune_verify)
+        if prune:
+            # member pruning references the pair list twice -- materialize
+            # it once (count also fails fast on a pair explosion)
+            cands = cands.persist()
+            cands.count()
+            resources.append(cands)
+    edges = verify_pairs(cands, state, cfg.lsh, tier=verify_tier, prune_members=prune)
     labels = connected_components(edges)
     clusters = attach_singletons(labels, state)
     return DedupResult(conv_state=state, edges=edges, clusters=clusters, resources=resources)

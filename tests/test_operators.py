@@ -184,6 +184,21 @@ def test_streaming_windowed_sketches(spark, tmp_path):
         assert merged[et]["distinct_items"] == pytest.approx(t["d"], rel=0.03)
 
 
+def test_prune_verify_modes_agree(spark):
+    """prune_verify True / False / auto must produce identical edges --
+    pruning is a plan optimization, never a semantic change."""
+    from datasketches_server_spark.plans.pipeline import dedup_pipeline
+    from datasketches_server_spark.sources.synth import synth_transcripts
+
+    t = synth_transcripts(spark, n_convs=300, seed=3, dup_fraction=0.1)
+    outs = []
+    for mode in (False, True, "auto"):
+        res = dedup_pipeline(t, prune_verify=mode)
+        outs.append({(r["a"], r["b"]) for r in res.edges.collect()})
+        res.unpersist()
+    assert outs[0] == outs[1] == outs[2]
+
+
 def test_streaming_stateful_exact_dedup(spark, tmp_path):
     """Custom stateful streaming operator (applyInPandasWithState):
     only the first occurrence of each fingerprint survives, across
