@@ -136,6 +136,87 @@ def streaming_exact_dedup(
     )
 
 
+def streaming_near_dup_pairs(
+    conv_stream: DataFrame,
+    shingle_k: int = 3,
+    bands: int = 32,
+    rows_per_band: int = 4,
+    threshold: float = 0.7,
+    bucket_cap: int = 256,
+):
+    """Continuous near-duplicate detection (applyInPandasWithState):
+    the streaming tier of the LSH pipeline.
+
+    Input: a stream of assembled conversations (conv_id, full_text) --
+    turn assembly for streams is an upstream watermarked groupBy.  Each
+    conv's MinHash signature is banded exactly like the batch pipeline
+    (operators/lsh.py); per band-bucket STATE holds the (conv_id,
+    minhash) of previously seen members, so a near-dup pair is emitted
+    the moment its second member arrives -- across micro-batches.
+
+    Skew discipline carries over: state per bucket is capped at
+    bucket_cap members (deterministic arrival order; drops mean a
+    mega-family stops emitting new pairs once capped, exactly the
+    bounded-candidates behavior of the batch star-edges).  Pairs carry
+    the MinHash jaccard ESTIMATE (signature agreement); exact verify
+    joins downstream if needed.  A pair colliding in several buckets is
+    emitted once per bucket; dedup with .dropDuplicates(["a","b"]) per
+    output window downstream.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..config import MinHashConfig
+    from ..functions.signatures import text_signature_udf
+
+    sig = text_signature_udf(shingle_k, MinHashConfig(num_perm=bands * rows_per_band))
+    sigs = conv_stream.withColumn("_sig", sig(F.col("full_text"))).select(
+        F.col("conv_id").cast("string").alias("conv_id"), F.col("_sig.minhash").alias("minhash")
+    )
+    band_idx = F.posexplode(F.sequence(F.lit(0), F.lit(bands - 1)))
+    buckets = sigs.select(
+        "conv_id", "minhash", band_idx.alias("_p", "band_idx")
+    ).select(
+        "conv_id",
+        "minhash",
+        F.xxhash64(
+            F.col("band_idx"),
+            F.slice(F.col("minhash"), F.col("band_idx") * rows_per_band + 1, rows_per_band),
+        ).alias("bucket"),
+    )
+    out_schema = "a string, b string, est_jaccard double, bucket long"
+    state_schema = "ids array<string>, sigs array<array<long>>"
+    num_perm = bands * rows_per_band
+
+    def match_fn(key, pdf_iter, state: GroupState):
+        if state.exists:
+            ids, sig_lists = state.get
+            ids = list(ids)
+            mat = np.array([list(s) for s in sig_lists], dtype=np.int64) if ids else np.empty((0, num_perm), dtype=np.int64)
+        else:
+            ids, mat = [], np.empty((0, num_perm), dtype=np.int64)
+        out_rows = []
+        for pdf in pdf_iter:
+            for conv_id, mh in zip(pdf["conv_id"], pdf["minhash"]):
+                v = np.asarray(mh, dtype=np.int64)
+                if len(ids):
+                    est = (mat == v[None, :]).mean(axis=1)
+                    for j in np.flatnonzero(est >= threshold):
+                        a, b = sorted((ids[j], conv_id))
+                        out_rows.append((a, b, float(est[j]), int(key[0])))
+                if len(ids) < bucket_cap:
+                    ids.append(conv_id)
+                    mat = np.vstack([mat, v[None, :]])
+        state.update((ids, [list(map(int, r)) for r in mat]))
+        if out_rows:
+            yield pd.DataFrame(out_rows, columns=["a", "b", "est_jaccard", "bucket"])
+
+    return buckets.groupBy("bucket").applyInPandasWithState(
+        match_fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def merged_view(spark: SparkSession, metrics_path: str, key_col: str = "event_type",
                 cfg: SketchConfig = SketchConfig()) -> DataFrame:
     """Query the append log: merge partial sketches per key (the /query

@@ -237,6 +237,40 @@ def test_streaming_stateful_exact_dedup(spark, tmp_path):
     assert {"x4", "x5"} <= ids and not ({"x1", "x2", "x3"} & ids)
 
 
+def test_streaming_near_dup_pairs_across_batches(spark, tmp_path):
+    """Streaming LSH near-dup tier: a pair is detected when its second
+    member arrives, even in a LATER micro-batch (band-bucket state)."""
+    from datasketches_server_spark.streaming.incremental import streaming_near_dup_pairs
+
+    src = str(tmp_path / "nd_src")
+    ckpt = str(tmp_path / "nd_ckpt")
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    other = "one two three four five six seven eight nine ten " * 4
+    batch1 = [("c1", base), ("c2", other)]
+    df1 = spark.createDataFrame(batch1, "conv_id string, full_text string")
+    df1.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(df1.schema).parquet(src)
+    pairs = streaming_near_dup_pairs(stream, threshold=0.7)
+    q = (
+        pairs.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("memory").queryName("nd_out").start()
+    )
+    q.processAllAvailable()
+    assert spark.sql("SELECT count(*) FROM nd_out").collect()[0][0] == 0
+
+    # second batch: a near-copy of c1 arrives -> (c1, c3) fires
+    batch2 = [("c3", base + "alpha beta"), ("c4", "unrelated words entirely different " * 6)]
+    spark.createDataFrame(batch2, "conv_id string, full_text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT DISTINCT a, b FROM nd_out").collect()
+    assert {(r["a"], r["b"]) for r in got} == {("c1", "c3")}
+
+
 # ----------------------------------------------------- embedding near-dups
 
 def test_embedding_lsh_near_dups_recall_vs_exact(spark, sf_dir):
