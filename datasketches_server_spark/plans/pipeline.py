@@ -75,8 +75,15 @@ def dedup_pipeline(
     verify_tier: str = "exact",
     cache_state: bool = True,
     prune_verify: bool | str = "auto",
+    cc_driver_threshold: int = 2_000_000,
 ) -> DedupResult:
-    """prune_verify: semi-join the fat signature state down to candidate
+    """cc_driver_threshold: edge count below which connected components
+    runs driver-side union-find (see operators/components.py); size it
+    to driver memory -- ~100 bytes/edge collected, so the default 2M
+    edges needs ~200 MB on the driver.  An execution knob, deliberately
+    NOT part of PipelineConfig: tuning it must not invalidate lineage.
+
+    prune_verify: semi-join the fat signature state down to candidate
     members before the verify joins.  True/False force it; "auto"
     (default) decides from measured counts -- pruning wins when pair
     members are a small fraction of the corpus (real-world sparse dedup)
@@ -121,7 +128,7 @@ def dedup_pipeline(
             cands.count()
             resources.append(cands)
     edges = verify_pairs(cands, state, cfg.lsh, tier=verify_tier, prune_members=prune)
-    labels = connected_components(edges)
+    labels = connected_components(edges, driver_threshold=cc_driver_threshold)
     clusters = attach_singletons(labels, state)
     return DedupResult(conv_state=state, edges=edges, clusters=clusters, resources=resources)
 
