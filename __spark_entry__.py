@@ -3,9 +3,11 @@
 ``entry(spark)`` runs the flagship dedup query; ``queries()`` registers
 one callable per implemented operator (SURVEY.md section 2);
 ``oracle_sql()`` gives the DuckDB-replayable ANSI SQL for every
-SQL-expressible query.  Queries without an oracle entry (approximate
-sketches, LSH+iterative connected components, seeded sampling) get the
-driver's rows-only check and are tolerance-tested in tests/.
+registered query.  Library-approximate families (HLL q15, KLL q16) are
+registered as WITHIN-BOUNDS CONTRACTS: Spark emits exact values plus
+"estimate inside its published bounds" booleans, DuckDB replays the
+exact side and the expected TRUE -- so even the approximate families
+are hash-checked, not rows-only.
 """
 
 from __future__ import annotations
@@ -255,6 +257,24 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT user_id, {j} AS r, {_cms_hash_sql('user_id', j, 256)} AS cell FROM events"
             for j in range(4)
         )),
+        # q15/q16: within-bounds contracts for the library-approximate
+        # families -- Spark emits exact values + "estimate inside its own
+        # published bounds" booleans; DuckDB replays the exact side and
+        # the expected TRUE (see plans/queries.py docstrings).
+        "q15_hll_distinct_users": """
+            SELECT event_type,
+                   count(DISTINCT user_id) AS exact_users,
+                   TRUE AS within_3sigma
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "q16_kll_value_quantiles": """
+            SELECT count(*) AS stream_length,
+                   round(CAST(CAST(min(value) AS REAL) AS DOUBLE), 2) AS min_value,
+                   round(CAST(CAST(max(value) AS REAL) AS DOUBLE), 2) AS max_value,
+                   TRUE AS rank50_ok,
+                   TRUE AS rank90_ok
+            FROM events
+        """,
         "q14_exact_percentiles": """
             SELECT event_type,
                    round(quantile_cont(value, 0.5), 4) AS p50,

@@ -310,9 +310,13 @@ def query_distinct(
         # HLL is exact while the sketch is still in coupon (LIST/SET)
         # mode; the reference then reports estimation_mode=false and
         # collapsed bounds (DataQueryHandler.java:144-162).  Spark
-        # exposes no mode flag, so gate conservatively on the analytic
-        # promotion point (~k/4 coupons for HLL_4 at lg_k).
-        exact = est < F.lit(float(2**cfg.hll_lg_k) / 4.0)
+        # exposes no mode flag, so gate WELL below the analytic
+        # promotion point (~k/4 coupons for HLL_4): k/8 keeps a 2x
+        # margin so an estimation-mode sketch whose estimate dips near
+        # the boundary is never reported exact with collapsed bounds
+        # (coverage property-tested across n in {k/8..4k} in
+        # tests/test_sketches.py::test_hll_bounds_coverage_across_boundary).
+        exact = est < F.lit(float(2**cfg.hll_lg_k) / 8.0)
     else:
         raise ValueError(f"{family!r} is not a distinct-counting family")
     cols = [c for c in state.columns if c != "sketch"]

@@ -191,28 +191,66 @@ def q14_exact_percentiles(spark, sf_dir):
 
 
 def q15_hll_distinct_users(spark, sf_dir):
-    """op #4+#10: hll distinct (approximate; rows-only driver check,
-    tolerance-tested in pytest)."""
+    """op #4+#10: hll distinct as a WITHIN-BOUNDS CONTRACT.  The HLL
+    estimate itself is library-internal (unreplayable by any other
+    engine), but its contract is checkable: Spark computes the estimate
+    AND the exact count, and emits whether the exact value falls inside
+    the reported 3-sigma bounds (query_distinct's analytic tier).
+    DuckDB replays the exact side and expects `true`, turning the
+    approximate family into a hash-green row.  The +-2 absolute slack
+    covers exact-mode coupon rounding (a ~2^-27-probability coupon
+    collision shifts the coupon estimate by 1)."""
     e = _t(spark, sf_dir, "events")
     state = sketch_update(e, ["event_type"], "user_id", "hll")
+    est = query_distinct(state, "hll")
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_users")
+    )
     return (
-        query_distinct(state, "hll")
-        .select("event_type", F.col("estimate").cast("long").alias("approx_users"))
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                (F.col("exact_users") >= F.col("lb_3") - 2)
+                & (F.col("exact_users") <= F.col("ub_3") + 2)
+            ).alias("within_3sigma"),
+        )
         .orderBy("event_type")
     )
 
 
 def q16_kll_value_quantiles(spark, sf_dir):
-    """op #5+#11: KLL quantiles + CDF/PMF (approximate; rows-only)."""
+    """op #5+#11: KLL quantiles as a WITHIN-BOUNDS CONTRACT.  The
+    quantile estimates are library-approximate, but (a) KLL's min/max
+    and stream length are EXACT (replayable values), and (b) the exact
+    rank of each estimated quantile must sit within the published
+    normalized rank error (~1.65% at 99% confidence for k=200; 0.02
+    adds margin).  Spark computes the estimates and their exact ranks
+    over the raw data; DuckDB replays min/max/length and the expected
+    `true` booleans."""
+    eps = 0.02
     e = _t(spark, sf_dir, "events")
     state = sketch_update(e, [], "value", "kll")
-    out = query_quantiles(state, (0.5, 0.9, 0.99), (50.0, 100.0, 200.0), "pmf")
-    return out.select(
-        F.round(F.element_at("quantiles", 1), 2).alias("p50"),
-        F.round(F.element_at("quantiles", 2), 2).alias("p90"),
+    q = query_quantiles(state, (0.5, 0.9)).select(
+        F.element_at("quantiles", 1).cast("double").alias("q50"),
+        F.element_at("quantiles", 2).cast("double").alias("q90"),
         "stream_length",
-        F.round(F.element_at("cdf", 1), 3).alias("cdf_50"),
-        F.round(F.element_at("pmf", -1), 3).alias("pmf_tail"),
+        F.col("min_value").cast("double").alias("min_value"),
+        F.col("max_value").cast("double").alias("max_value"),
+    )
+    return e.crossJoin(F.broadcast(q)).agg(
+        F.first("stream_length").alias("stream_length"),
+        F.round(F.first("min_value"), 2).alias("min_value"),
+        F.round(F.first("max_value"), 2).alias("max_value"),
+        (
+            F.abs(F.sum((F.col("value") <= F.col("q50")).cast("long")) / F.count("*") - 0.5)
+            <= eps
+        ).alias("rank50_ok"),
+        (
+            F.abs(F.sum((F.col("value") <= F.col("q90")).cast("long")) / F.count("*") - 0.9)
+            <= eps
+        ).alias("rank90_ok"),
     )
 
 

@@ -271,3 +271,36 @@ def test_metric_tables_rollup(spark):
     assert row["n_convs"] == 200
     qs = row["jaccard_quantiles"]
     assert all(0.0 <= q <= 1.0 for q in qs) and qs[0] <= qs[1] <= qs[2]
+
+
+def test_hll_bounds_coverage_across_boundary(spark):
+    """Exact/estimation boundary property (round-3 task #7 + ADVICE):
+    sweep n across the coupon-promotion region (k/8 .. 4k for lg_k=8)
+    and assert the reported 3-sigma bounds always bracket the truth and
+    the exact-mode collapse (lb==ub) only ever fires when the estimate
+    really is exact.  The k/8 gate must keep 2x margin below the ~k/4
+    HLL_4 promotion point."""
+    lg_k = 8
+    k = 2**lg_k
+    cfg = SketchConfig(hll_lg_k=lg_k)
+    for n in (k // 8 - 4, k // 4, k // 2, k, 2 * k, 4 * k):
+        df = spark.range(n).select(F.col("id"))
+        state = sketch_update(df, [], "id", "hll", cfg)
+        row = query_distinct(state, "hll", cfg).collect()[0]
+        assert row["lb_3"] - 2 <= n <= row["ub_3"] + 2, (n, dict(row.asDict()))
+        if not row["estimation_mode"]:
+            # collapsed bounds are only legitimate when truly exact
+            assert row["estimate"] == pytest.approx(n, abs=2), (n, row["estimate"])
+
+
+def test_theta_bounds_coverage_across_boundary(spark):
+    lg_k = 8
+    k = 2**lg_k
+    cfg = SketchConfig(theta_lg_k=lg_k)
+    for n in (k // 4, k // 2, k, 2 * k, 4 * k, 16 * k):
+        df = spark.range(n).select(F.col("id"))
+        state = sketch_update(df, [], "id", "theta", cfg)
+        row = query_distinct(state, "theta", cfg).collect()[0]
+        assert row["lb_3"] - 2 <= n <= row["ub_3"] + 2, (n, dict(row.asDict()))
+        if not row["estimation_mode"]:
+            assert row["estimate"] == pytest.approx(n, abs=2)
