@@ -78,6 +78,9 @@ def main(argv: list[str] | None = None) -> int:
         "config_hash": cfg.config_hash(),
         "computed": stats.computed,
         "skipped": stats.skipped,
+        # skew observability (no-silent-caps): star_buckets fell back to
+        # O(m) star edges; dropped_members were truncated past bucket_cap
+        "bucket_stats": stats.bucket_stats,
         "n_convs": out["conv_state"].count(),
         "n_edges": out["edges"].count(),
         "n_clusters": out["clusters"].select("cluster_id").distinct().count(),

@@ -34,6 +34,20 @@ class ShingleConfig:
     lowercase: bool = True
     token_pattern: str = "[a-z0-9]+"
 
+    def __post_init__(self) -> None:
+        # token_pattern is MATCH semantics (tokens = what the pattern
+        # matches).  A split-style pattern like '[^a-z0-9]+' would
+        # silently invert meaning (tokens become the punctuation runs),
+        # so reject it loudly instead of producing garbage signatures.
+        if not self.token_pattern:
+            raise ValueError("token_pattern must be a non-empty MATCH regex")
+        if self.token_pattern.startswith("[^") or self.token_pattern in (r"\s+", r"\W+"):
+            raise ValueError(
+                f"token_pattern {self.token_pattern!r} looks like a SPLIT "
+                "pattern; this field uses MATCH semantics (tokens are the "
+                "runs the pattern matches, e.g. '[a-z0-9]+')"
+            )
+
 
 @dataclass(frozen=True)
 class MinHashConfig:

@@ -76,9 +76,15 @@ def mix31(col: Column) -> Column:
 
 
 def mix31_sql(expr: str) -> str:
-    return (
-        f"(((({expr}) % {M31}) * {A1} + {B1}) % {M31} * {A2} + {B2}) % {M31}"
-    )
+    # pmod-equivalent at every step: DuckDB's % is sign-preserving, so
+    # each reduction wraps as ((x % m) + m) % m to match F.pmod on
+    # negative inputs (the module contract is bit-equality with mix31).
+    def _pm(e: str) -> str:
+        return f"((({e}) % {M31} + {M31}) % {M31})"
+
+    h = _pm(expr)
+    h = _pm(f"{h} * {A1} + {B1}")
+    return _pm(f"{h} * {A2} + {B2}")
 
 
 # -- word n-grams (shared with the DuckDB oracle) ----------------------------

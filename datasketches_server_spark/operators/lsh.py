@@ -60,6 +60,7 @@ def candidate_pairs(
     buckets: DataFrame,
     cfg: LshConfig = LshConfig(),
     resources: list[DataFrame] | None = None,
+    unit_col: str | None = None,
 ) -> DataFrame:
     """bucket memberships -> distinct candidate (a, b) pairs, a < b.
 
@@ -84,6 +85,13 @@ def candidate_pairs(
 
     Every operator is a native window / join / filter over Tungsten
     rows; no Python, no per-group buffers.
+
+    unit_col: optional resume-unit column carried on the bucket rows
+    (plans/lineage.py partitions the edge stage by band-bucket range).
+    A bucket lies wholly inside one unit, so per-bucket completeness is
+    preserved; pairs keep their unit for the partitioned checkpoint
+    write, and the same (a, b) found in buckets of two different units
+    is deduplicated at read time (lineage's dropDuplicates).
     """
     # singleton buckets (the overwhelming majority of band buckets) can
     # never emit a pair; a codegen count-aggregate (no object buffers)
@@ -98,13 +106,14 @@ def candidate_pairs(
     )
     buckets = buckets.join(multi, "bucket", "left_semi")
 
+    unit = [unit_col] if unit_col else []
     salt = F.pmod(F.xxhash64("conv_id"), F.lit(cfg.salt_buckets))
     w1 = Window.partitionBy("bucket", "_salt").orderBy("conv_id")
     capped = (
         buckets.withColumn("_salt", salt)
         .withColumn("_rn1", F.row_number().over(w1))
         .where(F.col("_rn1") <= cfg.bucket_cap)
-        .select("bucket", "conv_id")
+        .select("bucket", "conv_id", *unit)
     )
     w2 = Window.partitionBy("bucket").orderBy("conv_id")
     ranked = (
@@ -124,18 +133,18 @@ def candidate_pairs(
     if resources is not None:
         resources.append(ranked)
     small = ranked.where(F.col("sz") <= ALL_PAIRS_CAP)
-    left = small.select("bucket", F.col("conv_id").alias("a"), F.col("rn").alias("_ra"))
+    left = small.select("bucket", F.col("conv_id").alias("a"), F.col("rn").alias("_ra"), *unit)
     right = small.select("bucket", F.col("conv_id").alias("b"), F.col("rn").alias("_rb"))
     pairs_small = (
-        left.join(right, "bucket").where(F.col("_ra") < F.col("_rb")).select("a", "b")
+        left.join(right, "bucket").where(F.col("_ra") < F.col("_rb")).select("a", "b", *unit)
     )
     large = ranked.where(F.col("sz") > ALL_PAIRS_CAP)
-    roots = large.where(F.col("rn") == 1).select("bucket", F.col("conv_id").alias("a"))
+    roots = large.where(F.col("rn") == 1).select("bucket", F.col("conv_id").alias("a"), *unit)
     pairs_large = (
         large.where(F.col("rn") > 1)
         .select("bucket", F.col("conv_id").alias("b"))
         .join(roots, "bucket")
-        .select("a", "b")
+        .select("a", "b", *unit)
     )
     return pairs_small.unionByName(pairs_large).distinct()
 
@@ -157,6 +166,7 @@ def verify_pairs(
     cfg: LshConfig = LshConfig(),
     tier: str = "exact",
     prune_members: bool = False,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Attach similarity evidence to candidate pairs; keep those at/above
     the jaccard threshold.
@@ -204,6 +214,7 @@ def verify_pairs(
     out = joined.select(
         "a",
         "b",
+        *carry_cols,
         sim.alias("jaccard"),
         *(
             [simhash_hamming(F.col("simhash_a"), F.col("simhash_b")).alias("hamming")]

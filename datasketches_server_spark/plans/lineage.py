@@ -8,11 +8,15 @@ recomputation.
 
 Design:
 
-* Work units are hash buckets of conv_id (``pmod(xxhash64(conv_id), B)``)
-  for the per-conversation stage (signatures -- the expensive one), and a
-  single ALL unit for the global stages (LSH edges, clusters), which are
-  cheap relative to signatures and cannot be bucketed without losing
-  cross-bucket candidate pairs.
+* Work units: hash buckets of conv_id (``pmod(xxhash64(conv_id), B)``)
+  for the per-conversation stage (signatures -- the expensive one);
+  band-bucket ranges (``pmod(bucket_hash, edge_units)``) for the edge
+  stage -- an LSH band bucket lies wholly inside one unit, so per-unit
+  candidate generation + verify is complete, and a kill mid-verify
+  recomputes only pending units (the same pair surfacing in buckets of
+  two units is deduplicated at read time); single ALL units for the CC
+  label fixpoint and the singleton attach (checkpointed separately so a
+  kill between them resumes from the labeled-edges output).
 * Stage outputs land under ``{workdir}/{stage}/{config_hash}_{input_fp}/
   _bucket=<i>`` -- the output path is KEYED by config hash and input
   fingerprint, so two configs (or two input snapshots) can never serve
@@ -42,7 +46,7 @@ from pyspark.sql import functions as F
 
 from ..config import DEFAULT_CONFIG, PipelineConfig
 from ..operators.components import attach_singletons, connected_components
-from ..operators.lsh import band_buckets, candidate_pairs, verify_pairs
+from ..operators.lsh import band_buckets, bucket_stats, candidate_pairs, verify_pairs
 from .pipeline import conv_signatures
 
 MANIFEST = "_lineage"
@@ -52,13 +56,33 @@ MANIFEST = "_lineage"
 class RunStats:
     computed: dict[str, int] = field(default_factory=dict)  # stage -> units computed
     skipped: dict[str, int] = field(default_factory=dict)
+    # skew observability (no-silent-caps rule): band-bucket histogram
+    # from operators.lsh.bucket_stats, filled whenever the edge stage
+    # actually computes -- n_buckets / max_bucket / star_buckets /
+    # dropped_members, so capped-bucket drops are visible in the run
+    # summary instead of silently shaping recall.
+    bucket_stats: dict[str, int] = field(default_factory=dict)
 
 
 class LineageRunner:
-    def __init__(self, spark: SparkSession, workdir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
+    def __init__(
+        self,
+        spark: SparkSession,
+        workdir: str,
+        cfg: PipelineConfig = DEFAULT_CONFIG,
+        edge_units: int = 8,
+    ):
+        """edge_units: resume granularity for the edge stage -- band
+        buckets are range-partitioned into this many units (pmod of the
+        bucket hash), each checkpointed independently, so a kill during
+        verify recomputes only pending units instead of the whole stage.
+        An execution knob like cc_driver_threshold (NOT part of
+        PipelineConfig: tuning it must not invalidate lineage); at 100 TB
+        size it so one unit's verify fits a re-run budget (10^2-10^3)."""
         self.spark = spark
         self.workdir = workdir
         self.cfg = cfg
+        self.edge_units = edge_units
         self.config_hash = cfg.config_hash()
         os.makedirs(workdir, exist_ok=True)
 
@@ -114,8 +138,16 @@ class LineageRunner:
     def _unit_path(self, stage: str, partition_id: int, input_fp: str = "static") -> str:
         return os.path.join(self._stage_dir(stage, input_fp), f"_bucket={partition_id}")
 
-    def _stage_df(self, stage: str, input_fp: str) -> DataFrame:
-        return self.spark.read.parquet(self._stage_dir(stage, input_fp)).drop("_bucket")
+    def _stage_df(self, stage: str, input_fp: str, fallback: DataFrame) -> DataFrame:
+        """Read a stage's output; an all-empty stage (empty corpus, or
+        every bucket produced zero rows) leaves only empty `_bucket=`
+        dirs with no parquet files, where a bare read would throw --
+        fall back to an empty DataFrame with the stage's schema (taken
+        from `fallback`, a lazily-built plan: .schema runs no job)."""
+        try:
+            return self.spark.read.parquet(self._stage_dir(stage, input_fp)).drop("_bucket")
+        except Exception:
+            return self.spark.createDataFrame([], fallback.schema)
 
     # -- pipeline ----------------------------------------------------------
     def run(self, transcripts: DataFrame, input_fp: str = "static") -> tuple[dict[str, DataFrame], RunStats]:
@@ -126,7 +158,10 @@ class LineageRunner:
         """
         stats = RunStats()
         B = self.cfg.num_buckets
+        E = self.edge_units
         bucket = F.pmod(F.xxhash64("conv_id"), F.lit(B)).cast("int")
+        # lazily-built schema donors for empty-stage fallbacks (no jobs)
+        empty_state = conv_signatures(transcripts.limit(0), self.cfg)
 
         # stage 1: per-bucket signatures -- ONE partitioned write for all
         # pending buckets + ONE bulk manifest append (see module docstring)
@@ -150,11 +185,9 @@ class LineageRunner:
                 .partitionBy("_bucket")
                 .parquet(self._stage_dir("signatures", input_fp))
             )
-            written = self.spark.read.parquet(self._stage_dir("signatures", input_fp))
             counts = {
                 r["_bucket"]: r["n"]
-                for r in written.where(F.col("_bucket").isin(pending))
-                .groupBy("_bucket").agg(F.count("*").alias("n")).collect()
+                for r in self._stage_counts("signatures", input_fp, pending)
             }
             # buckets that received no conv still count as completed units
             self._record_bulk(
@@ -164,40 +197,110 @@ class LineageRunner:
             # so done_units' existence check passes on resume
             for i in pending:
                 os.makedirs(self._unit_path("signatures", i, input_fp), exist_ok=True)
-        state = self._stage_df("signatures", input_fp)
+        state = self._stage_df("signatures", input_fp, fallback=empty_state)
 
-        # stage 2: global LSH edges (single unit)
-        if 0 in self.done_units("edges", input_fp):
-            stats.skipped["edges"] = 1
-            stats.computed["edges"] = 0
-        else:
-            resources: list[DataFrame] = []
-            cands = candidate_pairs(
-                band_buckets(state, self.cfg.lsh), self.cfg.lsh, resources=resources
+        # stage 2: LSH edges, bucketized by band-bucket range -- band
+        # buckets hash into `edge_units` resume units (a bucket lies
+        # wholly in one unit, so per-bucket candidate generation is
+        # complete per unit); ONE partitioned write covers all pending
+        # units, so a kill mid-verify recomputes only what's missing.
+        unit_of_bucket = F.pmod(F.col("bucket"), F.lit(E)).cast("int")
+        bands_all = band_buckets(state, self.cfg.lsh).withColumn("_unit", unit_of_bucket)
+        # schema donor: the same plan over the empty state (lazy)
+        empty_edges = verify_pairs(
+            candidate_pairs(
+                band_buckets(empty_state, self.cfg.lsh).withColumn("_unit", unit_of_bucket),
+                self.cfg.lsh, unit_col="_unit",
+            ),
+            empty_state, self.cfg.lsh, carry_cols=("_unit",),
+        ).drop("_unit")
+        done_e = self.done_units("edges", input_fp)
+        pending_e = [i for i in range(E) if i not in done_e]
+        stats.skipped["edges"] = len(done_e)
+        stats.computed["edges"] = len(pending_e)
+        if pending_e:
+            bands = (
+                bands_all.where(F.col("_unit").isin(pending_e))
+                if len(pending_e) < E
+                else bands_all
             )
-            edges = verify_pairs(cands, state, self.cfg.lsh)
-            edges.write.mode("overwrite").parquet(self._unit_path("edges", 0, input_fp))
+            stats.bucket_stats = {
+                k: int(v if v is not None else 0)
+                for k, v in bucket_stats(bands, self.cfg.lsh).collect()[0].asDict().items()
+            }
+            resources: list[DataFrame] = []
+            cands = candidate_pairs(bands, self.cfg.lsh, resources=resources, unit_col="_unit")
+            edges_w = verify_pairs(
+                cands, state, self.cfg.lsh, carry_cols=("_unit",)
+            ).withColumnRenamed("_unit", "_bucket")
+            (
+                edges_w.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_bucket")
+                .parquet(self._stage_dir("edges", input_fp))
+            )
             for df in resources:  # cache lifetime ends at the write
                 df.unpersist()
-            n = self.spark.read.parquet(self._unit_path("edges", 0, input_fp)).count()
-            self._record_bulk("edges", {0: n}, input_fp)
-            stats.computed["edges"] = 1
-        edges = self._stage_df("edges", input_fp)
+            counts = {
+                r["_bucket"]: r["n"] for r in self._stage_counts("edges", input_fp, pending_e)
+            }
+            self._record_bulk("edges", {i: counts.get(i, 0) for i in pending_e}, input_fp)
+            for i in pending_e:
+                os.makedirs(self._unit_path("edges", i, input_fp), exist_ok=True)
+        # the same (a, b) pair found in buckets of two units appears once
+        # per unit; its jaccard/hamming are identical, so key-dedup here
+        edges = self._stage_df("edges", input_fp, fallback=empty_edges).dropDuplicates(["a", "b"])
 
-        # stage 3: clusters (single unit)
+        # stage 3a: connected-component labels (checkpointed separately
+        # from the singleton attach, so a kill between them resumes from
+        # the labeled-edges output instead of re-running the CC fixpoint)
+        id_type = dict(empty_edges.dtypes)["a"]
+        empty_labels = self.spark.createDataFrame(
+            [], f"conv_id {id_type}, cluster_id {id_type}"
+        )
+        if 0 in self.done_units("labels", input_fp):
+            stats.skipped["labels"] = 1
+            stats.computed["labels"] = 0
+        else:
+            labels = connected_components(edges)
+            labels.write.mode("overwrite").parquet(self._unit_path("labels", 0, input_fp))
+            n = self._stage_count_all("labels", input_fp)
+            self._record_bulk("labels", {0: n}, input_fp)
+            stats.computed["labels"] = 1
+        labels = self._stage_df("labels", input_fp, fallback=empty_labels)
+
+        # stage 3b: clusters = labels + singletons
+        empty_clusters = empty_labels
         if 0 in self.done_units("clusters", input_fp):
             stats.skipped["clusters"] = 1
             stats.computed["clusters"] = 0
         else:
-            labels = connected_components(edges)
             clusters = attach_singletons(labels, state)
             clusters.write.mode("overwrite").parquet(self._unit_path("clusters", 0, input_fp))
-            n = self.spark.read.parquet(self._unit_path("clusters", 0, input_fp)).count()
+            n = self._stage_count_all("clusters", input_fp)
             self._record_bulk("clusters", {0: n}, input_fp)
             stats.computed["clusters"] = 1
-        clusters = self._stage_df("clusters", input_fp)
+        clusters = self._stage_df("clusters", input_fp, fallback=empty_clusters)
 
         return {"conv_state": state, "edges": edges, "clusters": clusters}, stats
+
+    def _stage_counts(self, stage: str, input_fp: str, pending: list[int]):
+        """Per-unit row counts of freshly written output (guarded: an
+        all-empty write leaves no parquet files)."""
+        try:
+            written = self.spark.read.parquet(self._stage_dir(stage, input_fp))
+        except Exception:
+            return []
+        return (
+            written.where(F.col("_bucket").isin(pending))
+            .groupBy("_bucket").agg(F.count("*").alias("n")).collect()
+        )
+
+    def _stage_count_all(self, stage: str, input_fp: str) -> int:
+        try:
+            return self.spark.read.parquet(self._unit_path(stage, 0, input_fp)).count()
+        except Exception:
+            return 0
 
     def reset_stage(self, stage: str) -> None:
         """The /reset analog (ResetHandler.java:43-83): drop a stage's

@@ -57,6 +57,14 @@ class DedupResult:
     conv_state: DataFrame   # per-conv signatures
     edges: DataFrame        # verified dup pairs (a, b, jaccard, hamming)
     clusters: DataFrame     # (conv_id, cluster_id) covering every conv
+    # skew observability (no-silent-caps rule): lazy one-row DataFrame
+    # from operators.lsh.bucket_stats -- n_buckets / max_bucket /
+    # star_buckets (fell back to O(m) star edges) / dropped_members
+    # (truncated past bucket_cap).  Materialize it to see what the caps
+    # dropped; LineageRunner.run surfaces the same numbers in RunStats.
+    bucket_report: DataFrame | None = None
+    # what the prune_verify="auto" heuristic decided (None = forced mode)
+    pruned_verify: bool | None = None
     resources: list = field(default_factory=list)  # persisted relations
 
     def unpersist(self) -> None:
@@ -88,9 +96,10 @@ def dedup_pipeline(
     (default) decides from measured counts -- pruning wins when pair
     members are a small fraction of the corpus (real-world sparse dedup)
     and loses on dup-dense corpora where members ~= corpus (the planted
-    bench corpus), so the heuristic compares the candidate-pair count
-    against the corpus size.  Auto requires cache_state (it uses the
-    corpus count that materialization already produces)."""
+    bench corpus), so the heuristic counts DISTINCT pair members on the
+    persisted pair list (not the 2*pairs proxy, which overshoots on
+    mega-clusters).  Auto requires cache_state (it uses the corpus
+    count that materialization already produces)."""
     resources: list[DataFrame] = []
     n_convs: int | None = None
     state = conv_signatures(transcripts, cfg)
@@ -115,10 +124,19 @@ def dedup_pipeline(
         else:
             cands = cands.persist()
             resources.append(cands)
-            n_pairs = cands.count()
-            # members <= 2*pairs; pruning pays when that is well under
-            # the corpus (each fat verify shuffle shrinks accordingly)
-            prune = 2 * n_pairs < n_convs // 2
+            cands.count()  # materialize (also fails fast on a pair explosion)
+            # measure DISTINCT pair members directly (one cheap agg on
+            # the persisted narrow pair list) rather than the 2*pairs
+            # proxy: a few mega-clusters make members << 2*pairs, and
+            # the proxy would skip a profitable prune
+            n_members = (
+                cands.select(F.col("a").alias("m"))
+                .union(cands.select(F.col("b").alias("m")))
+                .agg(F.countDistinct("m").alias("n")).collect()[0]["n"]
+            )
+            # pruning pays when pair members are a small fraction of the
+            # corpus (each fat verify shuffle shrinks accordingly)
+            prune = n_members < n_convs // 2
     else:
         prune = bool(prune_verify)
         if prune:
@@ -130,7 +148,14 @@ def dedup_pipeline(
     edges = verify_pairs(cands, state, cfg.lsh, tier=verify_tier, prune_members=prune)
     labels = connected_components(edges, driver_threshold=cc_driver_threshold)
     clusters = attach_singletons(labels, state)
-    return DedupResult(conv_state=state, edges=edges, clusters=clusters, resources=resources)
+    from ..operators.lsh import bucket_stats
+
+    return DedupResult(
+        conv_state=state, edges=edges, clusters=clusters,
+        bucket_report=bucket_stats(buckets, cfg.lsh),
+        pruned_verify=prune if prune_verify == "auto" else None,
+        resources=resources,
+    )
 
 
 def cluster_summary(clusters: DataFrame) -> DataFrame:

@@ -178,12 +178,19 @@ class SketchTableServer:
         return merged
 
     # -- /serialize ---------------------------------------------------------
-    def serialize(self, name: str) -> str:
+    def serialize(self, name: str, max_items: int = 65536) -> str:
         """base64 image for EVERY family (SerializationHandler.java:53-107):
         theta/hll/cpc/kll export the DataSketches-compatible binary; the
         strings-SerDe families (frequency/reservoir/varopt -- the
         reference uses ArrayOfStringsSerDe, lines 78/87/90) export a
-        portable base64url JSON image of (items/sample + totals + k)."""
+        portable base64url JSON image of (items/sample + totals + k +
+        the item column's type, so a reload casts correctly).
+
+        max_items guards the frequency family: its exact tier can hold
+        an unbounded distinct-item table, and an image collects it to
+        the driver.  Past the cap we refuse (the reference's ItemsSketch
+        is k-bounded and never hits this) -- export query_frequency
+        top-k instead, or raise max_items deliberately."""
         import base64
 
         d = self.decls[name]
@@ -193,8 +200,17 @@ class SketchTableServer:
             return row["image"]
         if d.family == "frequency":
             item_cols = [c for c in st.columns if c != "weight"]
+            n_items = st.count()
+            if n_items > max_items:
+                raise ValueError(
+                    f"{name}: frequency state holds {n_items} distinct items "
+                    f"(> max_items={max_items}); serializing would collect them "
+                    "all to the driver.  Export a top-k via query_frequency, or "
+                    "pass a larger max_items explicitly."
+                )
             payload = {
                 "family": "frequency", "k": d.k, "item_col": item_cols[0],
+                "item_type": dict(st.dtypes)[item_cols[0]],
                 "items": [
                     {"item": r[item_cols[0]], "weight": r["weight"]} for r in st.collect()
                 ],
@@ -203,6 +219,7 @@ class SketchTableServer:
             row = st.collect()[0]
             payload = {
                 "family": d.family, "k": d.k,
+                "item_type": _sample_item_type(st),
                 "sample": [s.asDict() for s in row["sample"]],
             }
             for tc in ("stream_n", "stream_weight"):
@@ -232,16 +249,25 @@ class SketchTableServer:
         p = json.loads(base64.urlsafe_b64decode(image))
         if p["family"] != d.family:
             raise ValueError(f"image family {p['family']!r} != {d.family!r}")
+        # the item column's type travels in the image (older images
+        # default to string); a live state with a non-string item column
+        # (numeric value feeds) additionally coerces the batch to ITS
+        # type, so the unionByName/merge below can never type-mismatch
+        item_type = p.get("item_type", "string")
         if d.family == "frequency":
             col = p["item_col"]
+            if prev is not None:
+                item_type = dict(prev.dtypes)[col]
             batch = self.spark.createDataFrame(
-                [(i["item"], float(i["weight"])) for i in p["items"]],
+                [(str(i["item"]), float(i["weight"])) for i in p["items"]],
                 f"{col} string, weight double",
-            )
+            ).withColumn(col, F.col(col).cast(item_type))
         elif d.family == "reservoir":
+            if prev is not None:
+                item_type = _sample_item_type(prev)
             rows = self.spark.createDataFrame(
-                [(s["_key"], s["item"]) for s in p["sample"]], "_key double, item string"
-            )
+                [(s["_key"], str(s["item"])) for s in p["sample"]], "_key double, item string"
+            ).withColumn("item", F.col("item").cast(item_type))
             batch = rows.agg(
                 F.sort_array(F.collect_list(F.struct("_key", "item"))).alias("sample")
             ).select(
@@ -250,10 +276,12 @@ class SketchTableServer:
                 F.lit(int(p["stream_n"])).cast("long").alias("stream_n"),
             )
         else:  # varopt
+            if prev is not None:
+                item_type = _sample_item_type(prev)
             rows = self.spark.createDataFrame(
-                [(s["_key"], s["item"], s["weight"]) for s in p["sample"]],
+                [(s["_key"], str(s["item"]), s["weight"]) for s in p["sample"]],
                 "_key double, item string, weight double",
-            )
+            ).withColumn("item", F.col("item").cast(item_type))
             batch = rows.agg(
                 F.sort_array(F.collect_list(F.struct("_key", "item", "weight"))).alias("sample")
             ).select(
@@ -282,6 +310,12 @@ class SketchTableServer:
         return self.spark.createDataFrame(
             rows, "name string, family string, type string, k int, has_data boolean"
         ).orderBy("name")
+
+
+def _sample_item_type(state: DataFrame) -> str:
+    """The sample struct's item field type (reservoir/varopt state)."""
+    elem = state.schema["sample"].dataType.elementType
+    return next(f.dataType.simpleString() for f in elem.fields if f.name == "item")
 
 
 def _union_all(dfs: list[DataFrame]) -> DataFrame:

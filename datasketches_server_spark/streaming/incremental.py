@@ -56,6 +56,33 @@ def windowed_sketch_stream(
     )
 
 
+def append_metrics_batch(
+    batch: DataFrame,
+    epoch_id: int,
+    out_path: str,
+    key_col: str = "event_type",
+    item_col: str = "user_id",
+    cfg: SketchConfig = SketchConfig(),
+) -> None:
+    """One micro-batch's partial sketches, written EXACTLY-ONCE: the
+    output is partitioned by epoch_id and written with dynamic partition
+    overwrite, so a Structured Streaming epoch RETRY (foreachBatch is
+    at-least-once) replaces its own partition instead of appending a
+    duplicate -- the merged estimate is idempotent under replay."""
+    (
+        batch.groupBy(key_col)
+        .agg(
+            F.theta_sketch_agg(item_col, cfg.theta_lg_k).alias("theta_items"),
+            F.count("*").alias("n_events"),
+        )
+        .withColumn("epoch_id", F.lit(int(epoch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch_id")
+        .parquet(out_path)
+    )
+
+
 def append_metrics_foreachBatch(
     stream: DataFrame,
     out_path: str,
@@ -64,20 +91,12 @@ def append_metrics_foreachBatch(
     cfg: SketchConfig = SketchConfig(),
 ):
     """writeStream.foreachBatch sink: per-batch partial sketches appended
-    to a parquet/Iceberg metrics table.  Mergeability makes the append
-    log queryable at any time: estimate = theta_union_agg over all rows."""
+    to a parquet/Iceberg metrics table (idempotent per epoch -- see
+    append_metrics_batch).  Mergeability makes the append log queryable
+    at any time: estimate = theta_union_agg over all rows."""
 
     def _sink(batch: DataFrame, epoch_id: int) -> None:
-        (
-            batch.groupBy(key_col)
-            .agg(
-                F.theta_sketch_agg(item_col, cfg.theta_lg_k).alias("theta_items"),
-                F.count("*").alias("n_events"),
-            )
-            .withColumn("epoch_id", F.lit(epoch_id))
-            .write.mode("append")
-            .parquet(out_path)
-        )
+        append_metrics_batch(batch, epoch_id, out_path, key_col, item_col, cfg)
 
     return stream.writeStream.foreachBatch(_sink)
 
@@ -143,6 +162,7 @@ def streaming_near_dup_pairs(
     rows_per_band: int = 4,
     threshold: float = 0.7,
     bucket_cap: int = 256,
+    state_ttl_minutes: int | None = None,
 ):
     """Continuous near-duplicate detection (applyInPandasWithState):
     the streaming tier of the LSH pipeline.
@@ -162,6 +182,13 @@ def streaming_near_dup_pairs(
     joins downstream if needed.  A pair colliding in several buckets is
     emitted once per bucket; dedup with .dropDuplicates(["a","b"]) per
     output window downstream.
+
+    state_ttl_minutes: optional eviction policy for unbounded streams --
+    a band bucket that receives no new member for this long drops its
+    state (processing-time timeout), so cold buckets don't pin executor
+    state forever; near-dups separated by more than the TTL are then
+    deliberately not detected (the usual streaming-dedup horizon
+    contract).  None = keep state forever.
     """
     import numpy as np
     import pandas as pd
@@ -189,39 +216,75 @@ def streaming_near_dup_pairs(
     state_schema = "ids array<string>, sigs array<array<long>>"
     num_perm = bands * rows_per_band
 
-    def match_fn(key, pdf_iter, state: GroupState):
+    match_fn = make_near_dup_match_fn(num_perm, threshold, bucket_cap, state_ttl_minutes)
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_minutes is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return buckets.groupBy("bucket").applyInPandasWithState(
+        match_fn, out_schema, state_schema, "append", timeout
+    )
+
+
+def make_near_dup_match_fn(
+    num_perm: int, threshold: float, bucket_cap: int, state_ttl_minutes: float | None
+):
+    """The per-band-bucket stateful kernel of streaming_near_dup_pairs,
+    exposed for direct unit testing (eviction needs a timed-out GroupState,
+    which a live processAllAvailable test can't produce deterministically:
+    ProcessingTimeTimeout keeps scheduling no-data batches, so
+    processAllAvailable never settles)."""
+    import numpy as np
+    import pandas as pd
+
+    def match_fn(key, pdf_iter, state):
+        if state.hasTimedOut:
+            # TTL eviction: this bucket went cold -- drop its members
+            state.remove()
+            return
         if state.exists:
             ids, sig_lists = state.get
             ids = list(ids)
-            mat = np.array([list(s) for s in sig_lists], dtype=np.int64) if ids else np.empty((0, num_perm), dtype=np.int64)
         else:
-            ids, mat = [], np.empty((0, num_perm), dtype=np.int64)
+            ids, sig_lists = [], []
+        # ONE preallocated (bucket_cap, num_perm) buffer per group per
+        # batch: members append by index -- no per-row np.vstack copies
+        # (that was O(cap^2) copied cells within a batch)
+        buf = np.empty((bucket_cap, num_perm), dtype=np.int64)
+        cnt = len(ids)
+        if cnt:
+            buf[:cnt] = np.array([list(s) for s in sig_lists], dtype=np.int64)
         out_rows = []
         for pdf in pdf_iter:
             for conv_id, mh in zip(pdf["conv_id"], pdf["minhash"]):
                 v = np.asarray(mh, dtype=np.int64)
-                if len(ids):
-                    est = (mat == v[None, :]).mean(axis=1)
+                if cnt:
+                    est = (buf[:cnt] == v[None, :]).mean(axis=1)
                     for j in np.flatnonzero(est >= threshold):
                         a, b = sorted((ids[j], conv_id))
                         out_rows.append((a, b, float(est[j]), int(key[0])))
-                if len(ids) < bucket_cap:
+                if cnt < bucket_cap:
                     ids.append(conv_id)
-                    mat = np.vstack([mat, v[None, :]])
-        state.update((ids, [list(map(int, r)) for r in mat]))
+                    buf[cnt] = v
+                    cnt += 1
+        state.update((ids, [list(map(int, r)) for r in buf[:cnt]]))
+        if state_ttl_minutes is not None:
+            state.setTimeoutDuration(int(state_ttl_minutes * 60_000))
         if out_rows:
             yield pd.DataFrame(out_rows, columns=["a", "b", "est_jaccard", "bucket"])
 
-    return buckets.groupBy("bucket").applyInPandasWithState(
-        match_fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
-    )
+    return match_fn
 
 
 def merged_view(spark: SparkSession, metrics_path: str, key_col: str = "event_type",
                 cfg: SketchConfig = SketchConfig()) -> DataFrame:
     """Query the append log: merge partial sketches per key (the /query
-    endpoint over accumulated /update batches)."""
-    m = spark.read.parquet(metrics_path)
+    endpoint over accumulated /update batches).  The epoch-partitioned
+    write is already idempotent; the key-dedup here is defense in depth
+    against a torn non-atomic overwrite (two part files surviving in
+    one epoch partition)."""
+    m = spark.read.parquet(metrics_path).dropDuplicates(["epoch_id", key_col])
     return m.groupBy(key_col).agg(
         F.theta_sketch_estimate(F.theta_union_agg("theta_items", cfg.theta_lg_k)).alias("distinct_items"),
         F.sum("n_events").alias("n_events"),

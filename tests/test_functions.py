@@ -135,3 +135,47 @@ def test_shingle_config_plumbs_through_pipeline(spark):
         )
     }
     assert len(hashes) == 3
+
+
+def test_portable_sql_twins_bit_equal(spark):
+    """functions/portable.py contract: every *_sql twin emits bit-identical
+    values to its Column builder, including NEGATIVE inputs (DuckDB's %
+    is sign-preserving; the twins must wrap like F.pmod)."""
+    import duckdb
+
+    from datasketches_server_spark.functions.portable import (
+        md5_long60,
+        md5_long60_sql,
+        mix31,
+        mix31_sql,
+        u01,
+        u01_sql,
+    )
+
+    vals = [-(2**40) - 7, -12345, -1, 0, 1, 7, 2**31, 2**45 + 3]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    got = df.select(
+        mix31(F.col("x")).alias("m"),
+        md5_long60(F.col("x")).alias("h"),
+        u01(F.col("x"), salt="t|").alias("u"),
+    ).orderBy("m").collect()
+    con = duckdb.connect()
+    want = con.sql(
+        "SELECT "
+        f"{mix31_sql('x')} AS m, {md5_long60_sql('x')} AS h, "
+        f"{u01_sql('x', salt='t|')} AS u "
+        f"FROM (SELECT unnest({vals}) AS x) ORDER BY m"
+    ).fetchall()
+    assert [(r["m"], r["h"], r["u"]) for r in got] == [tuple(w) for w in want]
+
+
+def test_shingle_config_rejects_split_patterns():
+    import pytest as _pytest
+
+    from datasketches_server_spark.config import ShingleConfig
+
+    ShingleConfig(token_pattern="[a-z0-9]+")  # match-style: fine
+    with _pytest.raises(ValueError, match="SPLIT"):
+        ShingleConfig(token_pattern="[^a-z0-9]+")
+    with _pytest.raises(ValueError, match="non-empty"):
+        ShingleConfig(token_pattern="")

@@ -1,5 +1,6 @@
 """Kill/resume semantics: a re-run recomputes nothing; a partially
-killed run recomputes only missing units; results are identical."""
+killed run recomputes only missing units -- per signature bucket AND
+per edge unit (band-bucket range); results are identical."""
 
 from __future__ import annotations
 
@@ -11,6 +12,9 @@ from pyspark.sql import functions as F
 from datasketches_server_spark.config import PipelineConfig
 from datasketches_server_spark.plans.lineage import LineageRunner
 from datasketches_server_spark.sources.synth import synth_transcripts
+
+FULL = {"signatures": 8, "edges": 8, "labels": 1, "clusters": 1}
+NONE = {"signatures": 0, "edges": 0, "labels": 0, "clusters": 0}
 
 
 @pytest.fixture()
@@ -28,12 +32,16 @@ def test_full_run_then_noop_resume(spark, workdir):
     runner = LineageRunner(spark, workdir, cfg)
 
     out1, s1 = runner.run(t)
-    assert s1.computed == {"signatures": 8, "edges": 1, "clusters": 1}
+    assert s1.computed == FULL
+    # skew observability surfaced on the computing run (task: no silent caps)
+    assert s1.bucket_stats["n_buckets"] > 0
+    assert "dropped_members" in s1.bucket_stats and "star_buckets" in s1.bucket_stats
     f1 = _fingerprint(out1["clusters"])
 
     out2, s2 = runner.run(t)
-    assert s2.computed == {"signatures": 0, "edges": 0, "clusters": 0}
-    assert s2.skipped == {"signatures": 8, "edges": 1, "clusters": 1}
+    assert s2.computed == NONE
+    assert s2.skipped == FULL
+    assert s2.bucket_stats == {}  # nothing recomputed -> nothing measured
     assert _fingerprint(out2["clusters"]) == f1
 
 
@@ -47,14 +55,73 @@ def test_kill_and_resume_recomputes_only_missing(spark, workdir):
     # simulate a crash that lost two signature buckets and everything after
     shutil.rmtree(runner._unit_path("signatures", 3))
     shutil.rmtree(runner._unit_path("signatures", 5))
-    shutil.rmtree(runner._unit_path("edges", 0))
-    shutil.rmtree(runner._unit_path("clusters", 0))
+    shutil.rmtree(runner._stage_dir("edges", "static"))
+    shutil.rmtree(runner._stage_dir("labels", "static"))
+    shutil.rmtree(runner._stage_dir("clusters", "static"))
 
     out2, s2 = runner.run(t)
     assert s2.computed["signatures"] == 2  # only the lost buckets
     assert s2.skipped["signatures"] == 6
-    assert s2.computed["edges"] == 1 and s2.computed["clusters"] == 1
+    assert s2.computed["edges"] == 8
+    assert s2.computed["labels"] == 1 and s2.computed["clusters"] == 1
     assert _fingerprint(out2["clusters"]) == f1
+
+
+def test_kill_at_edge_stage_midpoint_recomputes_only_pending_units(spark, workdir):
+    """Round-3 task #5: the edge stage is bucketized by band-bucket
+    range -- a kill mid-verify must recompute only the lost units, and
+    the resumed result must be identical."""
+    cfg = PipelineConfig(num_buckets=4)
+    t = synth_transcripts(spark, n_convs=300, seed=13)
+    runner = LineageRunner(spark, workdir, cfg, edge_units=8)
+    out1, s1 = runner.run(t)
+    assert s1.computed["edges"] == 8
+    f1 = _fingerprint(out1["clusters"])
+    n_edges1 = out1["edges"].count()
+
+    # crash at stage-2 midpoint: units 2 and 5 lost, later stages lost
+    shutil.rmtree(runner._unit_path("edges", 2))
+    shutil.rmtree(runner._unit_path("edges", 5))
+    shutil.rmtree(runner._stage_dir("labels", "static"))
+    shutil.rmtree(runner._stage_dir("clusters", "static"))
+
+    out2, s2 = runner.run(t)
+    assert s2.computed["signatures"] == 0
+    assert s2.computed["edges"] == 2 and s2.skipped["edges"] == 6
+    assert out2["edges"].count() == n_edges1
+    assert _fingerprint(out2["clusters"]) == f1
+
+
+def test_kill_between_labels_and_clusters_resumes_from_labels(spark, workdir):
+    """Stage 3 is split: losing only the singleton-attach output must
+    NOT re-run the connected-components fixpoint."""
+    cfg = PipelineConfig(num_buckets=4)
+    t = synth_transcripts(spark, n_convs=200, seed=11)
+    runner = LineageRunner(spark, workdir, cfg)
+    out1, _ = runner.run(t)
+    f1 = _fingerprint(out1["clusters"])
+
+    shutil.rmtree(runner._stage_dir("clusters", "static"))
+    out2, s2 = runner.run(t)
+    assert s2.computed == {"signatures": 0, "edges": 0, "labels": 0, "clusters": 1}
+    assert _fingerprint(out2["clusters"]) == f1
+
+
+def test_empty_corpus_runs_clean(spark, workdir):
+    """ADVICE fix: a pending set that produces ZERO rows (empty corpus)
+    leaves no parquet files under the stage dir; the runner must fall
+    back to empty DataFrames with the right schema instead of throwing."""
+    t = synth_transcripts(spark, n_convs=50, seed=11).where(F.lit(False))
+    runner = LineageRunner(spark, workdir, PipelineConfig(num_buckets=4))
+    out, s = runner.run(t)
+    assert out["conv_state"].count() == 0
+    assert out["edges"].count() == 0
+    assert out["clusters"].count() == 0
+    assert s.computed["signatures"] == 4
+    # resume over the empty outputs is also clean
+    out2, s2 = runner.run(t)
+    assert s2.computed["signatures"] == 0
+    assert out2["clusters"].count() == 0
 
 
 def test_config_change_invalidates(spark, workdir):
@@ -84,7 +151,7 @@ def test_config_roundtrip_serves_own_outputs(spark, workdir):
     LineageRunner(spark, workdir, cfg_b).run(t)
 
     out_a2, s = LineageRunner(spark, workdir, cfg_a).run(t)
-    assert s.computed == {"signatures": 0, "edges": 0, "clusters": 0}
+    assert s.computed == NONE
     assert _fingerprint(out_a2["clusters"]) == f_a
 
 
@@ -100,4 +167,4 @@ def test_reset_stage(spark, workdir):
     runner.run(t)
     runner.reset_stage("clusters")
     _, s = runner.run(t)
-    assert s.computed == {"signatures": 0, "edges": 0, "clusters": 1}
+    assert s.computed == {"signatures": 0, "edges": 0, "labels": 0, "clusters": 1}

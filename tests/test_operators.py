@@ -352,3 +352,147 @@ def test_hashed_bow_near_dups_finds_planted_dups(spark):
     assert out[(1, 2)] == 1.0
     assert (1, 3) in out and out[(1, 3)] >= 0.9
     assert not any(4 in p for p in out)
+
+
+def test_streaming_metrics_epoch_replay_is_idempotent(spark, tmp_path):
+    """Round-3 task #3: foreachBatch is at-least-once -- a replayed
+    epoch must overwrite its own partition, not append a duplicate, so
+    the merged estimate is unchanged under retry."""
+    from datasketches_server_spark.streaming.incremental import (
+        append_metrics_batch,
+        merged_view,
+    )
+
+    out = str(tmp_path / "metrics_replay")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    half1 = ev.where(F.col("user_id") % 2 == 0)
+    half2 = ev.where(F.col("user_id") % 2 == 1)
+
+    append_metrics_batch(half1, 0, out)
+    append_metrics_batch(half2, 1, out)
+    before = {r["event_type"]: (r["n_events"], r["distinct_items"])
+              for r in merged_view(spark, out).collect()}
+
+    # forced double-fire: epoch 1 replays (same data, same epoch_id)
+    append_metrics_batch(half2, 1, out)
+    after = {r["event_type"]: (r["n_events"], r["distinct_items"])
+             for r in merged_view(spark, out).collect()}
+    assert after == before
+
+    truth = {r["event_type"]: r["n"]
+             for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    assert {k: v[0] for k, v in after.items()} == truth
+
+
+def test_streaming_near_dup_state_is_capped(spark, tmp_path):
+    """Round-3 task #6: bucket state holds at most bucket_cap members --
+    members past the cap still MATCH against stored state but are not
+    stored, so a mega-family's pair volume stays linear."""
+    from datasketches_server_spark.streaming.incremental import streaming_near_dup_pairs
+
+    src = str(tmp_path / "cap_src")
+    ckpt = str(tmp_path / "cap_ckpt")
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    batch1 = [(f"d{i}", text) for i in range(1, 5)]  # fills cap exactly
+    df1 = spark.createDataFrame(batch1, "conv_id string, full_text string")
+    df1.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(df1.schema).parquet(src)
+    pairs = streaming_near_dup_pairs(stream, threshold=0.7, bucket_cap=4)
+    q = (
+        pairs.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("memory").queryName("cap_out").start()
+    )
+    q.processAllAvailable()
+    # 4 stored members -> all C(4,2) pairs
+    got1 = {(r["a"], r["b"]) for r in spark.sql("SELECT DISTINCT a, b FROM cap_out").collect()}
+    assert len(got1) == 6
+
+    # two more identical docs: each matches the 4 STORED members (4
+    # pairs each) but is not stored -- so (d5, d6) must NOT appear
+    batch2 = [("d5", text), ("d6", text)]
+    spark.createDataFrame(batch2, "conv_id string, full_text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    got = {(r["a"], r["b"]) for r in spark.sql("SELECT DISTINCT a, b FROM cap_out").collect()}
+    assert len(got) == 14  # 6 + 2*4
+    assert ("d5", "d6") not in got
+
+
+class _FakeGroupState:
+    """Minimal GroupState double for unit-testing the stateful kernel."""
+
+    def __init__(self, value=None, timed_out=False):
+        self._v = value
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeout_ms = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self._v, self.removed = None, True
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_ms = ms
+
+
+def test_near_dup_match_fn_ttl_eviction_and_cap():
+    """Round-3 task #6 (unit level): timed-out buckets drop their state;
+    live buckets cap at bucket_cap with an O(cap) buffer; the TTL is
+    re-armed on every update."""
+    import pandas as pd
+
+    from datasketches_server_spark.streaming.incremental import make_near_dup_match_fn
+
+    fn = make_near_dup_match_fn(num_perm=4, threshold=0.5, bucket_cap=2, state_ttl_minutes=1)
+
+    # timed-out call: state removed, nothing emitted
+    st = _FakeGroupState(value=(["x"], [[1, 2, 3, 4]]), timed_out=True)
+    assert list(fn((0,), iter([]), st)) == []
+    assert st.removed and not st.exists
+
+    # live call: 3 identical members, cap 2 -> c3 matches both stored
+    # members but is NOT stored; TTL re-armed
+    pdf = pd.DataFrame({"conv_id": ["c1", "c2", "c3"], "minhash": [[7, 7, 7, 7]] * 3})
+    st2 = _FakeGroupState()
+    out = pd.concat(list(fn((5,), iter([pdf]), st2)))
+    assert {(r.a, r.b) for r in out.itertuples()} == {("c1", "c2"), ("c1", "c3"), ("c2", "c3")}
+    ids, sigs = st2.get
+    assert ids == ["c1", "c2"] and len(sigs) == 2  # capped state
+    assert st2.timeout_ms == 60_000
+
+
+def test_prune_auto_counts_members_not_pairs(spark):
+    """Round-3 task #9: the auto heuristic must measure DISTINCT pair
+    members, not 2*pairs -- a few mega-families have pairs ~ members^2/2,
+    and the old proxy wrongly skipped a profitable prune there."""
+    from datasketches_server_spark.plans.pipeline import dedup_pipeline
+    from datasketches_server_spark.sources.synth import synth_transcripts
+
+    # 2 mega-families of 50 among 800 convs: members ~100 (well under
+    # corpus/2 -> prune pays) but pairs ~2*C(50,2)=2450 (the 2*pairs
+    # proxy would have said 4900 > 400 -> skip)
+    t = synth_transcripts(spark, n_convs=800, seed=9, dup_fraction=0.125, avg_family_size=50)
+    res = dedup_pipeline(t, prune_verify="auto")
+    assert res.pruned_verify is True
+    res.unpersist()
+
+    # dup-dense corpus (every conv in a small family): pair members are
+    # the majority of the corpus -> pruning is pure cost
+    t2 = synth_transcripts(spark, n_convs=800, seed=9, dup_fraction=1.0, avg_family_size=4)
+    res2 = dedup_pipeline(t2, prune_verify="auto")
+    assert res2.pruned_verify is False
+    res2.unpersist()

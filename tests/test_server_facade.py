@@ -158,3 +158,42 @@ def test_frequency_and_kll_lanes(spark):
     q = srv.query("duration", fractions=(0.5,)).collect()[0]
     assert q["stream_length"] == 100
     assert 40 <= q["quantiles"][0] <= 60
+
+
+def test_serialize_frequency_cap_guard(spark):
+    """Round-3 task #8: serializing a huge exact-frequency state would
+    collect the whole distinct-item table to the driver -- refuse past
+    max_items and point at the top-k alternative."""
+    srv = SketchTableServer(spark, parse_config([{"name": "f", "family": "frequency", "k": 10}]))
+    srv.update("f", spark.range(500).select(F.col("id").cast("string").alias("value")))
+    with pytest.raises(ValueError, match="max_items"):
+        srv.serialize("f", max_items=100)
+    img = srv.serialize("f", max_items=1000)  # explicit raise-the-cap path
+    assert isinstance(img, str) and len(img) > 0
+
+
+def test_image_roundtrip_preserves_item_type(spark):
+    """ADVICE fix: the serialized image records the item column's type,
+    so loading into a live state fed with NUMERIC values merges instead
+    of failing on a string/long type mismatch."""
+    cfgs = parse_config([
+        {"name": "r1", "family": "reservoir", "k": 8},
+        {"name": "r2", "family": "reservoir", "k": 8},
+        {"name": "f1", "family": "frequency", "k": 10},
+        {"name": "f2", "family": "frequency", "k": 10},
+    ])
+    srv = SketchTableServer(spark, cfgs)
+    nums = spark.range(100).select(F.col("id").alias("value"))  # LONG items
+    srv.update("r1", nums)
+    srv.update("f1", nums)
+
+    # load r1's image into r2 which already holds long-typed state
+    srv.update("r2", spark.range(100, 150).select(F.col("id").alias("value")))
+    srv.load_image("r2", srv.serialize("r1"))
+    merged = srv.query("r2").collect()[0]
+    assert merged["stream_n"] == 150
+
+    srv.update("f2", spark.range(100, 150).select(F.col("id").alias("value")))
+    srv.load_image("f2", srv.serialize("f1"))
+    out = srv.query("f2", top_k=5).collect()
+    assert len(out) == 5 and all(r["estimate"] >= 1.0 for r in out)

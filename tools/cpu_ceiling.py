@@ -70,23 +70,21 @@ def run_level(k: int, reps: int) -> dict:
     }
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--levels", default="1,2,8,32")
-    ap.add_argument("--secs-per-rep", type=float, default=3.0,
-                    help="approx seconds of kernel work per process")
-    ap.add_argument("--repeats", type=int, default=3)
-    args = ap.parse_args()
-    levels = [int(x) for x in args.levels.split(",")]
-
+def probe(levels=(1, 2, 8, 32), secs_per_rep: float = 3.0, repeats: int = 3) -> dict:
+    """Run the ceiling probe and return the result dict.  With levels
+    (2, 8) the returned ``efficiency_ceiling_2to8`` is the hard upper
+    bound ANY 2-vs-8-process job can show right now -- bench_scaling.py
+    uses it as the certified-quiet-epoch gate (a ceiling >= ~0.9 means
+    the box is currently charging little concurrency tax)."""
+    levels = tuple(levels)
     # calibrate rep count to ~secs_per_rep of single-process work
     one = kernel(50)
-    reps = max(50, int(50 * args.secs_per_rep / max(one, 1e-6)))
+    reps = max(50, int(50 * secs_per_rep / max(one, 1e-6)))
 
     results = {}
     for k in levels:
         best = None
-        for _ in range(args.repeats):
+        for _ in range(repeats):
             r = run_level(k, reps)
             if best is None or r["mean_proc_wall"] < best["mean_proc_wall"]:
                 best = r
@@ -103,6 +101,19 @@ def main() -> None:
         out["efficiency_ceiling_2to8"] = round(
             results[2]["mean_proc_wall"] / results[8]["mean_proc_wall"], 3
         )
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--levels", default="1,2,8,32")
+    ap.add_argument("--secs-per-rep", type=float, default=3.0,
+                    help="approx seconds of kernel work per process")
+    ap.add_argument("--repeats", type=int, default=3)
+    args = ap.parse_args()
+    out = probe(
+        [int(x) for x in args.levels.split(",")], args.secs_per_rep, args.repeats
+    )
     print(json.dumps(out))
 
 
