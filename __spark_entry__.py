@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_exact_percentiles": Q.q14_exact_percentiles,
         "q15_hll_distinct_users": Q.q15_hll_distinct_users,
         "q16_kll_value_quantiles": Q.q16_kll_value_quantiles,
+        "q34_kll_cdf_pmf_contract": Q.q34_kll_cdf_pmf_contract,
         "q17_reservoir_sample": Q.q17_reservoir_sample,
         "q18_varopt_sample": Q.q18_varopt_sample,
         "q19_cms_heavy_hitters": Q.q19_cms_heavy_hitters,
@@ -273,6 +274,17 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(CAST(max(value) AS REAL) AS DOUBLE), 2) AS max_value,
                    TRUE AS rank50_ok,
                    TRUE AS rank90_ok
+            FROM events
+        """,
+        "q34_kll_cdf_pmf_contract": """
+            SELECT count(*) AS n,
+                   round(sum(CASE WHEN value <= 50.0  THEN 1 ELSE 0 END) / count(*)::DOUBLE, 4) AS cdf_exact_0,
+                   TRUE AS cdf_ok_0,
+                   round(sum(CASE WHEN value <= 100.0 THEN 1 ELSE 0 END) / count(*)::DOUBLE, 4) AS cdf_exact_1,
+                   TRUE AS cdf_ok_1,
+                   round(sum(CASE WHEN value <= 200.0 THEN 1 ELSE 0 END) / count(*)::DOUBLE, 4) AS cdf_exact_2,
+                   TRUE AS cdf_ok_2,
+                   TRUE AS pmf_tail_ok
             FROM events
         """,
         "q14_exact_percentiles": """

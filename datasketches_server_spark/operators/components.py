@@ -92,13 +92,16 @@ def connected_components(
     tie-breaking).  Only nodes appearing in an edge are returned;
     callers attach singletons with a left join + coalesce.
 
-    Hybrid execution: the first action collects up to driver_threshold+1
-    deduped edges (ONE job).  If the graph fits, union-find on the
-    driver finishes without any further jobs -- the distributed loop's
-    ~5 rounds of shuffles are pure latency on small graphs.  Otherwise
-    the alternating star loop runs fully distributed on the (lazily
-    checkpointed) edge set.  Both paths produce the identical labeling,
-    and the threshold is deterministic in the input.
+    Hybrid execution: the edge set is persisted and counted with ONE
+    fully-parallel job (never `limit().toPandas()` -- CollectLimitExec
+    executes partitions incrementally (1, then 4x more, ...), which
+    funnels the expensive upstream verify join through a near-serial
+    path; event-log measured 21-145 s of wall on the same input at 8
+    executors depending on how AQE happened to stage it).  If the graph
+    fits under driver_threshold, union-find on the driver collects from
+    the cache; otherwise the alternating star loop runs fully
+    distributed on the checkpointed edge set.  Both paths produce the
+    identical labeling, and the threshold is deterministic in the input.
 
     Each distributed round is ONE Spark job: a LAZY localCheckpoint
     truncates the plan at the DataFrame level immediately (each star
@@ -108,11 +111,15 @@ def connected_components(
     fingerprint action.
     """
     id_type = dict(edges.dtypes)["a"]
-    e0 = edges.select("a", "b").where(F.col("a") != F.col("b")).distinct()
-    head = e0.limit(driver_threshold + 1).toPandas()
-    if len(head) <= driver_threshold:
-        return _driver_union_find(head, edges.sparkSession, id_type)
-    e = e0.localCheckpoint(eager=False)
+    e0 = edges.select("a", "b").where(F.col("a") != F.col("b")).distinct().persist()
+    n_edges = e0.count()  # one fully-parallel materialization of verify+dedup
+    if n_edges <= driver_threshold:
+        head = e0.toPandas()  # straight from the cache
+        out = _driver_union_find(head, edges.sparkSession, id_type)
+        e0.unpersist()
+        return out
+    e = e0.localCheckpoint(eager=True)  # copies from the cache
+    e0.unpersist()
     prev = _fingerprint(e)
     for _ in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint(eager=False)

@@ -61,6 +61,7 @@ def candidate_pairs(
     cfg: LshConfig = LshConfig(),
     resources: list[DataFrame] | None = None,
     unit_col: str | None = None,
+    singleton_prefilter: bool = True,
 ) -> DataFrame:
     """bucket memberships -> distinct candidate (a, b) pairs, a < b.
 
@@ -94,17 +95,22 @@ def candidate_pairs(
     is deduplicated at read time (lineage's dropDuplicates).
     """
     # singleton buckets (the overwhelming majority of band buckets) can
-    # never emit a pair; a codegen count-aggregate (no object buffers)
-    # finds the multi-member ones and a semi-join (AQE broadcasts the
-    # small list; degrades to shuffle join at cluster scale) drops ~80%
-    # of rows before the window sorts
-    multi = (
-        buckets.groupBy("bucket")
-        .agg(F.count("*").alias("_sz"))
-        .where(F.col("_sz") >= 2)
-        .select("bucket")
-    )
-    buckets = buckets.join(multi, "bucket", "left_semi")
+    # never emit a pair; a codegen count-aggregate (map-side combined,
+    # so the shuffle is narrow (bucket, count) rows) finds the
+    # multi-member ones and a semi join drops ~80% of rows before the
+    # window sorts.  Certified A/B at 22M turns / 8 executors: removing
+    # this prefilter RAISED the e2e wall from <=154 s to 185 s even
+    # though the multi list exceeds broadcast size there -- the extra
+    # sorted rows in both windows cost more than the join pass.  The
+    # knob stays for plan experiments.
+    if singleton_prefilter:
+        multi = (
+            buckets.groupBy("bucket")
+            .agg(F.count("*").alias("_sz"))
+            .where(F.col("_sz") >= 2)
+            .select("bucket")
+        )
+        buckets = buckets.join(multi, "bucket", "left_semi")
 
     unit = [unit_col] if unit_col else []
     salt = F.pmod(F.xxhash64("conv_id"), F.lit(cfg.salt_buckets))

@@ -117,6 +117,11 @@ def dedup_pipeline(
         n_convs = state.count()
         resources.append(state)
     buckets = band_buckets(state, cfg.lsh)
+    # singleton prefilter stays ON at every measured scale: even when
+    # the multi-bucket list exceeds broadcast size (22M-turn corpus),
+    # the narrow count-aggregate + join costs less than the ~80% extra
+    # rows the two window sorts would otherwise process (certified A/B:
+    # 185 s without vs <=154 s with, 8 executors, quiet epoch)
     cands = candidate_pairs(buckets, cfg.lsh, resources=resources)
     if prune_verify == "auto":
         if n_convs is None:
@@ -134,9 +139,13 @@ def dedup_pipeline(
                 .union(cands.select(F.col("b").alias("m")))
                 .agg(F.countDistinct("m").alias("n")).collect()[0]["n"]
             )
-            # pruning pays when pair members are a small fraction of the
-            # corpus (each fat verify shuffle shrinks accordingly)
-            prune = n_members < n_convs // 2
+            # pruning pays when pair members are a SMALL fraction of the
+            # corpus (each fat verify shuffle shrinks accordingly); the
+            # prune itself costs one extra shuffle of the fat state, so
+            # the break-even is well under 1/2 -- measured on the planted
+            # bench corpus (members ~43% of convs), pruning added ~10 s
+            # to a 63 s 8-exec wall, hence the 1/4 threshold
+            prune = n_members < n_convs // 4
     else:
         prune = bool(prune_verify)
         if prune:

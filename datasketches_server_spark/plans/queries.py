@@ -254,6 +254,37 @@ def q16_kll_value_quantiles(spark, sf_dir):
     )
 
 
+def q34_kll_cdf_pmf_contract(spark, sf_dir):
+    """op #11 CDF/PMF lane as a WITHIN-BOUNDS CONTRACT (q16 covers the
+    quantile lane): Spark computes the KLL estimatedCDF/PMF over fixed
+    split points AND the exact CDF from the raw data, and emits the
+    exact values plus |cdf_est - cdf_exact| <= eps booleans per split
+    (eps = the published normalized rank error for k=200 with margin).
+    The PMF check rides the same bound (first differences of the CDF
+    telescope, DataQueryHandler.java:238-256).  DuckDB replays the
+    exact CDF and the expected `true`s."""
+    eps = 0.02
+    splits = (50.0, 100.0, 200.0)
+    e = _t(spark, sf_dir, "events")
+    state = sketch_update(e, [], "value", "kll")
+    q = query_quantiles(state, (0.5,), splits, "pmf").select(
+        *[F.element_at("cdf", i + 1).cast("double").alias(f"cdf_est_{i}") for i in range(len(splits))],
+        F.element_at("pmf", -1).cast("double").alias("pmf_tail_est"),
+    )
+    agg_cols = []
+    for i, sp in enumerate(splits):
+        exact = F.sum((F.col("value") <= sp).cast("long")) / F.count("*")
+        agg_cols.append(F.round(exact, 4).alias(f"cdf_exact_{i}"))
+        agg_cols.append(
+            (F.abs(exact - F.first(f"cdf_est_{i}")) <= eps).alias(f"cdf_ok_{i}")
+        )
+    tail_exact = F.sum((F.col("value") > splits[-1]).cast("long")) / F.count("*")
+    agg_cols.append(
+        (F.abs(tail_exact - F.first("pmf_tail_est")) <= eps).alias("pmf_tail_ok")
+    )
+    return e.crossJoin(F.broadcast(q)).agg(F.count("*").alias("n"), *agg_cols)
+
+
 def q17_reservoir_sample(spark, sf_dir):
     """op #7+#13: uniform sample with occurrence semantics (row key =
     event_id).  Oracle-able: the sample key is portable md5 arithmetic

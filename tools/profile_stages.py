@@ -26,6 +26,15 @@ def main() -> None:
     spark = SparkSession.builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+    # wait for all local-cluster executors (see scaling_job.wait_for_executors)
+    import re
+    import time as _time
+
+    m = re.match(r"local-cluster\[(\d+),", spark.sparkContext.master or "")
+    if m:
+        want, t0 = int(m.group(1)), _time.monotonic()
+        while _time.monotonic() - t0 < 120 and spark.sparkContext.defaultParallelism < want:
+            _time.sleep(0.5)
     cfg = DEFAULT_CONFIG
     t: dict[str, float] = {}
 
