@@ -118,3 +118,21 @@ def test_bucket_cap_drops_are_observable(spark):
     # pipeline still completes and the kept members still cluster
     pairs = candidate_pairs(band_buckets(state, cfg.lsh), cfg.lsh)
     assert pairs.count() > 0
+
+
+def test_singleton_prefilter_is_pure_optimization(spark):
+    """candidate_pairs with and without the singleton prefilter must emit
+    the identical pair set -- the w2 sz-filter already drops singleton
+    buckets, so the prefilter only changes the plan, never the result."""
+    from datasketches_server_spark.config import LshConfig, PipelineConfig
+    from datasketches_server_spark.operators.lsh import band_buckets, candidate_pairs
+    from datasketches_server_spark.plans.pipeline import conv_signatures
+    from datasketches_server_spark.sources.synth import synth_transcripts
+
+    t = synth_transcripts(spark, n_convs=300, seed=17)
+    state = conv_signatures(t, PipelineConfig()).persist()
+    buckets = band_buckets(state, LshConfig())
+    on = {(r["a"], r["b"]) for r in candidate_pairs(buckets, singleton_prefilter=True).collect()}
+    off = {(r["a"], r["b"]) for r in candidate_pairs(buckets, singleton_prefilter=False).collect()}
+    state.unpersist()
+    assert on == off and len(on) > 0
