@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_hll_distinct_users": Q.q15_hll_distinct_users,
         "q16_kll_value_quantiles": Q.q16_kll_value_quantiles,
         "q34_kll_cdf_pmf_contract": Q.q34_kll_cdf_pmf_contract,
+        "q35_theta_jaccard_segments": Q.q35_theta_jaccard_segments,
         "q17_reservoir_sample": Q.q17_reservoir_sample,
         "q18_varopt_sample": Q.q18_varopt_sample,
         "q19_cms_heavy_hitters": Q.q19_cms_heavy_hitters,
@@ -286,6 +287,29 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS cdf_ok_2,
                    TRUE AS pmf_tail_ok
             FROM events
+        """,
+        "q35_theta_jaccard_segments": """
+            WITH s AS (
+                SELECT DISTINCT o_orderpriority AS p, o_custkey AS c FROM orders
+            ), pairs AS (
+                SELECT DISTINCT a.p AS pa, b.p AS pb FROM s a JOIN s b ON a.p < b.p
+            ), inter AS (
+                SELECT x.p AS pa, y.p AS pb, count(*) AS n_both
+                FROM s x JOIN s y ON x.c = y.c AND x.p < y.p
+                GROUP BY 1, 2
+            ), sizes AS (
+                SELECT p, count(*) AS n FROM s GROUP BY 1
+            )
+            SELECT pr.pa, pr.pb,
+                   coalesce(i.n_both, 0) AS n_both,
+                   sa.n + sb.n - coalesce(i.n_both, 0) AS n_either,
+                   round(coalesce(i.n_both, 0)::DOUBLE
+                         / (sa.n + sb.n - coalesce(i.n_both, 0)), 4) AS jaccard
+            FROM pairs pr
+            LEFT JOIN inter i ON pr.pa = i.pa AND pr.pb = i.pb
+            JOIN sizes sa ON pr.pa = sa.p
+            JOIN sizes sb ON pr.pb = sb.p
+            ORDER BY 1, 2
         """,
         "q14_exact_percentiles": """
             SELECT event_type,

@@ -285,6 +285,38 @@ def q34_kll_cdf_pmf_contract(spark, sf_dir):
     return e.crossJoin(F.broadcast(q)).agg(F.count("*").alias("n"), *agg_cols)
 
 
+def q35_theta_jaccard_segments(spark, sf_dir):
+    """Theta set-op tier beyond reference parity (SURVEY.md 2.2): pairwise
+    Jaccard similarity of customer sets between order priorities, from
+    theta union/intersection estimates.  At sf<=0.1 the per-priority
+    customer sets sit in theta's exact regime (< 2^12 nominal), so the
+    sketch Jaccard equals the exact Jaccard and DuckDB replays it
+    bit-for-bit (rounded)."""
+    o = _t(spark, sf_dir, "orders")
+    # lg_k=16 keeps every per-priority customer set in the exact regime
+    # up to 65k distinct (covers sf<=1); beyond that the same query runs
+    # in estimation mode and the within-bounds contract of q15 applies
+    sk = o.groupBy("o_orderpriority").agg(
+        F.theta_sketch_agg("o_custkey", 16).alias("s")
+    )
+    a = sk.select(F.col("o_orderpriority").alias("pa"), F.col("s").alias("sa"))
+    b = sk.select(F.col("o_orderpriority").alias("pb"), F.col("s").alias("sb"))
+    inter = F.theta_sketch_estimate(F.theta_intersection("sa", "sb"))
+    # theta_union takes its own lgNomEntries (defaults to 12): pass the
+    # sketch's k or the union silently downsamples back to 4096 nominal
+    uni = F.theta_sketch_estimate(F.theta_union("sa", "sb", 16))
+    return (
+        a.join(b, F.col("pa") < F.col("pb"))
+        .select(
+            "pa", "pb",
+            inter.cast("long").alias("n_both"),
+            uni.cast("long").alias("n_either"),
+            F.round(inter / uni, 4).alias("jaccard"),
+        )
+        .orderBy("pa", "pb")
+    )
+
+
 def q17_reservoir_sample(spark, sf_dir):
     """op #7+#13: uniform sample with occurrence semantics (row key =
     event_id).  Oracle-able: the sample key is portable md5 arithmetic

@@ -20,8 +20,9 @@ def test_queries_and_oracles_consistent():
     oracles = E.oracle_sql()
     assert len(qs) >= 20
     assert set(oracles) <= set(qs), "oracle for unregistered query"
-    # a majority of queries must carry a DuckDB oracle (the strong gate)
-    assert len(oracles) >= len(qs) * 0.6
+    # since round 3 EVERY registered query carries a DuckDB oracle (the
+    # approximate families as within-bounds contracts)
+    assert set(oracles) == set(qs)
 
 
 def test_each_query_runs_at_sf0001(spark, sf_dir):
