@@ -167,6 +167,66 @@ def dedup_pipeline(
     )
 
 
+def incremental_dedup(
+    old_state: DataFrame,
+    old_edges: DataFrame,
+    new_transcripts: DataFrame,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    verify_tier: str = "exact",
+    cc_driver_threshold: int = 2_000_000,
+) -> DedupResult:
+    """Dedup a NEW batch of transcripts against an existing corpus
+    without recomputing the old corpus's signatures or verifying its
+    pairs -- the 100 TB daily-ingest shape: the two expensive stages
+    (the pandas-UDF signature pass and the fat-array verify join) run
+    ONLY on work that involves new conversations.
+
+    old_state: per-conv signatures of the existing corpus (DedupResult
+    .conv_state or LineageRunner's persisted signatures stage).
+    old_edges: its verified edges (a, b, jaccard[, hamming]).
+
+    What reruns over everything: band explode + bucket windows (narrow
+    (conv_id, bucket) rows -- cheap relative to signatures/verify) and
+    connected components over old_edges UNION the new-touching edges.
+    Candidate pairs between two OLD convs are dropped (they were either
+    verified into old_edges already or correctly rejected); pairs
+    touching at least one new conv verify as usual.
+
+    Equivalence: identical clusters to a full recompute on the combined
+    corpus whenever no band bucket overflows bucket_cap (signatures and
+    bucket hashes are deterministic, so old-old collisions are exactly
+    the old run's; cluster_id = min conv_id is label-stable).  When a
+    bucket DOES overflow, the capped member choice can differ between
+    incremental and full runs -- the same observable, bounded drop the
+    batch pipeline reports via bucket_stats.
+    """
+    resources: list[DataFrame] = []
+    new_state = conv_signatures(new_transcripts, cfg).persist()
+    new_state.count()  # eager, for the same cache-race reason as dedup_pipeline
+    resources.append(new_state)
+    state = old_state.unionByName(new_state, allowMissingColumns=False)
+
+    buckets = band_buckets(state, cfg.lsh)
+    cands = candidate_pairs(buckets, cfg.lsh, resources=resources)
+    new_ids = new_state.select("conv_id")
+    # keep only pairs touching a new conv: old-old pairs are settled
+    touching_a = cands.join(new_ids.withColumnRenamed("conv_id", "a"), "a", "left_semi")
+    touching_b = cands.join(new_ids.withColumnRenamed("conv_id", "b"), "b", "left_semi")
+    new_cands = touching_a.unionByName(touching_b).distinct()
+    new_edges = verify_pairs(new_cands, state, cfg.lsh, tier=verify_tier)
+
+    edge_cols = [c for c in old_edges.columns if c in new_edges.columns]
+    edges = old_edges.select(*edge_cols).unionByName(new_edges.select(*edge_cols))
+    labels = connected_components(edges, driver_threshold=cc_driver_threshold)
+    clusters = attach_singletons(labels, state)
+    from ..operators.lsh import bucket_stats
+
+    return DedupResult(
+        conv_state=state, edges=edges, clusters=clusters,
+        bucket_report=bucket_stats(buckets, cfg.lsh), resources=resources,
+    )
+
+
 def cluster_summary(clusters: DataFrame) -> DataFrame:
     """cluster_id -> size, ordered; the flagship dedup report."""
     return (

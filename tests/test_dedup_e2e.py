@@ -67,3 +67,38 @@ def test_exact_duplicates_always_cluster(spark):
         .count()
     )
     assert n_bad == 0
+
+
+def test_incremental_dedup_equals_full_recompute(spark):
+    """incremental_dedup(old, new) must produce the identical clustering
+    to a full recompute on the combined corpus: signatures and bucket
+    hashes are deterministic and cluster_id = min conv_id, so the
+    assignments match row for row (uncapped-bucket regime)."""
+    from pyspark.sql import functions as F
+
+    from datasketches_server_spark.config import PipelineConfig
+    from datasketches_server_spark.plans.pipeline import dedup_pipeline, incremental_dedup
+    from datasketches_server_spark.sources.synth import synth_transcripts
+
+    cfg = PipelineConfig()
+    full_t = synth_transcripts(spark, n_convs=500, seed=23)
+    # split by conv hash: ~80% "old" corpus, ~20% "new" batch -- cuts
+    # ACROSS dup families, so some new convs must join old clusters
+    is_new = F.pmod(F.xxhash64("conv_id"), F.lit(5)) == 0
+    old_t, new_t = full_t.where(~is_new), full_t.where(is_new)
+
+    old = dedup_pipeline(old_t, cfg)
+    inc = incremental_dedup(old.conv_state, old.edges, new_t, cfg)
+    incremental = {r["conv_id"]: r["cluster_id"] for r in inc.clusters.collect()}
+
+    full = dedup_pipeline(full_t, cfg)
+    want = {r["conv_id"]: r["cluster_id"] for r in full.clusters.collect()}
+
+    assert incremental == want
+    # and the expensive signature stage really only ran on the new batch
+    assert inc.conv_state.count() == full.conv_state.count()
+    n_new = new_t.select("conv_id").distinct().count()
+    assert n_new > 0
+    inc.unpersist()
+    old.unpersist()
+    full.unpersist()
