@@ -38,14 +38,24 @@ class ShingleConfig:
         # token_pattern is MATCH semantics (tokens = what the pattern
         # matches).  A split-style pattern like '[^a-z0-9]+' would
         # silently invert meaning (tokens become the punctuation runs),
-        # so reject it loudly instead of producing garbage signatures.
+        # so reject the specific split-style idioms loudly -- but only
+        # those: negated classes are legitimate MATCH patterns too
+        # (e.g. '[^\\s]+' == '\\S+', tokens are non-whitespace runs).
         if not self.token_pattern:
             raise ValueError("token_pattern must be a non-empty MATCH regex")
-        if self.token_pattern.startswith("[^") or self.token_pattern in (r"\s+", r"\W+"):
+        import re as _re
+
+        # complement-of-a-word-charset classes ('[^a-z0-9]+', '[^\w]+',
+        # '\W+', '\s+') match separator runs, not tokens
+        split_idiom = _re.fullmatch(
+            r"\[\^(?:[a-zA-Z0-9_\-]|\\[wd])+\]\+?", self.token_pattern
+        )
+        if split_idiom or self.token_pattern in (r"\s+", r"\W+"):
             raise ValueError(
                 f"token_pattern {self.token_pattern!r} looks like a SPLIT "
-                "pattern; this field uses MATCH semantics (tokens are the "
-                "runs the pattern matches, e.g. '[a-z0-9]+')"
+                "pattern (it matches separator runs); this field uses MATCH "
+                "semantics (tokens are the runs the pattern matches, e.g. "
+                "'[a-z0-9]+' or '[^\\s]+')"
             )
 
 

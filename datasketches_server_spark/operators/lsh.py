@@ -62,6 +62,7 @@ def candidate_pairs(
     resources: list[DataFrame] | None = None,
     unit_col: str | None = None,
     singleton_prefilter: bool = True,
+    ranked_out: list[DataFrame] | None = None,
 ) -> DataFrame:
     """bucket memberships -> distinct candidate (a, b) pairs, a < b.
 
@@ -138,6 +139,11 @@ def candidate_pairs(
     ranked = ranked.persist()
     if resources is not None:
         resources.append(ranked)
+    if ranked_out is not None:
+        # expose the persisted post-cap relation so callers can derive
+        # skew stats from it (bucket_stats_from_ranked) without an
+        # extra scan of band generation
+        ranked_out.append(ranked)
     small = ranked.where(F.col("sz") <= ALL_PAIRS_CAP)
     left = small.select("bucket", F.col("conv_id").alias("a"), F.col("rn").alias("_ra"), *unit)
     right = small.select("bucket", F.col("conv_id").alias("b"), F.col("rn").alias("_rb"))
@@ -155,8 +161,35 @@ def candidate_pairs(
     return pairs_small.unionByName(pairs_large).distinct()
 
 
+def bucket_stats_from_ranked(ranked: DataFrame, cfg: LshConfig = LshConfig()) -> DataFrame:
+    """Skew histogram derived from the persisted post-cap ``ranked``
+    relation candidate_pairs already builds (pass ``ranked_out``) --
+    zero extra scans of band generation, unlike :func:`bucket_stats`
+    which re-reads stage input (a whole additional pass at 100 TB).
+
+    Scope differences vs the full scan, both bounded: only multi-member
+    buckets are counted (singletons can never emit a pair), and
+    ``dropped_members`` is a LOWER BOUND -- rows removed by the salted
+    pre-cap (buckets beyond ~salt_buckets*bucket_cap members) are not
+    visible post-cap.  ``max_bucket`` saturates at the same point."""
+    sizes = ranked.groupBy("bucket").agg(
+        F.max("sz").alias("sz"), F.count("*").alias("kept")
+    )
+    return sizes.agg(
+        F.count("*").alias("n_buckets"),
+        F.max("sz").alias("max_bucket"),
+        F.sum(F.when(F.col("sz") > ALL_PAIRS_CAP, 1).otherwise(0)).alias("star_buckets"),
+        F.sum(F.greatest(F.col("sz") - F.col("kept"), F.lit(0))).alias("dropped_members"),
+    )
+
+
 def bucket_stats(buckets: DataFrame, cfg: LshConfig = LshConfig()) -> DataFrame:
-    """Observability for skew handling: bucket-size histogram + drops."""
+    """Observability for skew handling: bucket-size histogram + drops.
+
+    This is the FULL-SCAN variant (re-reads band generation: parquet
+    scan + explode + two aggregations); prefer
+    :func:`bucket_stats_from_ranked` when a candidate_pairs run is
+    already in flight."""
     sizes = buckets.groupBy("bucket").agg(F.countDistinct("conv_id").alias("sz"))
     return sizes.agg(
         F.count("*").alias("n_buckets"),

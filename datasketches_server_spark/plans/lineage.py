@@ -46,7 +46,13 @@ from pyspark.sql import functions as F
 
 from ..config import DEFAULT_CONFIG, PipelineConfig
 from ..operators.components import attach_singletons, connected_components
-from ..operators.lsh import band_buckets, bucket_stats, candidate_pairs, verify_pairs
+from ..operators.lsh import (
+    band_buckets,
+    bucket_stats,
+    bucket_stats_from_ranked,
+    candidate_pairs,
+    verify_pairs,
+)
 from .pipeline import conv_signatures
 
 MANIFEST = "_lineage"
@@ -138,23 +144,49 @@ class LineageRunner:
     def _unit_path(self, stage: str, partition_id: int, input_fp: str = "static") -> str:
         return os.path.join(self._stage_dir(stage, input_fp), f"_bucket={partition_id}")
 
+    @staticmethod
+    def _has_parquet_files(path: str) -> bool:
+        for root, _dirs, files in os.walk(path):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
     def _stage_df(self, stage: str, input_fp: str, fallback: DataFrame) -> DataFrame:
         """Read a stage's output; an all-empty stage (empty corpus, or
         every bucket produced zero rows) leaves only empty `_bucket=`
         dirs with no parquet files, where a bare read would throw --
         fall back to an empty DataFrame with the stage's schema (taken
-        from `fallback`, a lazily-built plan: .schema runs no job)."""
-        try:
-            return self.spark.read.parquet(self._stage_dir(stage, input_fp)).drop("_bucket")
-        except Exception:
+        from `fallback`, a lazily-built plan: .schema runs no job).
+
+        The fallback is NARROW by design: it applies only when the stage
+        dir verifiably holds no parquet data files.  Any other read
+        failure (corrupt footer, transient FS error, permissions)
+        re-raises -- silently serving an empty stage would let
+        downstream stages compute from nothing and record themselves
+        done in the manifest, so a later resume would serve wrong
+        results with no error."""
+        path = self._stage_dir(stage, input_fp)
+        if not self._has_parquet_files(path):
             return self.spark.createDataFrame([], fallback.schema)
+        return self.spark.read.parquet(path).drop("_bucket")
 
     # -- pipeline ----------------------------------------------------------
-    def run(self, transcripts: DataFrame, input_fp: str = "static") -> tuple[dict[str, DataFrame], RunStats]:
+    def run(
+        self,
+        transcripts: DataFrame,
+        input_fp: str = "static",
+        full_bucket_stats: bool = False,
+    ) -> tuple[dict[str, DataFrame], RunStats]:
         """Run (or resume) the full dedup pipeline with checkpointing.
 
         input_fp identifies the input snapshot (Iceberg snapshot id /
         parquet fingerprint via sources.io.TableIO.snapshot_fingerprint).
+
+        full_bucket_stats: opt into the exact full-scan skew histogram
+        (one extra pass over band generation); the default derives the
+        same numbers from the pair pass's own persisted post-cap
+        relation at zero extra scans (dropped_members then lower-bounds
+        drops past the salted pre-cap).
         """
         stats = RunStats()
         B = self.cfg.num_buckets
@@ -224,12 +256,21 @@ class LineageRunner:
                 if len(pending_e) < E
                 else bands_all
             )
-            stats.bucket_stats = {
-                k: int(v if v is not None else 0)
-                for k, v in bucket_stats(bands, self.cfg.lsh).collect()[0].asDict().items()
-            }
+            if full_bucket_stats:
+                # opt-in full scan: one EXTRA pass over band generation
+                # (parquet read + explode + two aggs) purely for
+                # observability -- exact drop counts even past the
+                # salted pre-cap
+                stats.bucket_stats = {
+                    k: int(v if v is not None else 0)
+                    for k, v in bucket_stats(bands, self.cfg.lsh).collect()[0].asDict().items()
+                }
             resources: list[DataFrame] = []
-            cands = candidate_pairs(bands, self.cfg.lsh, resources=resources, unit_col="_unit")
+            ranked_holder: list[DataFrame] = []
+            cands = candidate_pairs(
+                bands, self.cfg.lsh, resources=resources, unit_col="_unit",
+                ranked_out=ranked_holder,
+            )
             edges_w = verify_pairs(
                 cands, state, self.cfg.lsh, carry_cols=("_unit",)
             ).withColumnRenamed("_unit", "_bucket")
@@ -239,6 +280,17 @@ class LineageRunner:
                 .partitionBy("_bucket")
                 .parquet(self._stage_dir("edges", input_fp))
             )
+            if not full_bucket_stats:
+                # default: derive the skew histogram from the persisted
+                # post-cap `ranked` relation the pair pass already built
+                # and the write just materialized -- no extra scan of
+                # stage-2 input (dropped_members is a lower bound past
+                # the salted pre-cap; see bucket_stats_from_ranked)
+                stats.bucket_stats = {
+                    k: int(v if v is not None else 0)
+                    for k, v in bucket_stats_from_ranked(ranked_holder[0], self.cfg.lsh)
+                    .collect()[0].asDict().items()
+                }
             for df in resources:  # cache lifetime ends at the write
                 df.unpersist()
             counts = {
@@ -286,21 +338,22 @@ class LineageRunner:
 
     def _stage_counts(self, stage: str, input_fp: str, pending: list[int]):
         """Per-unit row counts of freshly written output (guarded: an
-        all-empty write leaves no parquet files)."""
-        try:
-            written = self.spark.read.parquet(self._stage_dir(stage, input_fp))
-        except Exception:
+        all-empty write leaves no parquet files; same narrow-fallback
+        rule as _stage_df -- anything but a verified-empty dir raises)."""
+        path = self._stage_dir(stage, input_fp)
+        if not self._has_parquet_files(path):
             return []
+        written = self.spark.read.parquet(path)
         return (
             written.where(F.col("_bucket").isin(pending))
             .groupBy("_bucket").agg(F.count("*").alias("n")).collect()
         )
 
     def _stage_count_all(self, stage: str, input_fp: str) -> int:
-        try:
-            return self.spark.read.parquet(self._unit_path(stage, 0, input_fp)).count()
-        except Exception:
+        path = self._unit_path(stage, 0, input_fp)
+        if not self._has_parquet_files(path):
             return 0
+        return self.spark.read.parquet(path).count()
 
     def reset_stage(self, stage: str) -> None:
         """The /reset analog (ResetHandler.java:43-83): drop a stage's

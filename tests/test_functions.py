@@ -175,7 +175,12 @@ def test_shingle_config_rejects_split_patterns():
     from datasketches_server_spark.config import ShingleConfig
 
     ShingleConfig(token_pattern="[a-z0-9]+")  # match-style: fine
-    with _pytest.raises(ValueError, match="SPLIT"):
-        ShingleConfig(token_pattern="[^a-z0-9]+")
+    # negated classes that are legitimate MATCH tokenizers stay allowed
+    # (ADVICE r3: '[^\\s]+' == non-whitespace runs == '\\S+')
+    ShingleConfig(token_pattern=r"[^\s]+")
+    ShingleConfig(token_pattern=r"[^\s,;]+")
+    for bad in ("[^a-z0-9]+", r"[^\w]+", r"\s+", r"\W+", "[^A-Za-z0-9_-]+"):
+        with _pytest.raises(ValueError, match="SPLIT"):
+            ShingleConfig(token_pattern=bad)
     with _pytest.raises(ValueError, match="non-empty"):
         ShingleConfig(token_pattern="")

@@ -124,6 +124,38 @@ def test_empty_corpus_runs_clean(spark, workdir):
     assert out2["clusters"].count() == 0
 
 
+def test_corrupt_stage_file_raises_instead_of_empty_fallback(spark, workdir):
+    """ADVICE r3 (medium): the empty-stage fallback must be NARROW -- a
+    stage dir that DOES contain parquet files but fails to read (corrupt
+    footer here) must raise, never silently serve an empty stage."""
+    import os
+
+    cfg = PipelineConfig(num_buckets=4)
+    t = synth_transcripts(spark, n_convs=100, seed=11)
+    runner = LineageRunner(spark, workdir, cfg)
+    runner.run(t)
+
+    # corrupt every signature data file, then force a resume that reads
+    # the stage (drop the downstream stages so they recompute from it)
+    sig_dir = runner._stage_dir("signatures", "static")
+    n_corrupted = 0
+    for root, _dirs, files in os.walk(sig_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                with open(os.path.join(root, f), "wb") as fh:
+                    fh.write(b"not a parquet file")
+                n_corrupted += 1
+    assert n_corrupted > 0
+    shutil.rmtree(runner._stage_dir("edges", "static"))
+    shutil.rmtree(runner._stage_dir("labels", "static"))
+    shutil.rmtree(runner._stage_dir("clusters", "static"))
+
+    with pytest.raises(Exception):
+        out, _ = runner.run(t)
+        # reads are lazy; force materialization of the resumed pipeline
+        out["clusters"].count()
+
+
 def test_config_change_invalidates(spark, workdir):
     t = synth_transcripts(spark, n_convs=100, seed=11)
     r1 = LineageRunner(spark, workdir, PipelineConfig(num_buckets=4))
