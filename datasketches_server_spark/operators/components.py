@@ -136,6 +136,86 @@ def connected_components(
     return labels.groupBy("conv_id").agg(F.min("cluster_id").alias("cluster_id"))
 
 
+def incremental_components(
+    old_clusters: DataFrame,
+    new_edges: DataFrame,
+    driver_threshold: int = 2_000_000,
+    contracted_out: list[DataFrame] | None = None,
+) -> DataFrame:
+    """Update a labeling with a batch of NEW edges without re-running the
+    fixpoint over the historical edge set: contract every endpoint to
+    its existing cluster label and solve connected components on the
+    contracted graph, whose size scales with |new_edges| -- the delta --
+    not with the corpus's accumulated edges.
+
+    old_clusters: complete labeling of the existing corpus, cluster_id =
+    min conv_id of the component (connected_components +
+    attach_singletons output -- singletons included).
+    new_edges: (a, b) pairs; endpoints may be old convs, new convs, or a
+    mix.  Old-old edges contract onto their labels (bridging two old
+    clusters merges them); edges inside one old cluster become
+    self-loops and vanish.
+
+    Correctness of the min-label convention: contracted node ids are old
+    cluster labels (each the min conv_id of its old component) plus new
+    conv ids, so the contracted component's min node id IS the merged
+    component's global min conv_id -- identical to what a full recompute
+    labels it.
+
+    Returns labels covering every old conv (relabeled only where a new
+    edge merged components) plus every new conv that appears in an edge;
+    attach remaining new singletons with :func:`attach_singletons`.
+
+    contracted_out: test/observability hook -- receives the lazy
+    contracted edge relation, so callers can assert the CC input scales
+    with the delta.
+    """
+    lab_a = old_clusters.select(
+        F.col("conv_id").alias("a"), F.col("cluster_id").alias("_la")
+    )
+    lab_b = old_clusters.select(
+        F.col("conv_id").alias("b"), F.col("cluster_id").alias("_lb")
+    )
+    contracted = (
+        new_edges.select("a", "b")
+        .join(lab_a, "a", "left")
+        .join(lab_b, "b", "left")
+        .select(
+            F.coalesce(F.col("_la"), F.col("a")).alias("a"),
+            F.coalesce(F.col("_lb"), F.col("b")).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    if contracted_out is not None:
+        contracted_out.append(contracted)
+    remap = connected_components(contracted, driver_threshold=driver_threshold)
+
+    # old side: relabel only clusters whose LABEL appears in the
+    # contracted graph (a broadcast-friendly join -- remap scales with
+    # the delta, old_clusters with the corpus)
+    old_remap = remap.select(
+        F.col("conv_id").alias("_l"), F.col("cluster_id").alias("_nl")
+    )
+    relabeled_old = (
+        old_clusters.join(
+            old_remap, old_clusters.cluster_id == old_remap._l, "left"
+        )
+        .select(
+            "conv_id",
+            F.coalesce(F.col("_nl"), F.col("cluster_id")).alias("cluster_id"),
+        )
+    )
+    # new side: contracted nodes that are NOT old cluster labels are new
+    # conv ids (conv ids are globally unique, so the sets are disjoint)
+    new_labels = remap.join(
+        old_clusters.select(F.col("cluster_id").alias("conv_id")).distinct(),
+        "conv_id",
+        "left_anti",
+    )
+    return relabeled_old.unionByName(new_labels)
+
+
 def attach_singletons(labels: DataFrame, all_nodes: DataFrame) -> DataFrame:
     """all_nodes (conv_id) left-join labels; unlabeled nodes are their own
     cluster.  Broadcast-friendly when the label side is small relative to

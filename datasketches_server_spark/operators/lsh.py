@@ -161,6 +161,120 @@ def candidate_pairs(
     return pairs_small.unionByName(pairs_large).distinct()
 
 
+def incremental_candidate_pairs(
+    old_buckets: DataFrame,
+    new_buckets: DataFrame,
+    cfg: LshConfig = LshConfig(),
+    resources: list[DataFrame] | None = None,
+    ranked_out: list[DataFrame] | None = None,
+    window_input_out: list[DataFrame] | None = None,
+    broadcast_touched: bool = True,
+) -> DataFrame:
+    """Candidate pairs for an incremental batch WITHOUT re-banding or
+    re-sorting the old corpus: every window sort's input scales with the
+    NEW batch (plus the old members sharing its buckets), never with the
+    corpus.
+
+    The reference's accumulator pattern is the analog
+    (/root/reference/README.md:377-379 -- merge absorbs new state into
+    old, never re-derives old): ``old_buckets`` is the persisted
+    band-bucket membership of the existing corpus (plans/band_index.py,
+    or ``band_buckets(old_state)`` as a derived fallback), probed -- not
+    rebuilt -- per batch.
+
+    Plan shape (the 100 TB daily-ingest path):
+
+    1. ``touched`` = distinct buckets of the new batch (|new| x bands
+       keys, broadcast by default) -- the old index is filtered with a
+       broadcast semi join: ONE scan, no shuffle of the corpus index.
+    2. old members of touched buckets + all new band rows run through
+       the same salted pre-cap / global rank / ALL_PAIRS_CAP topology as
+       :func:`candidate_pairs` -- identical deterministic member order,
+       so in the uncapped regime the per-bucket pair topology matches a
+       full recompute exactly.
+    3. pairs are emitted with a per-side origin flag and old-old pairs
+       are dropped IN the pair builder (``_na | _nb``) -- no post-hoc
+       semi-joins + distinct over the pair list.
+
+    Equivalence to a full recompute (caveat also on incremental_dedup):
+    exact whenever no touched bucket crosses ALL_PAIRS_CAP or
+    bucket_cap; past ALL_PAIRS_CAP the full run's star topology and the
+    old run's settled edges can differ (incremental keeps a superset of
+    old connectivity -- it never loses edges).
+
+    broadcast_touched: keep True while |new| x bands keys fit the
+    broadcast budget (a daily batch); at extreme batch sizes disable and
+    let AQE pick the join.
+    window_input_out: test/observability hook -- receives the lazy
+    combined relation feeding the windows, so callers can assert its
+    row count scales with |new|, not |corpus|.
+    """
+    touched = new_buckets.select("bucket").distinct()
+    if broadcast_touched:
+        touched = F.broadcast(touched)
+    old_t = (
+        old_buckets.select("bucket", "conv_id")
+        .join(touched, "bucket", "left_semi")
+        .withColumn("_new", F.lit(False))
+    )
+    comb = (
+        new_buckets.select("bucket", "conv_id")
+        .withColumn("_new", F.lit(True))
+        .unionByName(old_t)
+    )
+    if window_input_out is not None:
+        window_input_out.append(comb)
+    salt = F.pmod(F.xxhash64("conv_id"), F.lit(cfg.salt_buckets))
+    w1 = Window.partitionBy("bucket", "_salt").orderBy("conv_id")
+    capped = (
+        comb.withColumn("_salt", salt)
+        .withColumn("_rn1", F.row_number().over(w1))
+        .where(F.col("_rn1") <= cfg.bucket_cap)
+        .select("bucket", "conv_id", "_new")
+    )
+    w2 = Window.partitionBy("bucket").orderBy("conv_id")
+    ranked = (
+        capped.withColumn("rn", F.row_number().over(w2))
+        .withColumn("sz", F.count("*").over(Window.partitionBy("bucket")))
+        .where((F.col("rn") <= cfg.bucket_cap) & (F.col("sz") >= 2))
+    )
+    ranked = ranked.persist()
+    if resources is not None:
+        resources.append(ranked)
+    if ranked_out is not None:
+        ranked_out.append(ranked)
+    small = ranked.where(F.col("sz") <= ALL_PAIRS_CAP)
+    left = small.select(
+        "bucket",
+        F.col("conv_id").alias("a"),
+        F.col("rn").alias("_ra"),
+        F.col("_new").alias("_na"),
+    )
+    right = small.select(
+        "bucket",
+        F.col("conv_id").alias("b"),
+        F.col("rn").alias("_rb"),
+        F.col("_new").alias("_nb"),
+    )
+    pairs_small = (
+        left.join(right, "bucket")
+        .where((F.col("_ra") < F.col("_rb")) & (F.col("_na") | F.col("_nb")))
+        .select("a", "b")
+    )
+    large = ranked.where(F.col("sz") > ALL_PAIRS_CAP)
+    roots = large.where(F.col("rn") == 1).select(
+        "bucket", F.col("conv_id").alias("a"), F.col("_new").alias("_na")
+    )
+    pairs_large = (
+        large.where(F.col("rn") > 1)
+        .select("bucket", F.col("conv_id").alias("b"), F.col("_new").alias("_nb"))
+        .join(roots, "bucket")
+        .where(F.col("_na") | F.col("_nb"))
+        .select("a", "b")
+    )
+    return pairs_small.unionByName(pairs_large).distinct()
+
+
 def bucket_stats_from_ranked(ranked: DataFrame, cfg: LshConfig = LshConfig()) -> DataFrame:
     """Skew histogram derived from the persisted post-cap ``ranked``
     relation candidate_pairs already builds (pass ``ranked_out``) --

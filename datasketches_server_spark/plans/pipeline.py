@@ -24,8 +24,17 @@ from pyspark.sql import functions as F
 from ..config import DEFAULT_CONFIG, PipelineConfig
 from ..functions.signatures import text_signature_udf
 from ..functions.text import assemble_conversations
-from ..operators.components import attach_singletons, connected_components
-from ..operators.lsh import band_buckets, candidate_pairs, verify_pairs
+from ..operators.components import (
+    attach_singletons,
+    connected_components,
+    incremental_components,
+)
+from ..operators.lsh import (
+    band_buckets,
+    candidate_pairs,
+    incremental_candidate_pairs,
+    verify_pairs,
+)
 
 
 def conv_signatures(transcripts: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
@@ -174,31 +183,57 @@ def incremental_dedup(
     cfg: PipelineConfig = DEFAULT_CONFIG,
     verify_tier: str = "exact",
     cc_driver_threshold: int = 2_000_000,
+    old_buckets: DataFrame | None = None,
+    old_clusters: DataFrame | None = None,
+    window_input_out: list[DataFrame] | None = None,
+    contracted_out: list[DataFrame] | None = None,
 ) -> DedupResult:
     """Dedup a NEW batch of transcripts against an existing corpus
-    without recomputing the old corpus's signatures or verifying its
-    pairs -- the 100 TB daily-ingest shape: the two expensive stages
-    (the pandas-UDF signature pass and the fat-array verify join) run
-    ONLY on work that involves new conversations.
+    without recomputing the old corpus -- the 100 TB daily-ingest shape.
+    EVERY per-batch stage scales with the batch, not the corpus:
+
+    * signatures (the pandas-UDF pass) run only on the new batch;
+    * banding + the capping window sorts run only on new band rows plus
+      old members of buckets the batch touches
+      (operators/lsh.incremental_candidate_pairs probes ``old_buckets``
+      -- the persisted band index, plans/band_index.py -- with a
+      broadcast semi join: ONE scan of the index, no re-band, no
+      full-corpus sort; old-old pairs are dropped in the pair builder,
+      not by post-hoc semi-joins);
+    * verify joins only new-touching pairs against member-pruned state;
+    * connected components contract onto ``old_clusters`` and solve only
+      the delta graph (operators/components.incremental_components)
+      when old_clusters is provided; otherwise the fixpoint runs over
+      old_edges UNION new edges (correct, but O(|all edges|) per batch).
+
+    The reference's accumulator pattern is the model
+    (/root/reference/README.md:377-379): merge absorbs new state into
+    old state, never re-derives old.  After a successful run, absorb the
+    batch with band_index.append_band_index(new_state, ...) so the next
+    batch probes an up-to-date index.
 
     old_state: per-conv signatures of the existing corpus (DedupResult
     .conv_state or LineageRunner's persisted signatures stage).
     old_edges: its verified edges (a, b, jaccard[, hamming]).
-
-    What reruns over everything: band explode + bucket windows (narrow
-    (conv_id, bucket) rows -- cheap relative to signatures/verify) and
-    connected components over old_edges UNION the new-touching edges.
-    Candidate pairs between two OLD convs are dropped (they were either
-    verified into old_edges already or correctly rejected); pairs
-    touching at least one new conv verify as usual.
+    old_buckets: persisted band membership (band_index.read_band_index).
+    None falls back to banding old_state on the fly -- no signature UDF,
+    but an O(corpus) band explode; pass the index at scale.
+    old_clusters: the existing labeling (DedupResult.clusters) enabling
+    delta-sized connected components.
 
     Equivalence: identical clusters to a full recompute on the combined
-    corpus whenever no band bucket overflows bucket_cap (signatures and
-    bucket hashes are deterministic, so old-old collisions are exactly
-    the old run's; cluster_id = min conv_id is label-stable).  When a
-    bucket DOES overflow, the capped member choice can differ between
-    incremental and full runs -- the same observable, bounded drop the
-    batch pipeline reports via bucket_stats.
+    corpus whenever no band bucket crosses ALL_PAIRS_CAP or bucket_cap
+    (signatures and bucket hashes are deterministic and cluster_id =
+    min conv_id is label-stable).  Past ALL_PAIRS_CAP the full run's
+    star topology and the old run's settled all-pairs edges can differ:
+    incremental keeps a SUPERSET of the full run's connectivity (it
+    never loses edges), so clusters may be coarser in the (ALL_PAIRS_CAP,
+    bucket_cap] regime; past bucket_cap the capped member choice itself
+    can differ -- the same observable, bounded drop the batch pipeline
+    reports via bucket_stats.
+
+    window_input_out / contracted_out: observability hooks forwarded to
+    the candidate and CC operators (row counts must scale with |new|).
     """
     resources: list[DataFrame] = []
     new_state = conv_signatures(new_transcripts, cfg).persist()
@@ -206,24 +241,47 @@ def incremental_dedup(
     resources.append(new_state)
     state = old_state.unionByName(new_state, allowMissingColumns=False)
 
-    buckets = band_buckets(state, cfg.lsh)
-    cands = candidate_pairs(buckets, cfg.lsh, resources=resources)
-    new_ids = new_state.select("conv_id")
-    # keep only pairs touching a new conv: old-old pairs are settled
-    touching_a = cands.join(new_ids.withColumnRenamed("conv_id", "a"), "a", "left_semi")
-    touching_b = cands.join(new_ids.withColumnRenamed("conv_id", "b"), "b", "left_semi")
-    new_cands = touching_a.unionByName(touching_b).distinct()
-    new_edges = verify_pairs(new_cands, state, cfg.lsh, tier=verify_tier)
+    if old_buckets is None:
+        old_buckets = band_buckets(old_state, cfg.lsh)
+    new_buckets = band_buckets(new_state, cfg.lsh)
+    ranked_holder: list[DataFrame] = []
+    cands = incremental_candidate_pairs(
+        old_buckets,
+        new_buckets,
+        cfg.lsh,
+        resources=resources,
+        ranked_out=ranked_holder,
+        window_input_out=window_input_out,
+    )
+    # the member prune references the pair list twice -- materialize once
+    cands = cands.persist()
+    cands.count()
+    resources.append(cands)
+    # incremental pairs are a small fraction of the corpus by
+    # construction -- member pruning always pays here (it shrinks the
+    # fat shingle shuffle from O(corpus) to O(batch members))
+    new_edges = verify_pairs(
+        cands, state, cfg.lsh, tier=verify_tier, prune_members=True
+    )
 
     edge_cols = [c for c in old_edges.columns if c in new_edges.columns]
     edges = old_edges.select(*edge_cols).unionByName(new_edges.select(*edge_cols))
-    labels = connected_components(edges, driver_threshold=cc_driver_threshold)
+    if old_clusters is not None:
+        labels = incremental_components(
+            old_clusters,
+            new_edges,
+            driver_threshold=cc_driver_threshold,
+            contracted_out=contracted_out,
+        )
+    else:
+        labels = connected_components(edges, driver_threshold=cc_driver_threshold)
     clusters = attach_singletons(labels, state)
-    from ..operators.lsh import bucket_stats
+    from ..operators.lsh import bucket_stats_from_ranked
 
     return DedupResult(
         conv_state=state, edges=edges, clusters=clusters,
-        bucket_report=bucket_stats(buckets, cfg.lsh), resources=resources,
+        bucket_report=bucket_stats_from_ranked(ranked_holder[0], cfg.lsh),
+        resources=resources,
     )
 
 

@@ -69,14 +69,20 @@ def test_exact_duplicates_always_cluster(spark):
     assert n_bad == 0
 
 
-def test_incremental_dedup_equals_full_recompute(spark):
+def test_incremental_dedup_equals_full_recompute(spark, tmp_path):
     """incremental_dedup(old, new) must produce the identical clustering
     to a full recompute on the combined corpus: signatures and bucket
     hashes are deterministic and cluster_id = min conv_id, so the
-    assignments match row for row (uncapped-bucket regime)."""
+    assignments match row for row (uncapped-bucket regime).  All three
+    modes must agree: derived banding fallback, persisted band index,
+    and band index + incremental connected components."""
     from pyspark.sql import functions as F
 
     from datasketches_server_spark.config import PipelineConfig
+    from datasketches_server_spark.plans.band_index import (
+        read_band_index,
+        write_band_index,
+    )
     from datasketches_server_spark.plans.pipeline import dedup_pipeline, incremental_dedup
     from datasketches_server_spark.sources.synth import synth_transcripts
 
@@ -88,17 +94,154 @@ def test_incremental_dedup_equals_full_recompute(spark):
     old_t, new_t = full_t.where(~is_new), full_t.where(is_new)
 
     old = dedup_pipeline(old_t, cfg)
-    inc = incremental_dedup(old.conv_state, old.edges, new_t, cfg)
-    incremental = {r["conv_id"]: r["cluster_id"] for r in inc.clusters.collect()}
+    write_band_index(old.conv_state, str(tmp_path), cfg)
+    index = read_band_index(spark, str(tmp_path), cfg)
 
     full = dedup_pipeline(full_t, cfg)
     want = {r["conv_id"]: r["cluster_id"] for r in full.clusters.collect()}
 
-    assert incremental == want
-    # and the expensive signature stage really only ran on the new batch
-    assert inc.conv_state.count() == full.conv_state.count()
+    for kwargs in (
+        {},  # derived banding fallback + full CC over edge union
+        {"old_buckets": index},
+        {"old_buckets": index, "old_clusters": old.clusters},
+    ):
+        inc = incremental_dedup(old.conv_state, old.edges, new_t, cfg, **kwargs)
+        incremental = {r["conv_id"]: r["cluster_id"] for r in inc.clusters.collect()}
+        assert incremental == want, f"mode {list(kwargs)} diverged"
+        assert inc.conv_state.count() == full.conv_state.count()
+        inc.unpersist()
+
     n_new = new_t.select("conv_id").distinct().count()
     assert n_new > 0
-    inc.unpersist()
     old.unpersist()
     full.unpersist()
+
+
+def test_incremental_dedup_work_scales_with_batch(spark, tmp_path):
+    """Round-4 task #1/#2 counters: with the persisted band index and
+    incremental CC, the window-sort input scales with the NEW batch (not
+    the corpus) and the CC input scales with the delta edges."""
+    from pyspark.sql import functions as F
+
+    from datasketches_server_spark.config import PipelineConfig
+    from datasketches_server_spark.plans.band_index import (
+        read_band_index,
+        write_band_index,
+    )
+    from datasketches_server_spark.plans.pipeline import dedup_pipeline, incremental_dedup
+    from datasketches_server_spark.sources.synth import synth_transcripts
+
+    cfg = PipelineConfig()
+    full_t = synth_transcripts(spark, n_convs=2000, seed=31)
+    is_new = F.pmod(F.xxhash64("conv_id"), F.lit(50)) == 0  # ~2% batch
+    old_t, new_t = full_t.where(~is_new), full_t.where(is_new)
+
+    old = dedup_pipeline(old_t, cfg)
+    write_band_index(old.conv_state, str(tmp_path), cfg)
+    index = read_band_index(spark, str(tmp_path), cfg)
+
+    win_holder: list = []
+    cc_holder: list = []
+    inc = incremental_dedup(
+        old.conv_state,
+        old.edges,
+        new_t,
+        cfg,
+        old_buckets=index,
+        old_clusters=old.clusters,
+        window_input_out=win_holder,
+        contracted_out=cc_holder,
+    )
+    inc.clusters.count()  # materialize the run
+
+    n_old = old.conv_state.count()
+    n_new = inc.conv_state.count() - n_old
+    bands = cfg.lsh.bands
+    assert n_new > 0 and n_new < n_old // 10
+
+    # window input = new band rows + old members of touched buckets;
+    # with ~avg_family_size dup families this is a small multiple of the
+    # batch's band rows and far below the corpus's
+    window_rows = win_holder[0].count()
+    old_band_rows = n_old * bands
+    new_band_rows = n_new * bands
+    assert window_rows < old_band_rows // 4, (window_rows, old_band_rows)
+    assert window_rows <= new_band_rows * (1 + cfg.lsh.bucket_cap), window_rows
+
+    # CC ran over the contracted delta graph, not the accumulated edges
+    contracted_edges = cc_holder[0].count()
+    old_edge_count = old.edges.count()
+    new_edge_count = inc.edges.count() - old_edge_count
+    assert contracted_edges <= max(new_edge_count, 1), (
+        contracted_edges,
+        new_edge_count,
+    )
+    assert old_edge_count > contracted_edges  # the settled edges stayed out
+    inc.unpersist()
+    old.unpersist()
+
+
+def test_incremental_components_bridges_and_relabels(spark):
+    """New edges that bridge two existing clusters must merge them to
+    the global-min label; untouched clusters keep their labels; new
+    nodes get the merged component's label."""
+    from datasketches_server_spark.operators.components import incremental_components
+
+    old_clusters = spark.createDataFrame(
+        [
+            ("a1", "a1"), ("a2", "a1"),          # cluster A
+            ("b1", "b1"), ("b2", "b1"),          # cluster B
+            ("c1", "c1"),                         # untouched singleton
+            ("d1", "d1"),                         # singleton gaining a new partner
+        ],
+        "conv_id string, cluster_id string",
+    )
+    new_edges = spark.createDataFrame(
+        [
+            ("a2", "b2"),   # bridges A and B -> min label a1
+            ("n1", "d1"),   # new conv joins singleton d1 -> min label d1
+            ("a1", "a2"),   # inside one old cluster -> self-loop, no-op
+        ],
+        "a string, b string",
+    )
+    got = {
+        r["conv_id"]: r["cluster_id"]
+        for r in incremental_components(old_clusters, new_edges).collect()
+    }
+    assert got == {
+        "a1": "a1", "a2": "a1", "b1": "a1", "b2": "a1",
+        "c1": "c1", "d1": "d1", "n1": "d1",
+    }
+
+
+def test_band_index_append_absorbs_batch(spark, tmp_path):
+    """append_band_index is the accumulator merge: after absorbing the
+    batch, the index equals a from-scratch index over the combined
+    corpus (same rows), without rewriting old rows."""
+    from pyspark.sql import functions as F
+
+    from datasketches_server_spark.config import PipelineConfig
+    from datasketches_server_spark.plans.band_index import (
+        append_band_index,
+        read_band_index,
+        write_band_index,
+    )
+    from datasketches_server_spark.plans.pipeline import conv_signatures
+    from datasketches_server_spark.sources.synth import synth_transcripts
+
+    cfg = PipelineConfig()
+    full_t = synth_transcripts(spark, n_convs=300, seed=9)
+    is_new = F.pmod(F.xxhash64("conv_id"), F.lit(5)) == 0
+    old_s = conv_signatures(full_t.where(~is_new), cfg)
+    new_s = conv_signatures(full_t.where(is_new), cfg)
+
+    write_band_index(old_s, str(tmp_path), cfg)
+    append_band_index(new_s, str(tmp_path), cfg)
+    got = read_band_index(spark, str(tmp_path), cfg)
+
+    scratch = str(tmp_path / "scratch")
+    write_band_index(conv_signatures(full_t, cfg), scratch, cfg)
+    want = read_band_index(spark, scratch, cfg)
+
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
