@@ -213,7 +213,11 @@ def streaming_near_dup_pairs(
         ).alias("bucket"),
     )
     out_schema = "a string, b string, est_jaccard double, bucket long"
-    state_schema = "ids array<string>, sigs array<array<long>>"
+    # state holds signatures as ONE flat row-major long array
+    # (cnt * num_perm), not list-of-lists: the nested layout round-
+    # tripped cap x perm Python ints per group per batch; the flat
+    # layout converts through numpy in one C-level pass each way
+    state_schema = "ids array<string>, sigs array<long>"
     num_perm = bands * rows_per_band
 
     match_fn = make_near_dup_match_fn(num_perm, threshold, bucket_cap, state_ttl_minutes)
@@ -244,17 +248,24 @@ def make_near_dup_match_fn(
             state.remove()
             return
         if state.exists:
-            ids, sig_lists = state.get
+            ids, flat = state.get
             ids = list(ids)
+            # Arrow-native state layout: ONE flat row-major long array,
+            # decoded in a single C-level pass (vs per-row list(map(int,
+            # ...)) round-trips in the nested layout)
+            stored = np.asarray(flat, dtype=np.int64).reshape(-1, num_perm)
         else:
-            ids, sig_lists = [], []
-        # ONE preallocated (bucket_cap, num_perm) buffer per group per
-        # batch: members append by index -- no per-row np.vstack copies
-        # (that was O(cap^2) copied cells within a batch)
-        buf = np.empty((bucket_cap, num_perm), dtype=np.int64)
+            ids, stored = [], None
         cnt = len(ids)
+        # ONE preallocated buffer per group per batch: members append by
+        # index -- no per-row np.vstack copies.  Sized to max(cnt,
+        # bucket_cap): restored state LARGER than bucket_cap (cap
+        # lowered across a restart) degrades gracefully -- oversized
+        # members keep matching, no new members are stored past the cap
+        # -- instead of crashing the query on a broadcast-shape error.
+        buf = np.empty((max(cnt, bucket_cap), num_perm), dtype=np.int64)
         if cnt:
-            buf[:cnt] = np.array([list(s) for s in sig_lists], dtype=np.int64)
+            buf[:cnt] = stored
         out_rows = []
         for pdf in pdf_iter:
             for conv_id, mh in zip(pdf["conv_id"], pdf["minhash"]):
@@ -268,7 +279,7 @@ def make_near_dup_match_fn(
                     ids.append(conv_id)
                     buf[cnt] = v
                     cnt += 1
-        state.update((ids, [list(map(int, r)) for r in buf[:cnt]]))
+        state.update((ids, buf[:cnt].ravel().tolist()))
         if state_ttl_minutes is not None:
             state.setTimeoutDuration(int(state_ttl_minutes * 60_000))
         if out_rows:
@@ -277,14 +288,180 @@ def make_near_dup_match_fn(
     return match_fn
 
 
+def verify_near_dup_pairs(
+    pairs: DataFrame,
+    conv_state: DataFrame,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Downstream exact verification for :func:`streaming_near_dup_pairs`
+    output -- the documented ``dropDuplicates + exact-verify`` join as a
+    function, so the streaming tier has the same no-false-positives
+    option as the batch pipeline (emitted pairs carry only the MinHash
+    ESTIMATE; signature agreement can over- or under-shoot the true
+    jaccard).
+
+    pairs: (a, b, ...) -- e.g. a collected output window or a
+    foreachBatch micro-batch of the streaming query; the same pair
+    emitted from several band buckets is deduplicated here.
+    conv_state: per-conv state WITH a ``shingles`` column at the same
+    shingle config the stream used (plans/pipeline.conv_signatures over
+    the archived conversations, or the lineage signatures stage).
+
+    Returns (a, b, jaccard[, hamming]) with jaccard the EXACT value,
+    filtered at ``threshold`` -- zero false positives by construction.
+    """
+    from ..config import LshConfig
+    from ..operators.lsh import verify_pairs
+
+    uniq = pairs.select("a", "b").dropDuplicates(["a", "b"])
+    return verify_pairs(
+        uniq, conv_state, LshConfig(jaccard_threshold=threshold), tier="exact"
+    )
+
+
+# base (compacted) rows live in this epoch partition; real epochs are >= 0
+BASE_EPOCH = -1
+
+
+def _read_metrics(spark: SparkSession, metrics_path: str) -> DataFrame:
+    """Read the append log; base rows carry an extra compacted_through
+    column the tail epochs lack -- mergeSchema unifies (tail gets null)."""
+    m = spark.read.option("mergeSchema", "true").parquet(metrics_path)
+    if "compacted_through" not in m.columns:
+        m = m.withColumn("compacted_through", F.lit(None).cast("long"))
+    return m
+
+
+def _base_watermark(m: DataFrame) -> int | None:
+    """Highest epoch folded into the base partition (None = no base).
+    The scan is partition-pruned to epoch_id == BASE_EPOCH -- one tiny
+    file, not the tail."""
+    row = (
+        m.where(F.col("epoch_id") == BASE_EPOCH)
+        .agg(F.max("compacted_through").alias("w"))
+        .collect()[0]
+    )
+    return None if row["w"] is None else int(row["w"])
+
+
+def _cleanup_epochs(metrics_path: str, through_epoch: int) -> int:
+    """Drop epoch partitions already folded into the base row.  Local-FS
+    listing here; on a real warehouse this is the table format's
+    drop-partition / expire-snapshots call."""
+    import os
+    import shutil
+
+    removed = 0
+    for name in os.listdir(metrics_path):
+        if not name.startswith("epoch_id="):
+            continue
+        try:
+            epoch = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if 0 <= epoch <= through_epoch:
+            shutil.rmtree(os.path.join(metrics_path, name))
+            removed += 1
+    return removed
+
+
+def compact_metrics(
+    spark: SparkSession,
+    metrics_path: str,
+    through_epoch: int,
+    key_col: str = "event_type",
+    cfg: SketchConfig = SketchConfig(),
+) -> dict:
+    """Periodic compaction-merge for the metrics append log (SURVEY
+    §2.1 #24's other half): fold every epoch partition <= through_epoch
+    -- plus the existing base -- into ONE base row per key via
+    ``theta_union_agg``, then drop the folded epoch partitions.  A
+    long-lived stream otherwise accumulates unbounded small files that
+    merged_view must re-merge on every query.
+
+    Idempotent and crash-safe, exactly-once semantics:
+
+    * re-running with the same (or a lower) through_epoch is a no-op
+      apart from removing leftover folded partitions;
+    * the base row records ``compacted_through``; merged_view ignores
+      epoch partitions at or below it, so a crash BETWEEN the base
+      write and the partition cleanup never double-counts -- leftovers
+      are invisible to readers and removed by the next run;
+    * epochs above the previous watermark are folded exactly once
+      (sketch union is idempotent anyway; the exact n_events sum is
+      what needs the watermark discipline).
+
+    Returns {"compacted_through", "folded_epochs", "removed_partitions",
+    "noop"}.
+    """
+    m = _read_metrics(spark, metrics_path)
+    watermark = _base_watermark(m)
+    if watermark is not None and watermark >= through_epoch:
+        removed = _cleanup_epochs(metrics_path, watermark)
+        return {
+            "compacted_through": watermark,
+            "folded_epochs": 0,
+            "removed_partitions": removed,
+            "noop": True,
+        }
+    lo = watermark if watermark is not None else BASE_EPOCH  # exclusive bound
+    fold = m.where(
+        (F.col("epoch_id") == BASE_EPOCH)
+        | ((F.col("epoch_id") > lo) & (F.col("epoch_id") <= through_epoch))
+    ).dropDuplicates(["epoch_id", key_col])
+    n_folded = fold.where(F.col("epoch_id") != BASE_EPOCH).select("epoch_id").distinct().count()
+    if n_folded == 0:
+        return {
+            "compacted_through": watermark,
+            "folded_epochs": 0,
+            "removed_partitions": _cleanup_epochs(
+                metrics_path, watermark if watermark is not None else BASE_EPOCH
+            ),
+            "noop": True,
+        }
+    base = (
+        fold.groupBy(key_col)
+        .agg(
+            F.theta_union_agg("theta_items", cfg.theta_lg_k).alias("theta_items"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .withColumn("compacted_through", F.lit(int(through_epoch)))
+        .withColumn("epoch_id", F.lit(BASE_EPOCH))
+    )
+    # the base relation READS metrics_path and the write OVERWRITES a
+    # partition of it -- materialize first (it is one tiny row per key)
+    # so the write plan no longer references the path
+    base = base.localCheckpoint(eager=True)
+    (
+        base.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch_id")
+        .parquet(metrics_path)
+    )
+    removed = _cleanup_epochs(metrics_path, through_epoch)
+    return {
+        "compacted_through": int(through_epoch),
+        "folded_epochs": n_folded,
+        "removed_partitions": removed,
+        "noop": False,
+    }
+
+
 def merged_view(spark: SparkSession, metrics_path: str, key_col: str = "event_type",
                 cfg: SketchConfig = SketchConfig()) -> DataFrame:
     """Query the append log: merge partial sketches per key (the /query
-    endpoint over accumulated /update batches).  The epoch-partitioned
-    write is already idempotent; the key-dedup here is defense in depth
-    against a torn non-atomic overwrite (two part files surviving in
-    one epoch partition)."""
-    m = spark.read.parquet(metrics_path).dropDuplicates(["epoch_id", key_col])
+    endpoint over accumulated /update batches) -- base row (if a
+    compaction ran) + the epoch tail above its watermark.  The
+    epoch-partitioned write is already idempotent; the key-dedup here is
+    defense in depth against a torn non-atomic overwrite (two part files
+    surviving in one epoch partition), and the watermark filter makes
+    epoch partitions already folded into the base invisible even if a
+    compaction crashed before removing them."""
+    m = _read_metrics(spark, metrics_path)
+    watermark = _base_watermark(m)
+    if watermark is not None:
+        m = m.where((F.col("epoch_id") == BASE_EPOCH) | (F.col("epoch_id") > watermark))
+    m = m.dropDuplicates(["epoch_id", key_col])
     return m.groupBy(key_col).agg(
         F.theta_sketch_estimate(F.theta_union_agg("theta_items", cfg.theta_lg_k)).alias("distinct_items"),
         F.sum("n_events").alias("n_events"),

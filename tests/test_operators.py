@@ -384,6 +384,107 @@ def test_streaming_metrics_epoch_replay_is_idempotent(spark, tmp_path):
     assert {k: v[0] for k, v in after.items()} == truth
 
 
+def test_metrics_compaction_preserves_estimates_and_drops_files(spark, tmp_path):
+    """Round-4 task #3 (SURVEY §2.1 #24 'append + periodic
+    compaction-merge'): compacting epochs <= N into one base row must
+    leave every merged estimate unchanged, shrink the partition count,
+    be idempotent under re-run, and keep folding correctly as new
+    epochs arrive after the compaction."""
+    import os
+
+    from datasketches_server_spark.streaming.incremental import (
+        append_metrics_batch,
+        compact_metrics,
+        merged_view,
+    )
+
+    out = str(tmp_path / "metrics_compact")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    for epoch in range(4):
+        append_metrics_batch(ev.where(F.col("user_id") % 4 == epoch), epoch, out)
+
+    def snapshot():
+        return {r["event_type"]: (r["n_events"], r["distinct_items"])
+                for r in merged_view(spark, out).collect()}
+
+    def epoch_dirs():
+        return sorted(d for d in os.listdir(out) if d.startswith("epoch_id="))
+
+    before = snapshot()
+    assert len(epoch_dirs()) == 4
+
+    r1 = compact_metrics(spark, out, through_epoch=2)
+    assert r1["folded_epochs"] == 3 and not r1["noop"]
+    assert snapshot() == before
+    # base partition + the un-compacted tail epoch only
+    assert epoch_dirs() == ["epoch_id=-1", "epoch_id=3"]
+
+    # idempotent re-run: no-op, nothing changes
+    r2 = compact_metrics(spark, out, through_epoch=2)
+    assert r2["noop"] and snapshot() == before
+
+    # new epochs after compaction fold into the existing base
+    append_metrics_batch(ev.where(F.col("user_id") % 4 == 0), 4, out)  # replayed data
+    after_append = snapshot()
+    r3 = compact_metrics(spark, out, through_epoch=4)
+    assert r3["folded_epochs"] == 2 and not r3["noop"]
+    assert snapshot() == after_append
+    assert epoch_dirs() == ["epoch_id=-1"]
+
+    # exact counts still reconcile with the raw table (epochs 0-3
+    # partition ev disjointly; epoch 4 duplicated a quarter of events
+    # in a NEW epoch, so n_events counts it twice -- by design, the
+    # exactly-once guarantee is per epoch_id)
+    truth = {r["event_type"]: r["n"] for r in
+             ev.union(ev.where(F.col("user_id") % 4 == 0))
+             .groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    assert {k: v[0] for k, v in snapshot().items()} == truth
+
+
+def test_metrics_compaction_crash_between_write_and_cleanup(spark, tmp_path):
+    """Crash-safety: if the base row is written but the folded epoch
+    partitions were NOT removed (crash mid-compaction), readers must not
+    double-count -- the watermark makes folded epochs invisible -- and
+    the next compaction removes the leftovers."""
+    import os
+    import shutil
+
+    from datasketches_server_spark.streaming.incremental import (
+        append_metrics_batch,
+        compact_metrics,
+        merged_view,
+    )
+
+    out = str(tmp_path / "metrics_crash")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    for epoch in range(3):
+        append_metrics_batch(ev.where(F.col("user_id") % 3 == epoch), epoch, out)
+    before = {r["event_type"]: (r["n_events"], r["distinct_items"])
+              for r in merged_view(spark, out).collect()}
+
+    # simulate the crash: run a real compaction, then RESTORE the folded
+    # epoch partitions from a copy taken beforehand
+    saved = str(tmp_path / "saved_epochs")
+    os.makedirs(saved)
+    for d in os.listdir(out):
+        if d.startswith("epoch_id=") and not d.endswith("=-1"):
+            shutil.copytree(os.path.join(out, d), os.path.join(saved, d))
+    compact_metrics(spark, out, through_epoch=2)
+    for d in os.listdir(saved):
+        shutil.copytree(os.path.join(saved, d), os.path.join(out, d))
+
+    # leftovers present on disk, invisible to readers
+    assert len([d for d in os.listdir(out) if d.startswith("epoch_id=")]) == 4
+    after = {r["event_type"]: (r["n_events"], r["distinct_items"])
+             for r in merged_view(spark, out).collect()}
+    assert after == before
+
+    # the next (no-op) compaction sweeps them
+    r = compact_metrics(spark, out, through_epoch=2)
+    assert r["noop"] and r["removed_partitions"] == 3
+    assert [d for d in os.listdir(out) if d.startswith("epoch_id=")] == ["epoch_id=-1"]
+
+
 def test_streaming_near_dup_state_is_capped(spark, tmp_path):
     """Round-3 task #6: bucket state holds at most bucket_cap members --
     members past the cap still MATCH against stored state but are not
@@ -460,7 +561,7 @@ def test_near_dup_match_fn_ttl_eviction_and_cap():
     fn = make_near_dup_match_fn(num_perm=4, threshold=0.5, bucket_cap=2, state_ttl_minutes=1)
 
     # timed-out call: state removed, nothing emitted
-    st = _FakeGroupState(value=(["x"], [[1, 2, 3, 4]]), timed_out=True)
+    st = _FakeGroupState(value=(["x"], [1, 2, 3, 4]), timed_out=True)
     assert list(fn((0,), iter([]), st)) == []
     assert st.removed and not st.exists
 
@@ -471,8 +572,100 @@ def test_near_dup_match_fn_ttl_eviction_and_cap():
     out = pd.concat(list(fn((5,), iter([pdf]), st2)))
     assert {(r.a, r.b) for r in out.itertuples()} == {("c1", "c2"), ("c1", "c3"), ("c2", "c3")}
     ids, sigs = st2.get
-    assert ids == ["c1", "c2"] and len(sigs) == 2  # capped state
+    # state is the FLAT Arrow-native layout: cnt * num_perm longs
+    assert ids == ["c1", "c2"] and sigs == [7, 7, 7, 7, 7, 7, 7, 7]
     assert st2.timeout_ms == 60_000
+
+
+def test_near_dup_match_fn_tolerates_oversized_restored_state():
+    """ADVICE r3: restored state holding MORE than bucket_cap members
+    (cap lowered across a restart) must degrade gracefully -- oversized
+    members still match, no new members are stored -- instead of
+    crashing the query on a buffer-shape error."""
+    import pandas as pd
+
+    from datasketches_server_spark.streaming.incremental import make_near_dup_match_fn
+
+    fn = make_near_dup_match_fn(num_perm=2, threshold=0.5, bucket_cap=2, state_ttl_minutes=None)
+    # 3 stored members, cap is 2 (flat layout: 3 * 2 longs)
+    st = _FakeGroupState(value=(["x1", "x2", "x3"], [9, 9, 9, 9, 9, 9]))
+    pdf = pd.DataFrame({"conv_id": ["y"], "minhash": [[9, 9]]})
+    out = pd.concat(list(fn((1,), iter([pdf]), st)))
+    # y matched ALL THREE oversized members ...
+    assert {(r.a, r.b) for r in out.itertuples()} == {("x1", "y"), ("x2", "y"), ("x3", "y")}
+    # ... and was not stored (state stays at its oversized 3, never grows)
+    ids, sigs = st.get
+    assert ids == ["x1", "x2", "x3"] and len(sigs) == 6
+
+
+def test_verify_near_dup_pairs_dedups_and_kills_false_positives(spark):
+    """Round-4 task #9: the shipped downstream verify join must dedup
+    multi-bucket emissions and drop pairs whose EXACT jaccard is below
+    threshold, keeping true near-dups with their exact score."""
+    from datasketches_server_spark.config import DEFAULT_CONFIG
+    from datasketches_server_spark.plans.pipeline import conv_signatures
+    from datasketches_server_spark.sources.synth import synth_transcripts
+    from datasketches_server_spark.streaming.incremental import verify_near_dup_pairs
+
+    t = synth_transcripts(spark, n_convs=60, seed=5)
+    state = conv_signatures(t, DEFAULT_CONFIG)
+
+    # one true exact-dup pair from the planted families, one bogus pair
+    from datasketches_server_spark.plans.pipeline import dedup_pipeline
+
+    res = dedup_pipeline(t, DEFAULT_CONFIG)
+    true_pair = res.edges.orderBy("a", "b").limit(1).collect()[0]
+    ids = sorted(r["conv_id"] for r in state.select("conv_id").collect())
+    # a pair of two unrelated convs: last two ids, unless they happen to
+    # be the true pair (deterministic corpus; they are not)
+    bogus = (ids[-1], ids[-2]) if ids[-1] < ids[-2] else (ids[-2], ids[-1])
+    bogus_edge = res.edges.where(
+        (F.col("a") == bogus[0]) & (F.col("b") == bogus[1])
+    ).count()
+
+    pairs = spark.createDataFrame(
+        [
+            (true_pair["a"], true_pair["b"], 0.9, 1),
+            (true_pair["a"], true_pair["b"], 0.9, 7),   # same pair, 2nd bucket
+            (bogus[0], bogus[1], 0.71, 3),              # estimate lied
+        ],
+        "a string, b string, est_jaccard double, bucket long",
+    )
+    got = verify_near_dup_pairs(pairs, state, threshold=0.7).collect()
+    got_pairs = [(r["a"], r["b"]) for r in got]
+    assert got_pairs.count((true_pair["a"], true_pair["b"])) == 1  # deduped
+    if bogus_edge == 0:
+        assert (bogus[0], bogus[1]) not in got_pairs  # false positive killed
+    assert all(r["jaccard"] >= 0.7 for r in got)
+    res.unpersist()
+
+
+def test_flat_state_layout_micro_benchmark():
+    """Round-4 task #5: the flat long-array state round-trip must beat
+    the nested list-of-lists layout it replaced (cap x perm Python-int
+    conversions per group per batch)."""
+    import time
+
+    import numpy as np
+
+    cap, perm = 256, 128
+    buf = np.arange(cap * perm, dtype=np.int64).reshape(cap, perm)
+
+    def run(f, n=20):
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.perf_counter()
+            f()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_nested = run(lambda: [list(map(int, r)) for r in buf])      # old layout
+    t_flat = run(lambda: buf.ravel().tolist())                    # new layout
+    # the flat path is typically 10-50x faster; assert a conservative 2x
+    assert t_flat * 2 < t_nested, (t_flat, t_nested)
+    # and the decode side reshapes losslessly
+    flat = buf.ravel().tolist()
+    assert (np.asarray(flat, dtype=np.int64).reshape(-1, perm) == buf).all()
 
 
 def test_prune_auto_counts_members_not_pairs(spark):
