@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_kll_value_quantiles": Q.q16_kll_value_quantiles,
         "q34_kll_cdf_pmf_contract": Q.q34_kll_cdf_pmf_contract,
         "q35_theta_jaccard_segments": Q.q35_theta_jaccard_segments,
+        "q36_theta_jaccard_contract": Q.q36_theta_jaccard_contract,
         "q17_reservoir_sample": Q.q17_reservoir_sample,
         "q18_varopt_sample": Q.q18_varopt_sample,
         "q19_cms_heavy_hitters": Q.q19_cms_heavy_hitters,
@@ -309,6 +310,27 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN inter i ON pr.pa = i.pa AND pr.pb = i.pb
             JOIN sizes sa ON pr.pa = sa.p
             JOIN sizes sb ON pr.pb = sb.p
+            ORDER BY 1, 2
+        """,
+        "q36_theta_jaccard_contract": """
+            WITH s AS (
+                SELECT DISTINCT o_orderpriority AS p, o_custkey AS c FROM orders
+            ), pairs AS (
+                SELECT a.p AS pa, a.n AS na, b.p AS pb, b.n AS nb
+                FROM (SELECT p, count(*) AS n FROM s GROUP BY 1) a
+                JOIN (SELECT p, count(*) AS n FROM s GROUP BY 1) b ON a.p < b.p
+            ), inter AS (
+                SELECT x.p AS pa, y.p AS pb, count(*) AS n_both
+                FROM s x JOIN s y ON x.c = y.c AND x.p < y.p
+                GROUP BY 1, 2
+            )
+            SELECT pr.pa, pr.pb,
+                   coalesce(i.n_both, 0) AS n_both,
+                   pr.na + pr.nb - coalesce(i.n_both, 0) AS n_either,
+                   TRUE AS both_ok,
+                   TRUE AS either_ok
+            FROM pairs pr
+            LEFT JOIN inter i ON pr.pa = i.pa AND pr.pb = i.pb
             ORDER BY 1, 2
         """,
         "q14_exact_percentiles": """

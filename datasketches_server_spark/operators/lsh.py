@@ -169,6 +169,7 @@ def incremental_candidate_pairs(
     ranked_out: list[DataFrame] | None = None,
     window_input_out: list[DataFrame] | None = None,
     broadcast_touched: bool = True,
+    unit_col: str | None = None,
 ) -> DataFrame:
     """Candidate pairs for an incremental batch WITHOUT re-banding or
     re-sorting the old corpus: every window sort's input scales with the
@@ -208,17 +209,22 @@ def incremental_candidate_pairs(
     window_input_out: test/observability hook -- receives the lazy
     combined relation feeding the windows, so callers can assert its
     row count scales with |new|, not |corpus|.
+    unit_col: optional resume-unit column carried on BOTH bucket-row
+    inputs (plans/lineage.py's incremental edge stage) -- same contract
+    as candidate_pairs: a bucket lies wholly inside one unit, so
+    per-unit pair generation is complete.
     """
+    unit = [unit_col] if unit_col else []
     touched = new_buckets.select("bucket").distinct()
     if broadcast_touched:
         touched = F.broadcast(touched)
     old_t = (
-        old_buckets.select("bucket", "conv_id")
+        old_buckets.select("bucket", "conv_id", *unit)
         .join(touched, "bucket", "left_semi")
         .withColumn("_new", F.lit(False))
     )
     comb = (
-        new_buckets.select("bucket", "conv_id")
+        new_buckets.select("bucket", "conv_id", *unit)
         .withColumn("_new", F.lit(True))
         .unionByName(old_t)
     )
@@ -230,7 +236,7 @@ def incremental_candidate_pairs(
         comb.withColumn("_salt", salt)
         .withColumn("_rn1", F.row_number().over(w1))
         .where(F.col("_rn1") <= cfg.bucket_cap)
-        .select("bucket", "conv_id", "_new")
+        .select("bucket", "conv_id", "_new", *unit)
     )
     w2 = Window.partitionBy("bucket").orderBy("conv_id")
     ranked = (
@@ -249,6 +255,7 @@ def incremental_candidate_pairs(
         F.col("conv_id").alias("a"),
         F.col("rn").alias("_ra"),
         F.col("_new").alias("_na"),
+        *unit,
     )
     right = small.select(
         "bucket",
@@ -259,18 +266,18 @@ def incremental_candidate_pairs(
     pairs_small = (
         left.join(right, "bucket")
         .where((F.col("_ra") < F.col("_rb")) & (F.col("_na") | F.col("_nb")))
-        .select("a", "b")
+        .select("a", "b", *unit)
     )
     large = ranked.where(F.col("sz") > ALL_PAIRS_CAP)
     roots = large.where(F.col("rn") == 1).select(
-        "bucket", F.col("conv_id").alias("a"), F.col("_new").alias("_na")
+        "bucket", F.col("conv_id").alias("a"), F.col("_new").alias("_na"), *unit
     )
     pairs_large = (
         large.where(F.col("rn") > 1)
         .select("bucket", F.col("conv_id").alias("b"), F.col("_new").alias("_nb"))
         .join(roots, "bucket")
         .where(F.col("_na") | F.col("_nb"))
-        .select("a", "b")
+        .select("a", "b", *unit)
     )
     return pairs_small.unionByName(pairs_large).distinct()
 

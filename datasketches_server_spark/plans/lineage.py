@@ -171,32 +171,15 @@ class LineageRunner:
         return self.spark.read.parquet(path).drop("_bucket")
 
     # -- pipeline ----------------------------------------------------------
-    def run(
-        self,
-        transcripts: DataFrame,
-        input_fp: str = "static",
-        full_bucket_stats: bool = False,
-    ) -> tuple[dict[str, DataFrame], RunStats]:
-        """Run (or resume) the full dedup pipeline with checkpointing.
-
-        input_fp identifies the input snapshot (Iceberg snapshot id /
-        parquet fingerprint via sources.io.TableIO.snapshot_fingerprint).
-
-        full_bucket_stats: opt into the exact full-scan skew histogram
-        (one extra pass over band generation); the default derives the
-        same numbers from the pair pass's own persisted post-cap
-        relation at zero extra scans (dropped_members then lower-bounds
-        drops past the salted pre-cap).
-        """
-        stats = RunStats()
+    def _signatures_stage(
+        self, transcripts: DataFrame, input_fp: str, stats: RunStats
+    ) -> DataFrame:
+        """Stage 1, shared by run() and run_incremental(): per-bucket
+        signatures, ONE partitioned write for all pending buckets + ONE
+        bulk manifest append (see module docstring)."""
         B = self.cfg.num_buckets
-        E = self.edge_units
         bucket = F.pmod(F.xxhash64("conv_id"), F.lit(B)).cast("int")
-        # lazily-built schema donors for empty-stage fallbacks (no jobs)
         empty_state = conv_signatures(transcripts.limit(0), self.cfg)
-
-        # stage 1: per-bucket signatures -- ONE partitioned write for all
-        # pending buckets + ONE bulk manifest append (see module docstring)
         done = self.done_units("signatures", input_fp)
         pending = [i for i in range(B) if i not in done]
         stats.skipped["signatures"] = len(done)
@@ -229,7 +212,201 @@ class LineageRunner:
             # so done_units' existence check passes on resume
             for i in pending:
                 os.makedirs(self._unit_path("signatures", i, input_fp), exist_ok=True)
-        state = self._stage_df("signatures", input_fp, fallback=empty_state)
+        return self._stage_df("signatures", input_fp, fallback=empty_state)
+
+    def ensure_band_index(self, input_fp: str) -> None:
+        """Backfill the persisted band-bucket index for a COMPLETED
+        signatures stage (plans/band_index.py): one O(|stage|) banding
+        write keyed by (config_hash, input_fp), no signature UDF.
+        No-op when the index already exists -- the rolling convention is
+        one index dir per input snapshot, so incremental chains read the
+        union of their ancestors' dirs and each batch is banded exactly
+        once, ever."""
+        from .band_index import band_index_dir, write_band_index
+
+        path = band_index_dir(self.workdir, self.cfg, input_fp)
+        if self._has_parquet_files(path):
+            return
+        sig_dir = self._stage_dir("signatures", input_fp)
+        if not self._has_parquet_files(sig_dir):
+            raise ValueError(
+                f"no completed signatures stage for input_fp={input_fp!r}; "
+                "run() or run_incremental() it first"
+            )
+        state = self.spark.read.parquet(sig_dir).drop("_bucket")
+        write_band_index(state, self.workdir, self.cfg, input_fp)
+
+    def run_incremental(
+        self,
+        new_transcripts: DataFrame,
+        input_fp: str,
+        base_fps: list[str],
+    ) -> tuple[dict[str, DataFrame], RunStats]:
+        """Incremental-batch dedup THROUGH the lineage manifest: the
+        new batch's signature buckets and edge units checkpoint exactly
+        like run()'s, so a batch killed mid-verify resumes recomputing
+        only pending units -- and every per-batch stage still scales
+        with the batch (plans/pipeline.incremental_dedup semantics:
+        persisted band index probe, delta-sized connected components).
+
+        base_fps: the input fingerprints of the COMPLETED runs this
+        batch builds on, oldest first -- e.g. ["base"] for the first
+        increment, ["base", "day1"] for the next (old state/edges are
+        the union of those stages; the labeling comes from the LAST
+        fp's clusters stage, which always covers the whole corpus so
+        chains compose).  Each base fp's band index is backfilled once
+        if missing (ensure_band_index); this batch's own index is
+        written at the end, making it a valid base for the next batch.
+        """
+        from functools import reduce
+
+        from ..operators.components import incremental_components
+        from ..operators.lsh import incremental_candidate_pairs
+        from .band_index import read_band_index
+
+        if not base_fps:
+            raise ValueError("base_fps must name at least one completed run")
+        stats = RunStats()
+        E = self.edge_units
+        empty_state = conv_signatures(new_transcripts.limit(0), self.cfg)
+
+        # stage 1: signatures for the NEW batch only (same bucketized
+        # path as run(); keyed by this batch's input_fp)
+        new_state = self._signatures_stage(new_transcripts, input_fp, stats)
+        old_state = reduce(
+            lambda a, b: a.unionByName(b),
+            [self._stage_df("signatures", fp, fallback=empty_state) for fp in base_fps],
+        )
+        for fp in base_fps:
+            self.ensure_band_index(fp)
+        old_buckets = reduce(
+            lambda a, b: a.unionByName(b),
+            [read_band_index(self.spark, self.workdir, self.cfg, fp) for fp in base_fps],
+        )
+        state = old_state.unionByName(new_state)
+
+        # stage 2: incremental edges, bucketized by band-bucket unit --
+        # identical resume granularity to run()'s edge stage
+        unit_of_bucket = F.pmod(F.col("bucket"), F.lit(E)).cast("int")
+        empty_edges = verify_pairs(
+            candidate_pairs(
+                band_buckets(empty_state, self.cfg.lsh).withColumn("_unit", unit_of_bucket),
+                self.cfg.lsh, unit_col="_unit",
+            ),
+            empty_state, self.cfg.lsh, carry_cols=("_unit",),
+        ).drop("_unit")
+        done_e = self.done_units("edges", input_fp)
+        pending_e = [i for i in range(E) if i not in done_e]
+        stats.skipped["edges"] = len(done_e)
+        stats.computed["edges"] = len(pending_e)
+        if pending_e:
+            nb = band_buckets(new_state, self.cfg.lsh).withColumn("_unit", unit_of_bucket)
+            ob = old_buckets.withColumn("_unit", unit_of_bucket)
+            if len(pending_e) < E:
+                nb = nb.where(F.col("_unit").isin(pending_e))
+                ob = ob.where(F.col("_unit").isin(pending_e))
+            resources: list[DataFrame] = []
+            ranked_holder: list[DataFrame] = []
+            cands = incremental_candidate_pairs(
+                ob, nb, self.cfg.lsh,
+                resources=resources, ranked_out=ranked_holder, unit_col="_unit",
+            )
+            # the member prune references the pair list twice
+            cands = cands.persist()
+            cands.count()
+            resources.append(cands)
+            edges_w = verify_pairs(
+                cands, state, self.cfg.lsh,
+                carry_cols=("_unit",), prune_members=True,
+            ).withColumnRenamed("_unit", "_bucket")
+            (
+                edges_w.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_bucket")
+                .parquet(self._stage_dir("edges", input_fp))
+            )
+            stats.bucket_stats = {
+                k: int(v if v is not None else 0)
+                for k, v in bucket_stats_from_ranked(ranked_holder[0], self.cfg.lsh)
+                .collect()[0].asDict().items()
+            }
+            for df in resources:
+                df.unpersist()
+            counts = {
+                r["_bucket"]: r["n"]
+                for r in self._stage_counts("edges", input_fp, pending_e)
+            }
+            self._record_bulk("edges", {i: counts.get(i, 0) for i in pending_e}, input_fp)
+            for i in pending_e:
+                os.makedirs(self._unit_path("edges", i, input_fp), exist_ok=True)
+        new_edges = self._stage_df("edges", input_fp, fallback=empty_edges).dropDuplicates(["a", "b"])
+
+        # stage 3a: delta connected components against the base labeling
+        id_type = dict(empty_edges.dtypes)["a"]
+        empty_labels = self.spark.createDataFrame(
+            [], f"conv_id {id_type}, cluster_id {id_type}"
+        )
+        old_clusters = self._stage_df("clusters", base_fps[-1], fallback=empty_labels)
+        if 0 in self.done_units("labels", input_fp):
+            stats.skipped["labels"] = 1
+            stats.computed["labels"] = 0
+        else:
+            labels = incremental_components(old_clusters, new_edges)
+            labels.write.mode("overwrite").parquet(self._unit_path("labels", 0, input_fp))
+            self._record_bulk("labels", {0: self._stage_count_all("labels", input_fp)}, input_fp)
+            stats.computed["labels"] = 1
+        labels = self._stage_df("labels", input_fp, fallback=empty_labels)
+
+        # stage 3b: clusters over the COMBINED corpus (so this batch's
+        # clusters stage is a valid base for the next batch)
+        if 0 in self.done_units("clusters", input_fp):
+            stats.skipped["clusters"] = 1
+            stats.computed["clusters"] = 0
+        else:
+            clusters = attach_singletons(labels, state)
+            clusters.write.mode("overwrite").parquet(self._unit_path("clusters", 0, input_fp))
+            self._record_bulk("clusters", {0: self._stage_count_all("clusters", input_fp)}, input_fp)
+            stats.computed["clusters"] = 1
+        clusters = self._stage_df("clusters", input_fp, fallback=empty_labels)
+
+        # absorb: band this batch once so future increments probe it
+        self.ensure_band_index(input_fp)
+
+        old_edges = reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                self._stage_df("edges", fp, fallback=empty_edges).dropDuplicates(["a", "b"])
+                for fp in base_fps
+            ],
+        )
+        edges = old_edges.unionByName(new_edges)
+        return {"conv_state": state, "edges": edges, "clusters": clusters}, stats
+
+    def run(
+        self,
+        transcripts: DataFrame,
+        input_fp: str = "static",
+        full_bucket_stats: bool = False,
+    ) -> tuple[dict[str, DataFrame], RunStats]:
+        """Run (or resume) the full dedup pipeline with checkpointing.
+
+        input_fp identifies the input snapshot (Iceberg snapshot id /
+        parquet fingerprint via sources.io.TableIO.snapshot_fingerprint).
+
+        full_bucket_stats: opt into the exact full-scan skew histogram
+        (one extra pass over band generation); the default derives the
+        same numbers from the pair pass's own persisted post-cap
+        relation at zero extra scans (dropped_members then lower-bounds
+        drops past the salted pre-cap).
+        """
+        stats = RunStats()
+        E = self.edge_units
+        # lazily-built schema donors for empty-stage fallbacks (no jobs)
+        empty_state = conv_signatures(transcripts.limit(0), self.cfg)
+
+        # stage 1: per-bucket signatures -- ONE partitioned write for all
+        # pending buckets + ONE bulk manifest append (see module docstring)
+        state = self._signatures_stage(transcripts, input_fp, stats)
 
         # stage 2: LSH edges, bucketized by band-bucket range -- band
         # buckets hash into `edge_units` resume units (a bucket lies

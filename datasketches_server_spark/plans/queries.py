@@ -317,6 +317,82 @@ def q35_theta_jaccard_segments(spark, sf_dir):
     )
 
 
+def q36_theta_jaccard_contract(spark, sf_dir):
+    """Round-4 task #7: q35's sketch Jaccard as a WITHIN-BOUNDS CONTRACT
+    that survives the ESTIMATION regime.  q35 is bit-exact only while
+    every per-priority customer set stays under 2^lg_k nominal; scaling
+    the fixture past that would silently break its oracle.  This variant
+    follows the q15 pattern instead: Spark emits the exact pairwise set
+    sizes (replayable by DuckDB) plus booleans asserting the sketch
+    estimates fall within 3-sigma of them -- true in both regimes.
+
+    lg_k is deliberately 12 (not q35's 16), so sf0.1 already pushes the
+    per-priority sets (~10-15k distinct custkeys) past 4096 nominal and
+    the contract genuinely exercises estimation mode.
+
+    Bound: theta union/intersection estimates err relative to the UNION
+    cardinality (published theta analysis: intersection error is
+    bounded by the union's sampling error, not the intersection's), RSE
+    <= 1/sqrt(2^lg_k - 1); the +-2 absolute slack covers exact-mode
+    rounding."""
+    import math
+
+    lg_k = 12
+    tol = 3.0 / math.sqrt(2 ** lg_k - 1)
+    o = _t(spark, sf_dir, "orders")
+    sk = o.groupBy("o_orderpriority").agg(
+        F.theta_sketch_agg("o_custkey", lg_k).alias("s")
+    )
+    a = sk.select(F.col("o_orderpriority").alias("pa"), F.col("s").alias("sa"))
+    b = sk.select(F.col("o_orderpriority").alias("pb"), F.col("s").alias("sb"))
+    est = a.join(b, F.col("pa") < F.col("pb")).select(
+        "pa",
+        "pb",
+        F.theta_sketch_estimate(F.theta_intersection("sa", "sb")).alias("both_est"),
+        # pass lg_k or theta_union silently downsamples to 4096 nominal
+        F.theta_sketch_estimate(F.theta_union("sa", "sb", lg_k)).alias("either_est"),
+    )
+    # exact pairwise set algebra, all native: distinct + sizes + an
+    # equi-join intersection count (5 priorities -> 10 pairs; the join
+    # shuffles narrow (priority, custkey) rows)
+    s = o.select(
+        F.col("o_orderpriority").alias("p"), F.col("o_custkey").alias("c")
+    ).distinct()
+    sizes = s.groupBy("p").agg(F.count("*").alias("n"))
+    inter = (
+        s.alias("x")
+        .join(s.alias("y"), (F.col("x.c") == F.col("y.c")) & (F.col("x.p") < F.col("y.p")))
+        .groupBy(F.col("x.p").alias("pa"), F.col("y.p").alias("pb"))
+        .agg(F.count("*").alias("n_both"))
+    )
+    pairs = sizes.select(F.col("p").alias("pa"), F.col("n").alias("na")).join(
+        sizes.select(F.col("p").alias("pb"), F.col("n").alias("nb")),
+        F.col("pa") < F.col("pb"),
+    )
+    exact = pairs.join(inter, ["pa", "pb"], "left").select(
+        "pa",
+        "pb",
+        F.coalesce("n_both", F.lit(0)).cast("long").alias("n_both"),
+        (F.col("na") + F.col("nb") - F.coalesce("n_both", F.lit(0)))
+        .cast("long")
+        .alias("n_either"),
+    )
+    return (
+        exact.join(est, ["pa", "pb"])
+        .select(
+            "pa",
+            "pb",
+            "n_both",
+            "n_either",
+            (F.abs(F.col("both_est") - F.col("n_both")) <= F.col("n_either") * tol + 2)
+            .alias("both_ok"),
+            (F.abs(F.col("either_est") - F.col("n_either")) <= F.col("n_either") * tol + 2)
+            .alias("either_ok"),
+        )
+        .orderBy("pa", "pb")
+    )
+
+
 def q17_reservoir_sample(spark, sf_dir):
     """op #7+#13: uniform sample with occurrence semantics (row key =
     event_id).  Oracle-able: the sample key is portable md5 arithmetic

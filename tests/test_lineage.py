@@ -187,6 +187,53 @@ def test_config_roundtrip_serves_own_outputs(spark, workdir):
     assert _fingerprint(out_a2["clusters"]) == f_a
 
 
+def test_incremental_batch_kill_resume_and_chain(spark, workdir):
+    """Round-4 task #8: incremental batches run THROUGH the manifest --
+    a batch killed mid-verify recomputes only pending edge units; the
+    resumed clusters equal both the uninterrupted incremental run and a
+    full recompute of the combined corpus; and a SECOND batch chains on
+    the first's outputs."""
+    cfg = PipelineConfig(num_buckets=8)
+    full_t = synth_transcripts(spark, n_convs=400, seed=23)
+    b1 = F.pmod(F.xxhash64("conv_id"), F.lit(5)) == 0   # ~20% batch 1
+    b2 = F.pmod(F.xxhash64("conv_id"), F.lit(5)) == 1   # ~20% batch 2
+    base_t = full_t.where(~b1 & ~b2)
+    runner = LineageRunner(spark, workdir, cfg, edge_units=8)
+    runner.run(base_t, input_fp="base")
+
+    out1, s1 = runner.run_incremental(full_t.where(b1), "batch1", ["base"])
+    assert s1.computed["signatures"] > 0 and s1.computed["edges"] == 8
+    assert s1.bucket_stats["n_buckets"] > 0  # skew observability carried over
+    f1 = _fingerprint(out1["clusters"])
+
+    # kill mid-verify: lose two edge units + the downstream stages
+    shutil.rmtree(runner._unit_path("edges", 1, "batch1"))
+    shutil.rmtree(runner._unit_path("edges", 6, "batch1"))
+    shutil.rmtree(runner._stage_dir("labels", "batch1"))
+    shutil.rmtree(runner._stage_dir("clusters", "batch1"))
+    out2, s2 = runner.run_incremental(full_t.where(b1), "batch1", ["base"])
+    assert s2.computed["signatures"] == 0          # batch signatures kept
+    assert s2.computed["edges"] == 2 and s2.skipped["edges"] == 6
+    assert _fingerprint(out2["clusters"]) == f1
+
+    # second batch chains on base + batch1
+    out3, s3 = runner.run_incremental(full_t.where(b2), "batch2", ["base", "batch1"])
+    assert s3.computed["edges"] == 8
+
+    # ground truth: full recompute over everything
+    from datasketches_server_spark.plans.pipeline import dedup_pipeline
+
+    want = {r["conv_id"]: r["cluster_id"]
+            for r in dedup_pipeline(full_t, cfg).clusters.collect()}
+    got = {r["conv_id"]: r["cluster_id"] for r in out3["clusters"].collect()}
+    assert got == want
+
+    # resume of the chained batch is a no-op
+    out4, s4 = runner.run_incremental(full_t.where(b2), "batch2", ["base", "batch1"])
+    assert s4.computed == {"signatures": 0, "edges": 0, "labels": 0, "clusters": 0}
+    assert _fingerprint(out4["clusters"]) == _fingerprint(out3["clusters"])
+
+
 def test_reset_before_any_run_is_safe(spark, workdir):
     runner = LineageRunner(spark, workdir, PipelineConfig(num_buckets=4))
     runner.reset_stage("clusters")  # ADVICE fix: no manifest yet -> no-op
