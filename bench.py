@@ -12,6 +12,15 @@ Headliners:
 Extra keys (throughput_turns_per_sec, n_turns) feed BASELINE.md's
 scaling protocol; tools/bench_scaling.py runs this same workload at two
 parallelism levels.
+
+Probe gating (round-4 task #4): the shared VM's co-tenant noise made
+round-3's dedup_synth +-5% unattributable, so the bench now uses the
+same certified-quiet protocol as BENCH_scaling -- every dedup_synth
+attempt is BRACKETED by pure-numpy cpu_ceiling probes (tools/
+cpu_ceiling.py) and accepted only when both sides clear the gate
+(default 0.9); up to $SPARK_GRAFT_BENCH_ATTEMPTS tries, best wall kept,
+with the certification status in the output.  The whole bench is
+additionally bracketed for context.
 """
 
 from __future__ import annotations
@@ -41,12 +50,35 @@ from datasketches_server_spark.sources.synth import (
 )
 
 
+def _quick_ceiling() -> tuple[float, float]:
+    """~10 s pure-numpy concurrency probe.  Returns (ceiling, abs_wall):
+
+    * ceiling -- the hard upper bound any 2-vs-8-process job can show on
+      this box right now (>= ~0.9 means little CONCURRENCY tax);
+    * abs_wall -- 2-process wall seconds per 1000 kernel reps, an
+      ABSOLUTE machine-speed marker.  The ratio gate cannot see a
+      UNIFORMLY slow machine (co-tenant memory-bandwidth pressure slows
+      every level alike) -- proven in round 4, where the round-3 code
+      re-measured 24.3 s on the same corpus that its round-3 record
+      shows at 15.4 s while every ceiling probe read quiet.  Cross-round
+      comparisons must normalize by this marker or A/B both codes in
+      the same epoch."""
+    from tools.cpu_ceiling import probe as cpu_probe
+
+    r = cpu_probe(levels=(2, 8), secs_per_rep=1.0, repeats=2)
+    abs_wall = r["levels"][2]["mean_proc_wall"] / r["reps"] * 1000.0
+    return r["efficiency_ceiling_2to8"], round(abs_wall, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
     n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", str(max(2000, int(1_000_000 * sf)))))
+    gate = float(os.environ.get("SPARK_GRAFT_PROBE_GATE", "0.9"))
+    max_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
 
+    bench_pre_ceiling = _quick_ceiling()
     spark = get_spark("bench", cores=cores)
     timings: dict[str, float] = {}
     extra: dict[str, float] = {}
@@ -71,7 +103,34 @@ def main() -> None:
         state["res"] = res
         extra["n_clusters"] = res.clusters.select("cluster_id").distinct().count()
 
-    timed("dedup_synth", run_dedup_synth)
+    # headline measurement, probe-gated: bracket every attempt with
+    # cpu_ceiling probes; accept the first attempt whose both brackets
+    # clear the gate, else keep the best wall and mark uncertified
+    best_wall = None
+    certified = False
+    attempts = 0
+    probes: list[list[float]] = []
+    for _ in range(max_attempts):
+        pre, pre_abs = _quick_ceiling()
+        if state.get("res") is not None:
+            state["res"].unpersist()
+        t0 = time.monotonic()
+        run_dedup_synth()
+        wall = time.monotonic() - t0
+        post, post_abs = _quick_ceiling()
+        attempts += 1
+        probes.append([pre, post, pre_abs, post_abs])
+        if best_wall is None or wall < best_wall:
+            best_wall = wall
+        if pre >= gate and post >= gate:
+            certified = True
+            best_wall = wall  # a certified wall beats a faster noisy one
+            break
+    timings["dedup_synth"] = round(best_wall, 3)
+    extra["dedup_synth_certified"] = certified
+    extra["dedup_synth_attempts"] = attempts
+    extra["dedup_synth_probes"] = probes
+    extra["probe_gate"] = gate
     extra["throughput_turns_per_sec"] = round(n_turns / timings["dedup_synth"], 1)
 
     def run_sketch_rollup():
@@ -101,6 +160,13 @@ def main() -> None:
     timed("q30_cosine_topk", lambda: Q.q30_cosine_topk(spark, sf_dir).collect())
     timed("q31_ann_lsh_cosine", lambda: Q.q31_ann_lsh_cosine(spark, sf_dir).collect())
 
+    spark.stop()
+    post_ceiling, post_abs = _quick_ceiling()
+    extra["bench_cpu_ceiling"] = [bench_pre_ceiling[0], post_ceiling]
+    # absolute 2-proc wall per 1000 kernel reps: the cross-round
+    # machine-speed normalizer (see _quick_ceiling)
+    extra["bench_abs_wall_per_krep"] = [bench_pre_ceiling[1], post_abs]
+
     total = round(sum(timings.values()), 3)
     # attach the latest two-parallelism evidence (tools/bench_scaling.py)
     scaling = {}
@@ -129,7 +195,6 @@ def main() -> None:
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -30,3 +30,23 @@ def test_each_query_runs_at_sf0001(spark, sf_dir):
         df = fn(spark, sf_dir)
         assert df.columns, name
         df.limit(3).collect()
+
+
+def test_packaged_entry_via_spark_submit():
+    """Round-4 task #6: the contract's real invocation path -- zip the
+    package, spark-submit --py-files from a neutral cwd, run entry() --
+    must work end-to-end with the stable schema.  In-process pytest
+    cannot catch packaging bugs (missing submodule in the zip,
+    cwd-dependent paths); this run also refreshes SUBMIT_ENTRY.json,
+    the repo's packaged-path evidence artifact."""
+    import json
+    import subprocess
+
+    proc = subprocess.run(
+        [sys.executable, "/root/repo/tools/submit_entry.py"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, (proc.stdout[-1000:], proc.stderr[-2000:])
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert out["ok"] and out["rows"] >= 0
+    assert out["schema"] == ["cluster_id:string", "cluster_size:bigint"]
