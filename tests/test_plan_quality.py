@@ -105,3 +105,44 @@ def test_q24_exact_oracle_plan_no_cartesian(spark, sf_dir):
     p = plan_str(Q.q24_dedup_clusters_documents(spark, sf_dir))
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_incremental_candidates_plan_broadcasts_touched_probe(spark):
+    """Round-4 task #1 plan shape: the old band index must be filtered
+    with a BROADCAST semi join on the new batch's touched buckets (one
+    scan of the index, no corpus shuffle), no Python, no cartesian."""
+    from pyspark.sql import functions as F
+
+    from datasketches_server_spark.config import DEFAULT_CONFIG
+    from datasketches_server_spark.operators.lsh import (
+        band_buckets,
+        incremental_candidate_pairs,
+    )
+    from datasketches_server_spark.plans.pipeline import conv_signatures
+
+    t = synth_transcripts(spark, n_convs=200, seed=3)
+    is_new = F.pmod(F.xxhash64("conv_id"), F.lit(5)) == 0
+    old_b = band_buckets(conv_signatures(t.where(~is_new), DEFAULT_CONFIG))
+    new_b = band_buckets(conv_signatures(t.where(is_new), DEFAULT_CONFIG))
+    cands = incremental_candidate_pairs(old_b, new_b, DEFAULT_CONFIG.lsh)
+    p = plan_str(cands)
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p, "touched-bucket probe not broadcast"
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_incremental_components_plan_no_python_no_cartesian(spark):
+    """Delta CC contraction is pure native joins over narrow label rows."""
+    from datasketches_server_spark.operators.components import incremental_components
+
+    old = spark.createDataFrame(
+        [(f"c{i}", f"c{i - i % 2}") for i in range(40)],
+        "conv_id string, cluster_id string",
+    )
+    edges = spark.createDataFrame(
+        [("c1", "c2"), ("c5", "c9")], "a string, b string"
+    )
+    labels = incremental_components(old, edges)
+    p = plan_str(labels)
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
