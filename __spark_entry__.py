@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_ngram_jaccard_pairs": Q.q22_ngram_jaccard_pairs,
         "q23_lang_quality": Q.q23_lang_quality,
         "q24_dedup_clusters_documents": Q.q24_dedup_clusters_documents,
+        "q37_incremental_dedup_documents": Q.q37_incremental_dedup_documents,
         "q25_simhash_near_dups": Q.q25_simhash_near_dups,
         "q26_dup_spans": Q.q26_dup_spans,
         "q27_transcript_turn_equality": Q.q27_transcript_turn_equality,
@@ -126,7 +127,7 @@ def oracle_sql() -> dict[str, str]:
         )
     """
 
-    return {
+    oracles = {
         "q17_reservoir_sample": f"""
             WITH keyed AS (
                 SELECT event_type, user_id, {res_key} AS key FROM events
@@ -614,3 +615,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY a, b
         """,
     }
+    # q37 folds a 20% batch into the 80% corpus incrementally; the exact
+    # ground truth is the SAME full-corpus recursive closure as q24
+    oracles["q37_incremental_dedup_documents"] = oracles["q24_dedup_clusters_documents"]
+    return oracles

@@ -531,6 +531,33 @@ def q24_dedup_clusters_documents(spark, sf_dir):
     return cluster_summary(res.clusters).where(F.col("cluster_size") > 1)
 
 
+def q37_incremental_dedup_documents(spark, sf_dir):
+    """Round-4: the incremental-batch path under the SAME exact oracle
+    as q24.  Documents-as-transcripts are split ~80/20 by conv-id hash;
+    the 80% corpus is clustered, then incremental_dedup folds the 20%
+    batch in (old band membership probed, old-old pairs dropped in the
+    pair builder, delta connected components against the old labeling).
+    The result must hash-match DuckDB's full recursive >=0.7-jaccard
+    closure of the WHOLE corpus -- proving incremental == full == exact
+    transitive closure on driver data, not just on pytest fixtures."""
+    from ..operators.lsh import band_buckets
+    from .pipeline import cluster_summary, dedup_pipeline, incremental_dedup
+
+    cfg = PipelineConfig(shingle=ShingleConfig(k=3))
+    t = transcripts_from_documents(spark, sf_dir)
+    is_new = F.pmod(F.xxhash64("conv_id"), F.lit(5)) == 0
+    old = dedup_pipeline(t.where(~is_new), cfg)
+    inc = incremental_dedup(
+        old.conv_state,
+        old.edges,
+        t.where(is_new),
+        cfg,
+        old_buckets=band_buckets(old.conv_state, cfg.lsh),
+        old_clusters=old.clusters,
+    )
+    return cluster_summary(inc.clusters).where(F.col("cluster_size") > 1)
+
+
 def q25_simhash_near_dups(spark, sf_dir):
     """SimHash near-dup doc pairs at hamming <= 6: portable 48-bit
     fingerprints (md5 gram hashes, bit votes) + banded candidate join
