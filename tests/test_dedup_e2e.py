@@ -214,6 +214,51 @@ def test_incremental_components_bridges_and_relabels(spark):
     }
 
 
+def test_incremental_dedup_empty_batch_is_identity(spark, tmp_path):
+    """An empty incremental batch must leave the clustering unchanged
+    (and not crash on empty windows / empty contracted graphs)."""
+    from pyspark.sql import functions as F
+
+    from datasketches_server_spark.config import PipelineConfig
+    from datasketches_server_spark.plans.band_index import (
+        read_band_index,
+        write_band_index,
+    )
+    from datasketches_server_spark.plans.pipeline import dedup_pipeline, incremental_dedup
+    from datasketches_server_spark.sources.synth import synth_transcripts
+
+    cfg = PipelineConfig()
+    t = synth_transcripts(spark, n_convs=120, seed=3)
+    old = dedup_pipeline(t, cfg)
+    write_band_index(old.conv_state, str(tmp_path), cfg)
+    want = {r["conv_id"]: r["cluster_id"] for r in old.clusters.collect()}
+
+    inc = incremental_dedup(
+        old.conv_state,
+        old.edges,
+        t.where(F.lit(False)),
+        cfg,
+        old_buckets=read_band_index(spark, str(tmp_path), cfg),
+        old_clusters=old.clusters,
+    )
+    got = {r["conv_id"]: r["cluster_id"] for r in inc.clusters.collect()}
+    assert got == want
+    inc.unpersist()
+    old.unpersist()
+
+
+def test_incremental_components_no_edges_keeps_labels(spark):
+    from datasketches_server_spark.operators.components import incremental_components
+
+    old = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "c")], "conv_id string, cluster_id string"
+    )
+    empty = spark.createDataFrame([], "a string, b string")
+    got = {r["conv_id"]: r["cluster_id"]
+           for r in incremental_components(old, empty).collect()}
+    assert got == {"a": "a", "b": "a", "c": "c"}
+
+
 def test_band_index_append_absorbs_batch(spark, tmp_path):
     """append_band_index is the accumulator merge: after absorbing the
     batch, the index equals a from-scratch index over the combined

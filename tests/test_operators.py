@@ -485,6 +485,38 @@ def test_metrics_compaction_crash_between_write_and_cleanup(spark, tmp_path):
     assert [d for d in os.listdir(out) if d.startswith("epoch_id=")] == ["epoch_id=-1"]
 
 
+def test_metrics_compaction_edge_cases(spark, tmp_path):
+    """through_epoch past the max epoch folds everything; compacting an
+    already-fully-compacted log is a no-op; a through_epoch below the
+    existing watermark never regresses it."""
+    from datasketches_server_spark.streaming.incremental import (
+        append_metrics_batch,
+        compact_metrics,
+        merged_view,
+    )
+
+    out = str(tmp_path / "metrics_edge")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    append_metrics_batch(ev.where(F.col("user_id") % 2 == 0), 0, out)
+    append_metrics_batch(ev.where(F.col("user_id") % 2 == 1), 1, out)
+    before = {r["event_type"]: (r["n_events"], r["distinct_items"])
+              for r in merged_view(spark, out).collect()}
+
+    r = compact_metrics(spark, out, through_epoch=100)  # beyond max epoch
+    assert r["folded_epochs"] == 2 and r["compacted_through"] == 100
+    snap = {r2["event_type"]: (r2["n_events"], r2["distinct_items"])
+            for r2 in merged_view(spark, out).collect()}
+    assert snap == before
+
+    r2 = compact_metrics(spark, out, through_epoch=100)
+    assert r2["noop"]
+    r3 = compact_metrics(spark, out, through_epoch=5)  # below watermark
+    assert r3["noop"] and r3["compacted_through"] == 100
+    snap2 = {r4["event_type"]: (r4["n_events"], r4["distinct_items"])
+             for r4 in merged_view(spark, out).collect()}
+    assert snap2 == before
+
+
 def test_streaming_near_dup_state_is_capped(spark, tmp_path):
     """Round-3 task #6: bucket state holds at most bucket_cap members --
     members past the cap still MATCH against stored state but are not
