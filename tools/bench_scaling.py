@@ -165,6 +165,18 @@ spark.stop()
             and ceiling_before is not None
             and ceiling_after is not None
             and min(ceiling_before, ceiling_after) >= args.ceiling_gate
+            # round-4 refinements, learned from an epoch where all ratio
+            # probes read "quiet" yet 4-exec walls ran 27-44% hot:
+            # (a) a ceiling ABOVE ~1.1 means the probe's own 2-proc
+            #     baseline was disturbed (8 procs cannot beat 2 per
+            #     process on a quiet box) -- the reading is noise, not
+            #     quiet; (b) guest-visible hypervisor steal during the
+            #     run is direct evidence of host overcommit, and it
+            #     concentrates on multi-core windows (r4 epoch: 0.7-3.4%
+            #     at 4-exec vs 0.01-0.05% at 1-exec; the r3 contract
+            #     epoch had <=0.04% everywhere)
+            and max(ceiling_before, ceiling_after) <= 1.1
+            and rec["steal_frac"] <= 0.002
         )
         return rec
 
