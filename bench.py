@@ -76,7 +76,7 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
     n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", str(max(2000, int(1_000_000 * sf)))))
     gate = float(os.environ.get("SPARK_GRAFT_PROBE_GATE", "0.9"))
-    max_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
+    max_attempts = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3")))
 
     bench_pre_ceiling = _quick_ceiling()
     spark = get_spark("bench", cores=cores)

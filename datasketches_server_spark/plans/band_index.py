@@ -77,32 +77,35 @@ def append_band_index(
     new_state: DataFrame,
     workdir: str,
     cfg: PipelineConfig = DEFAULT_CONFIG,
-    input_fp: str = "static",
+    batch_fp: str = "static",
     units: int = 8,
 ) -> str:
-    """Absorb a new batch's band rows into the index (append-only:
-    O(|new| x bands) per batch, old rows untouched).  Call after the
-    batch's incremental_dedup run succeeds; rerunning the SAME batch
-    after a crash-before-append is safe (duplicate (conv, bucket) rows
-    only re-propose the same candidate pairs, which dedup downstream)."""
-    path = band_index_dir(workdir, cfg, input_fp)
-    (
-        _band_rows(new_state, cfg, units)
-        .write.mode("append")
-        .partitionBy("_unit")
-        .parquet(path)
-    )
-    return path
+    """Absorb a new batch into the index: O(|new| x bands) per batch,
+    old rows untouched.  The batch lands in its OWN dir keyed by
+    (config_hash, batch_fp) -- the same one-dir-per-snapshot convention
+    LineageRunner.ensure_band_index uses -- written with OVERWRITE, so
+    rerunning the same batch after a crash replaces its rows instead of
+    duplicating them.  (Duplicate rows are not harmless here, code-review
+    r4: in the capped regimes a duplicate (conv, bucket) row consumes a
+    bucket_cap / ALL_PAIRS_CAP slot and can evict a genuine member or
+    flip a bucket to star topology.)  Readers pass the chain of fps to
+    read_band_index."""
+    return write_band_index(new_state, workdir, cfg, batch_fp, units)
 
 
 def read_band_index(
     spark: SparkSession,
     workdir: str,
     cfg: PipelineConfig = DEFAULT_CONFIG,
-    input_fp: str = "static",
+    input_fp: str | list[str] = "static",
 ) -> DataFrame:
-    """(conv_id, bucket) membership of the indexed corpus."""
-    return (
-        spark.read.parquet(band_index_dir(workdir, cfg, input_fp))
-        .select("conv_id", "bucket")
-    )
+    """(conv_id, bucket) membership of the indexed corpus; pass the list
+    of input fps (base + absorbed batches, any order) to read a chain."""
+    fps = [input_fp] if isinstance(input_fp, str) else list(input_fp)
+    out = None
+    for fp in fps:
+        df = spark.read.parquet(band_index_dir(workdir, cfg, fp)).select(
+            "conv_id", "bucket"
+        )
+        out = df if out is None else out.unionByName(df)
+    return out

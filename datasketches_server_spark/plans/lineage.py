@@ -146,8 +146,19 @@ class LineageRunner:
 
     @staticmethod
     def _has_parquet_files(path: str) -> bool:
-        for root, _dirs, files in os.walk(path):
-            if any(f.endswith(".parquet") for f in files):
+        """True iff the dir holds COMMITTED parquet data files.  Files
+        under in-flight committer dirs (`_temporary`, dot-prefixed
+        staging) do not count -- a killed write must read as absent so
+        resume/backfill heals it, never as complete (Spark itself
+        ignores `_`/`.`-prefixed paths at read; partition dirs like
+        `_bucket=3` are NOT filtered because their own path component
+        carries the `=`)."""
+        for root, dirs, files in os.walk(path):
+            dirs[:] = [
+                d for d in dirs
+                if "=" in d or not (d.startswith("_") or d.startswith("."))
+            ]
+            if any(f.endswith(".parquet") and not f.startswith(".") for f in files):
                 return True
         return False
 

@@ -67,10 +67,12 @@ class DedupResult:
     edges: DataFrame        # verified dup pairs (a, b, jaccard, hamming)
     clusters: DataFrame     # (conv_id, cluster_id) covering every conv
     # skew observability (no-silent-caps rule): lazy one-row DataFrame
-    # from operators.lsh.bucket_stats -- n_buckets / max_bucket /
-    # star_buckets (fell back to O(m) star edges) / dropped_members
-    # (truncated past bucket_cap).  Materialize it to see what the caps
-    # dropped; LineageRunner.run surfaces the same numbers in RunStats.
+    # from operators.lsh.bucket_stats_from_ranked -- n_buckets (multi-
+    # member only) / max_bucket / star_buckets (fell back to O(m) star
+    # edges) / dropped_members (lower bound past the salted pre-cap).
+    # Derived from the pair pass's persisted post-cap relation, so
+    # materializing it costs no extra scan of band generation;
+    # LineageRunner.run surfaces the same numbers in RunStats.
     bucket_report: DataFrame | None = None
     # what the prune_verify="auto" heuristic decided (None = forced mode)
     pruned_verify: bool | None = None
@@ -131,7 +133,10 @@ def dedup_pipeline(
     # the narrow count-aggregate + join costs less than the ~80% extra
     # rows the two window sorts would otherwise process (certified A/B:
     # 185 s without vs <=154 s with, 8 executors, quiet epoch)
-    cands = candidate_pairs(buckets, cfg.lsh, resources=resources)
+    ranked_holder: list[DataFrame] = []
+    cands = candidate_pairs(
+        buckets, cfg.lsh, resources=resources, ranked_out=ranked_holder
+    )
     if prune_verify == "auto":
         if n_convs is None:
             prune = False  # no corpus count available without cache_state
@@ -166,11 +171,15 @@ def dedup_pipeline(
     edges = verify_pairs(cands, state, cfg.lsh, tier=verify_tier, prune_members=prune)
     labels = connected_components(edges, driver_threshold=cc_driver_threshold)
     clusters = attach_singletons(labels, state)
-    from ..operators.lsh import bucket_stats
+    from ..operators.lsh import bucket_stats_from_ranked
 
     return DedupResult(
         conv_state=state, edges=edges, clusters=clusters,
-        bucket_report=bucket_stats(buckets, cfg.lsh),
+        # derived from the pair pass's own persisted post-cap relation --
+        # no extra scan of band generation when materialized (same change
+        # LineageRunner got; multi-member buckets only, dropped_members
+        # lower-bounds past the salted pre-cap)
+        bucket_report=bucket_stats_from_ranked(ranked_holder[0], cfg.lsh),
         pruned_verify=prune if prune_verify == "auto" else None,
         resources=resources,
     )

@@ -396,6 +396,17 @@ def compact_metrics(
     """
     m = _read_metrics(spark, metrics_path)
     watermark = _base_watermark(m)
+    # clamp to the highest epoch ACTUALLY present: recording a watermark
+    # past it would make every future epoch <= through_epoch invisible
+    # to merged_view and then physically deleted by the next cleanup --
+    # silent permanent loss of late-arriving epochs
+    max_present = (
+        m.where(F.col("epoch_id") != BASE_EPOCH)
+        .agg(F.max("epoch_id").alias("m"))
+        .collect()[0]["m"]
+    )
+    if max_present is not None:
+        through_epoch = min(int(through_epoch), int(max_present))
     if watermark is not None and watermark >= through_epoch:
         removed = _cleanup_epochs(metrics_path, watermark)
         return {

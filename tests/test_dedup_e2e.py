@@ -280,9 +280,12 @@ def test_band_index_append_absorbs_batch(spark, tmp_path):
     old_s = conv_signatures(full_t.where(~is_new), cfg)
     new_s = conv_signatures(full_t.where(is_new), cfg)
 
-    write_band_index(old_s, str(tmp_path), cfg)
-    append_band_index(new_s, str(tmp_path), cfg)
-    got = read_band_index(spark, str(tmp_path), cfg)
+    write_band_index(old_s, str(tmp_path), cfg, input_fp="base")
+    append_band_index(new_s, str(tmp_path), cfg, batch_fp="b1")
+    # crash-rerun of the same batch: overwrite semantics, NO duplicate
+    # rows (code-review r4: duplicates would consume cap slots)
+    append_band_index(new_s, str(tmp_path), cfg, batch_fp="b1")
+    got = read_band_index(spark, str(tmp_path), cfg, ["base", "b1"])
 
     scratch = str(tmp_path / "scratch")
     write_band_index(conv_signatures(full_t, cfg), scratch, cfg)

@@ -486,9 +486,12 @@ def test_metrics_compaction_crash_between_write_and_cleanup(spark, tmp_path):
 
 
 def test_metrics_compaction_edge_cases(spark, tmp_path):
-    """through_epoch past the max epoch folds everything; compacting an
-    already-fully-compacted log is a no-op; a through_epoch below the
-    existing watermark never regresses it."""
+    """through_epoch past the max epoch folds everything but records the
+    watermark CLAMPED to the highest epoch actually present (code-review
+    r4: an over-shot watermark would hide and then delete every future
+    epoch below it); re-runs are no-ops; below-watermark requests never
+    regress it; epochs arriving after an over-shot request stay
+    visible."""
     from datasketches_server_spark.streaming.incremental import (
         append_metrics_batch,
         compact_metrics,
@@ -503,18 +506,31 @@ def test_metrics_compaction_edge_cases(spark, tmp_path):
               for r in merged_view(spark, out).collect()}
 
     r = compact_metrics(spark, out, through_epoch=100)  # beyond max epoch
-    assert r["folded_epochs"] == 2 and r["compacted_through"] == 100
+    assert r["folded_epochs"] == 2
+    assert r["compacted_through"] == 1  # clamped to the max present epoch
     snap = {r2["event_type"]: (r2["n_events"], r2["distinct_items"])
             for r2 in merged_view(spark, out).collect()}
     assert snap == before
 
     r2 = compact_metrics(spark, out, through_epoch=100)
     assert r2["noop"]
-    r3 = compact_metrics(spark, out, through_epoch=5)  # below watermark
-    assert r3["noop"] and r3["compacted_through"] == 100
+    r3 = compact_metrics(spark, out, through_epoch=0)  # below watermark
+    assert r3["noop"] and r3["compacted_through"] == 1
     snap2 = {r4["event_type"]: (r4["n_events"], r4["distinct_items"])
              for r4 in merged_view(spark, out).collect()}
     assert snap2 == before
+
+    # the data-loss scenario the clamp prevents: an epoch written AFTER
+    # the over-shot request must stay visible and foldable
+    append_metrics_batch(ev.where(F.col("user_id") % 2 == 0), 2, out)
+    with_late = {r5["event_type"]: r5["n_events"]
+                 for r5 in merged_view(spark, out).collect()}
+    assert any(with_late[k] > before[k][0] for k in with_late)  # epoch 2 counted
+    r4_ = compact_metrics(spark, out, through_epoch=2)
+    assert r4_["folded_epochs"] == 1 and r4_["compacted_through"] == 2
+    after_fold = {r6["event_type"]: r6["n_events"]
+                  for r6 in merged_view(spark, out).collect()}
+    assert after_fold == with_late
 
 
 def test_streaming_near_dup_state_is_capped(spark, tmp_path):
