@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q23_lang_quality": Q.q23_lang_quality,
         "q24_dedup_clusters_documents": Q.q24_dedup_clusters_documents,
         "q37_incremental_dedup_documents": Q.q37_incremental_dedup_documents,
+        "q38_cluster_keeper_policy": Q.q38_cluster_keeper_policy,
         "q25_simhash_near_dups": Q.q25_simhash_near_dups,
         "q26_dup_spans": Q.q26_dup_spans,
         "q27_transcript_turn_equality": Q.q27_transcript_turn_equality,
@@ -618,4 +619,57 @@ def oracle_sql() -> dict[str, str]:
     # q37 folds a 20% batch into the 80% corpus incrementally; the exact
     # ground truth is the SAME full-corpus recursive closure as q24
     oracles["q37_incremental_dedup_documents"] = oracles["q24_dedup_clusters_documents"]
+    # q38: removal policy = q24's exact closure + q23's quality formula
+    # + argmax(quality, min id) per cluster
+    oracles["q38_cluster_keeper_policy"] = f"""
+        WITH RECURSIVE g AS (
+            SELECT CAST(doc_id AS VARCHAR) AS id, {grams3} AS grams FROM documents
+        ), x AS (
+            SELECT id, unnest(grams) AS gram FROM g
+        ), inter AS (
+            SELECT l.id AS a, r.id AS b, count(*) AS i
+            FROM x l JOIN x r ON l.gram = r.gram AND l.id < r.id
+            GROUP BY 1, 2
+        ), sz AS (
+            SELECT id, len(grams) AS n FROM g
+        ), edges AS (
+            SELECT a, b FROM inter
+            JOIN sz sa ON inter.a = sa.id
+            JOIN sz sb ON inter.b = sb.id
+            WHERE i / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.7
+        ), sym AS (
+            SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges
+        ), cc(id, lbl) AS (
+            SELECT DISTINCT a, a FROM sym
+            UNION
+            SELECT s.b, cc.lbl FROM cc JOIN sym s ON cc.id = s.a
+        ), labels AS (
+            SELECT id, min(lbl) AS cluster_id FROM cc GROUP BY id
+        ), qual AS (
+            SELECT CAST(doc_id AS VARCHAR) AS id,
+                   round((CASE WHEN len({_NORM_TOKS}) BETWEEN 10 AND 5000 THEN 1.0
+                               WHEN len({_NORM_TOKS}) < 10 THEN len({_NORM_TOKS}) / 10.0
+                               ELSE 5000.0 / len({_NORM_TOKS}) END
+                          + CASE WHEN length(text) / greatest(len({_NORM_TOKS}), 1)::DOUBLE BETWEEN 3 AND 12
+                                 THEN 1.0 ELSE 0.5 END
+                          + 1.0 - least(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g'))
+                                        / greatest(length(text), 1)::DOUBLE * 4, 1.0)
+                         ) / 3, 4) AS quality
+            FROM documents
+        ), members AS (
+            SELECT l.id, l.cluster_id, q.quality
+            FROM labels l JOIN qual q ON l.id = q.id
+        ), rk AS (
+            SELECT cluster_id, id, quality,
+                   row_number() OVER (PARTITION BY cluster_id
+                                      ORDER BY quality DESC, id) AS rk
+            FROM members
+        ), kp AS (
+            SELECT cluster_id, id AS keeper_id FROM rk WHERE rk = 1
+        )
+        SELECT m.cluster_id, m.id AS conv_id, m.quality, kp.keeper_id,
+               (m.id <> kp.keeper_id) AS dropped
+        FROM members m JOIN kp USING (cluster_id)
+        ORDER BY cluster_id, conv_id
+    """
     return oracles

@@ -558,6 +558,47 @@ def q37_incremental_dedup_documents(spark, sf_dir):
     return cluster_summary(inc.clusters).where(F.col("cluster_size") > 1)
 
 
+def q38_cluster_keeper_policy(spark, sf_dir):
+    """Near-dup REMOVAL policy (the step after detection in a training-
+    data pipeline): within each multi-member near-dup cluster keep the
+    highest-quality document -- quality from the replayable q23 formula,
+    ties broken by smallest id -- and flag the rest as dropped.  The
+    deduplicated corpus = keepers + singletons.  Keeper ordering uses
+    the ROUNDED quality so Spark and the oracle can never diverge on a
+    1e-17 float tie; the oracle replays q24's exact closure + q23's
+    quality formula + the same argmax."""
+    from .pipeline import dedup_pipeline
+
+    cfg = PipelineConfig(shingle=ShingleConfig(k=3))
+    t = transcripts_from_documents(spark, sf_dir)
+    res = dedup_pipeline(t, cfg)
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.round(TXT.quality_score(F.col("text")), 4).alias("quality"),
+    )
+    members = (
+        res.clusters.join(d, "conv_id")
+        .withColumn("sz", F.count("*").over(Window.partitionBy("cluster_id")))
+        .where(F.col("sz") > 1)
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("quality"), "conv_id")
+    ranked = members.withColumn("rk", F.row_number().over(w))
+    keepers = ranked.where(F.col("rk") == 1).select(
+        "cluster_id", F.col("conv_id").alias("keeper_id")
+    )
+    return (
+        ranked.join(keepers, "cluster_id")
+        .select(
+            "cluster_id",
+            "conv_id",
+            "quality",
+            "keeper_id",
+            (F.col("conv_id") != F.col("keeper_id")).alias("dropped"),
+        )
+        .orderBy("cluster_id", "conv_id")
+    )
+
+
 def q25_simhash_near_dups(spark, sf_dir):
     """SimHash near-dup doc pairs at hamming <= 6: portable 48-bit
     fingerprints (md5 gram hashes, bit votes) + banded candidate join
