@@ -326,9 +326,15 @@ class LineageRunner:
             cands = cands.persist()
             cands.count()
             resources.append(cands)
+            # small member sets prune by pushed-down literal filter
+            # (row-group skipping on the fat state read); larger ones
+            # semi-join -- see pipeline.member_pushdown_state
+            from .pipeline import member_pushdown_state
+
+            state_v, pushed = member_pushdown_state(cands, state, 20_000)
             edges_w = verify_pairs(
-                cands, state, self.cfg.lsh,
-                carry_cols=("_unit",), prune_members=True,
+                cands, state_v, self.cfg.lsh,
+                carry_cols=("_unit",), prune_members=not pushed,
             ).withColumnRenamed("_unit", "_bucket")
             (
                 edges_w.write.mode("overwrite")

@@ -185,6 +185,34 @@ def dedup_pipeline(
     )
 
 
+def member_pushdown_state(
+    pairs: DataFrame, state: DataFrame, threshold: int
+) -> tuple[DataFrame, bool]:
+    """Prune fat per-conv state to candidate-pair members BY LITERAL
+    FILTER when the member set is small enough to ship (<= threshold):
+    Catalyst pushes the resulting In() down to the parquet scan, so row
+    groups without members are skipped and the fat-state READ itself is
+    batch-scaled -- a semi-join, by contrast, still scans the whole
+    state to probe it.  Falls back to (state, False) = caller should
+    semi-join, when the member set is larger (a 10^6-literal In bloats
+    the plan for no win).
+
+    `pairs` must be persisted+materialized (both callers do): the
+    member probe here is a narrow distinct over the cache, so the
+    limit-collect touches cached rows, not the candidate computation.
+    Returns (pruned_or_original_state, pushed?).
+    """
+    members = (
+        pairs.select(F.col("a").alias("m"))
+        .union(pairs.select(F.col("b").alias("m")))
+        .distinct()
+    )
+    rows = members.limit(threshold + 1).collect()
+    if len(rows) <= threshold:
+        return state.where(F.col("conv_id").isin([r["m"] for r in rows])), True
+    return state, False
+
+
 def incremental_dedup(
     old_state: DataFrame,
     old_edges: DataFrame,
@@ -196,6 +224,7 @@ def incremental_dedup(
     old_clusters: DataFrame | None = None,
     window_input_out: list[DataFrame] | None = None,
     contracted_out: list[DataFrame] | None = None,
+    member_pushdown_threshold: int = 20_000,
 ) -> DedupResult:
     """Dedup a NEW batch of transcripts against an existing corpus
     without recomputing the old corpus -- the 100 TB daily-ingest shape.
@@ -268,9 +297,18 @@ def incremental_dedup(
     resources.append(cands)
     # incremental pairs are a small fraction of the corpus by
     # construction -- member pruning always pays here (it shrinks the
-    # fat shingle shuffle from O(corpus) to O(batch members))
+    # fat shingle shuffle from O(corpus) to O(batch members)).  HOW we
+    # prune matters at 100 TB: a semi-join still SCANS the whole fat
+    # state to probe it, so when the member set is small enough to ship
+    # as a literal (<= member_pushdown_threshold), collect it and prune
+    # with an isin() filter instead -- Catalyst pushes the In down to
+    # the parquet scan, so row groups without members are skipped and
+    # the fat-state READ itself becomes batch-scaled (plan-asserted in
+    # tests/test_plan_quality.py).  Larger member sets fall back to the
+    # semi-join (a 10^6-literal In bloats the plan and beats nothing).
+    state_v, pushed = member_pushdown_state(cands, state, member_pushdown_threshold)
     new_edges = verify_pairs(
-        cands, state, cfg.lsh, tier=verify_tier, prune_members=True
+        cands, state_v, cfg.lsh, tier=verify_tier, prune_members=not pushed
     )
 
     edge_cols = [c for c in old_edges.columns if c in new_edges.columns]

@@ -131,6 +131,40 @@ def test_incremental_candidates_plan_broadcasts_touched_probe(spark):
     assert "BatchEvalPython" not in p
 
 
+def test_incremental_verify_member_filter_pushes_to_scan(spark, tmp_path):
+    """Round-4: when the batch's member set is small, the fat-state
+    prune must reach the parquet scan as a pushed In filter (row-group
+    skipping -> batch-scaled read), not a semi-join that scans the
+    whole state."""
+    from pyspark.sql import functions as F
+
+    from datasketches_server_spark.config import DEFAULT_CONFIG
+    from datasketches_server_spark.plans.pipeline import (
+        conv_signatures,
+        member_pushdown_state,
+    )
+
+    t = synth_transcripts(spark, n_convs=150, seed=3)
+    state_path = str(tmp_path / "state")
+    conv_signatures(t, DEFAULT_CONFIG).write.parquet(state_path)
+    state = spark.read.parquet(state_path)
+
+    pairs = spark.createDataFrame(
+        [("c0000001", "c0000002"), ("c0000003", "c0000004")], "a string, b string"
+    ).persist()
+    pairs.count()
+    pruned, pushed = member_pushdown_state(pairs, state, threshold=100)
+    assert pushed
+    p = plan_str(pruned.select("conv_id", "shingles"))
+    pf = next(l for l in p.splitlines() if "PushedFilters" in l)
+    assert "In(conv_id" in pf, pf
+    pairs.unpersist()
+
+    # above the threshold the caller falls back to the semi-join path
+    _, pushed2 = member_pushdown_state(pairs, state, threshold=1)
+    assert not pushed2
+
+
 def test_incremental_components_plan_no_python_no_cartesian(spark):
     """Delta CC contraction is pure native joins over narrow label rows."""
     from datasketches_server_spark.operators.components import incremental_components
