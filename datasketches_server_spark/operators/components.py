@@ -216,6 +216,69 @@ def incremental_components(
     return relabeled_old.unionByName(new_labels)
 
 
+def incremental_components_delta(
+    old_clusters: DataFrame,
+    new_edges: DataFrame,
+    new_nodes: DataFrame,
+    driver_threshold: int = 2_000_000,
+    contracted_out: list[DataFrame] | None = None,
+) -> DataFrame:
+    """Like :func:`incremental_components`, but returns ONLY the rows a
+    batch needs to WRITE: old convs whose label changed (members of
+    merged clusters), plus every new conv (edge-labeled or singleton).
+    At 10^12 convs, writing the full labeling per daily batch is
+    terabytes of unchanged rows; the delta scales with the batch and
+    the clusters it touched.  Readers compose base + deltas latest-wins
+    (plans/lineage.LineageRunner reads chains this way).
+
+    new_nodes: (conv_id) of every conv in the new batch -- singletons
+    get self-labels in the delta so composition covers the whole
+    corpus.
+    """
+    lab_a = old_clusters.select(
+        F.col("conv_id").alias("a"), F.col("cluster_id").alias("_la")
+    )
+    lab_b = old_clusters.select(
+        F.col("conv_id").alias("b"), F.col("cluster_id").alias("_lb")
+    )
+    contracted = (
+        new_edges.select("a", "b")
+        .join(lab_a, "a", "left")
+        .join(lab_b, "b", "left")
+        .select(
+            F.coalesce(F.col("_la"), F.col("a")).alias("a"),
+            F.coalesce(F.col("_lb"), F.col("b")).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    if contracted_out is not None:
+        contracted_out.append(contracted)
+    remap = connected_components(contracted, driver_threshold=driver_threshold)
+
+    old_remap = remap.select(
+        F.col("conv_id").alias("_l"), F.col("cluster_id").alias("_nl")
+    )
+    # old members whose cluster's LABEL was remapped to a new value --
+    # an inner join against the (delta-sized) remap, so this scales
+    # with the touched clusters, not the corpus
+    changed_old = (
+        old_clusters.join(old_remap, old_clusters.cluster_id == old_remap._l)
+        .where(F.col("_nl") != F.col("cluster_id"))
+        .select("conv_id", F.col("_nl").alias("cluster_id"))
+    )
+    # every new conv: remap label if it had an edge, else itself
+    new_labels = (
+        new_nodes.select("conv_id")
+        .join(remap, "conv_id", "left")
+        .select(
+            "conv_id",
+            F.coalesce(F.col("cluster_id"), F.col("conv_id")).alias("cluster_id"),
+        )
+    )
+    return changed_old.unionByName(new_labels)
+
+
 def attach_singletons(labels: DataFrame, all_nodes: DataFrame) -> DataFrame:
     """all_nodes (conv_id) left-join labels; unlabeled nodes are their own
     cluster.  Broadcast-friendly when the label side is small relative to

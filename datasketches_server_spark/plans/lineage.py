@@ -225,6 +225,32 @@ class LineageRunner:
                 os.makedirs(self._unit_path("signatures", i, input_fp), exist_ok=True)
         return self._stage_df("signatures", input_fp, fallback=empty_state)
 
+    def read_clusters(self, fps: list[str], fallback: DataFrame) -> DataFrame:
+        """Compose a clusters chain: a full labeling written by run()
+        followed by per-batch DELTAS written by run_incremental (old
+        convs whose label changed + new convs).  The LATEST fp that
+        labels a conv wins -- one narrow window over base + deltas,
+        paid only when the composition is materialized (emitting the
+        full labeling is inherently O(corpus); STORING it per batch is
+        not, which is the point of the deltas)."""
+        from pyspark.sql import Window
+
+        parts = [
+            self._stage_df("clusters", fp, fallback=fallback).withColumn(
+                "_pri", F.lit(i)
+            )
+            for i, fp in enumerate(fps)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        w = Window.partitionBy("conv_id").orderBy(F.desc("_pri"))
+        return (
+            out.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("conv_id", "cluster_id")
+        )
+
     def ensure_band_index(self, input_fp: str) -> None:
         """Backfill the persisted band-bucket index for a COMPLETED
         signatures stage (plans/band_index.py): one O(|stage|) banding
@@ -263,15 +289,17 @@ class LineageRunner:
         base_fps: the input fingerprints of the COMPLETED runs this
         batch builds on, oldest first -- e.g. ["base"] for the first
         increment, ["base", "day1"] for the next (old state/edges are
-        the union of those stages; the labeling comes from the LAST
-        fp's clusters stage, which always covers the whole corpus so
-        chains compose).  Each base fp's band index is backfilled once
-        if missing (ensure_band_index); this batch's own index is
-        written at the end, making it a valid base for the next batch.
+        the union of those stages; the labeling is the latest-wins
+        COMPOSITION of the chain's clusters stages -- run() writes a
+        full labeling, each batch writes only its DELTA of changed/new
+        rows, so per-batch cluster storage scales with the batch, not
+        the corpus).  Each base fp's band index is backfilled once if
+        missing (ensure_band_index); this batch's own index is written
+        at the end, making it a valid base for the next batch.
         """
         from functools import reduce
 
-        from ..operators.components import incremental_components
+        from ..operators.components import incremental_components_delta
         from ..operators.lsh import incremental_candidate_pairs
         from .band_index import read_band_index
 
@@ -358,33 +386,33 @@ class LineageRunner:
                 os.makedirs(self._unit_path("edges", i, input_fp), exist_ok=True)
         new_edges = self._stage_df("edges", input_fp, fallback=empty_edges).dropDuplicates(["a", "b"])
 
-        # stage 3a: delta connected components against the base labeling
+        # stage 3: DELTA clusters -- write only rows that change: old
+        # convs whose cluster label was remapped (merged clusters) plus
+        # every new conv.  Writing the full labeling per batch would be
+        # O(corpus) bytes per daily ingest (terabytes of unchanged rows
+        # at 10^12 convs); the delta scales with the batch.  Readers
+        # compose base + deltas latest-wins (read_clusters).
         id_type = dict(empty_edges.dtypes)["a"]
         empty_labels = self.spark.createDataFrame(
             [], f"conv_id {id_type}, cluster_id {id_type}"
         )
-        old_clusters = self._stage_df("clusters", base_fps[-1], fallback=empty_labels)
-        if 0 in self.done_units("labels", input_fp):
-            stats.skipped["labels"] = 1
-            stats.computed["labels"] = 0
-        else:
-            labels = incremental_components(old_clusters, new_edges)
-            labels.write.mode("overwrite").parquet(self._unit_path("labels", 0, input_fp))
-            self._record_bulk("labels", {0: self._stage_count_all("labels", input_fp)}, input_fp)
-            stats.computed["labels"] = 1
-        labels = self._stage_df("labels", input_fp, fallback=empty_labels)
-
-        # stage 3b: clusters over the COMBINED corpus (so this batch's
-        # clusters stage is a valid base for the next batch)
+        # the base labeling = composition of the whole chain so far
+        old_clusters = self.read_clusters(base_fps, fallback=empty_labels)
         if 0 in self.done_units("clusters", input_fp):
             stats.skipped["clusters"] = 1
             stats.computed["clusters"] = 0
         else:
-            clusters = attach_singletons(labels, state)
-            clusters.write.mode("overwrite").parquet(self._unit_path("clusters", 0, input_fp))
-            self._record_bulk("clusters", {0: self._stage_count_all("clusters", input_fp)}, input_fp)
+            delta = incremental_components_delta(
+                old_clusters, new_edges, new_state.select("conv_id")
+            )
+            delta.write.mode("overwrite").parquet(self._unit_path("clusters", 0, input_fp))
+            n_delta = self._stage_count_all("clusters", input_fp)
+            self._record_bulk("clusters", {0: n_delta}, input_fp)
             stats.computed["clusters"] = 1
-        clusters = self._stage_df("clusters", input_fp, fallback=empty_labels)
+            # observability: the write scales with the batch, not the
+            # corpus -- surfaced so tests/operators can assert it
+            stats.computed["clusters_delta_rows"] = n_delta
+        clusters = self.read_clusters(base_fps + [input_fp], fallback=empty_labels)
 
         # absorb: band this batch once so future increments probe it
         self.ensure_band_index(input_fp)

@@ -204,12 +204,17 @@ def test_incremental_batch_kill_resume_and_chain(spark, workdir):
     out1, s1 = runner.run_incremental(full_t.where(b1), "batch1", ["base"])
     assert s1.computed["signatures"] > 0 and s1.computed["edges"] == 8
     assert s1.bucket_stats["n_buckets"] > 0  # skew observability carried over
+    # the clusters stage stores only the DELTA (changed + new rows),
+    # not the whole corpus labeling
+    n_batch1 = full_t.where(b1).select("conv_id").distinct().count()
+    n_corpus = full_t.select("conv_id").distinct().count()
+    assert s1.computed["clusters_delta_rows"] < n_corpus // 2
+    assert s1.computed["clusters_delta_rows"] >= n_batch1
     f1 = _fingerprint(out1["clusters"])
 
-    # kill mid-verify: lose two edge units + the downstream stages
+    # kill mid-verify: lose two edge units + the downstream stage
     shutil.rmtree(runner._unit_path("edges", 1, "batch1"))
     shutil.rmtree(runner._unit_path("edges", 6, "batch1"))
-    shutil.rmtree(runner._stage_dir("labels", "batch1"))
     shutil.rmtree(runner._stage_dir("clusters", "batch1"))
     out2, s2 = runner.run_incremental(full_t.where(b1), "batch1", ["base"])
     assert s2.computed["signatures"] == 0          # batch signatures kept
@@ -230,7 +235,7 @@ def test_incremental_batch_kill_resume_and_chain(spark, workdir):
 
     # resume of the chained batch is a no-op
     out4, s4 = runner.run_incremental(full_t.where(b2), "batch2", ["base", "batch1"])
-    assert s4.computed == {"signatures": 0, "edges": 0, "labels": 0, "clusters": 0}
+    assert s4.computed == {"signatures": 0, "edges": 0, "clusters": 0}
     assert _fingerprint(out4["clusters"]) == _fingerprint(out3["clusters"])
 
 
