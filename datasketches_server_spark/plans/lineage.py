@@ -273,6 +273,113 @@ class LineageRunner:
         state = self.spark.read.parquet(sig_dir).drop("_bucket")
         write_band_index(state, self.workdir, self.cfg, input_fp)
 
+    def compact_chain(self, fps: list[str], out_fp: str) -> dict:
+        """Fold an incremental chain (a run() base + run_incremental
+        batches, oldest first) into ONE consolidated snapshot under
+        out_fp: signatures, verified edges, the band index, and the
+        composed full clusters are each rewritten once.  The dedup
+        stores' analog of the metrics append-log compaction: afterwards
+        ``run_incremental(..., base_fps=[out_fp])`` reads one stage per
+        store instead of len(chain), and read_clusters composes one
+        full labeling instead of base + N deltas.
+
+        Deliberately heavyweight (rewrites O(corpus) once) -- periodic
+        maintenance, like a table format's rewrite/expire, NOT per
+        batch.  Idempotent: every write overwrites out_fp's keyspace.
+        Returns row counts per store."""
+        from functools import reduce
+
+        from .band_index import band_index_dir, read_band_index
+
+        if not fps:
+            raise ValueError("fps must name the chain to fold")
+        B, E = self.cfg.num_buckets, self.edge_units
+        donor_t = self.spark.createDataFrame(
+            [], "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+        )
+        empty_state = conv_signatures(donor_t, self.cfg)
+
+        # signatures: union -> the same bucket-partitioned layout stage 1 writes
+        sigs = reduce(
+            lambda a, b: a.unionByName(b),
+            [self._stage_df("signatures", fp, fallback=empty_state) for fp in fps],
+        )
+        bucket = F.pmod(F.xxhash64("conv_id"), F.lit(B)).cast("int")
+        (
+            sigs.withColumn("_bucket", bucket)
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(self._stage_dir("signatures", out_fp))
+        )
+        for i in range(B):
+            os.makedirs(self._unit_path("signatures", i, out_fp), exist_ok=True)
+        sig_counts = {
+            r["_bucket"]: r["n"]
+            for r in self._stage_counts("signatures", out_fp, list(range(B)))
+        }
+        self._record_bulk(
+            "signatures", {i: sig_counts.get(i, 0) for i in range(B)}, out_fp
+        )
+
+        # edges: union (per-batch edge sets are disjoint -- old-old pairs
+        # are never re-emitted); unit layout is just file-size bounding
+        unit_of_bucket = F.pmod(F.col("bucket"), F.lit(E)).cast("int")
+        empty_edges = verify_pairs(
+            candidate_pairs(
+                band_buckets(empty_state, self.cfg.lsh).withColumn("_unit", unit_of_bucket),
+                self.cfg.lsh, unit_col="_unit",
+            ),
+            empty_state, self.cfg.lsh, carry_cols=("_unit",),
+        ).drop("_unit")
+        edges = reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                self._stage_df("edges", fp, fallback=empty_edges).dropDuplicates(["a", "b"])
+                for fp in fps
+            ],
+        ).dropDuplicates(["a", "b"])
+        (
+            edges.withColumn("_bucket", F.pmod(F.xxhash64("a", "b"), F.lit(E)).cast("int"))
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(self._stage_dir("edges", out_fp))
+        )
+        for i in range(E):
+            os.makedirs(self._unit_path("edges", i, out_fp), exist_ok=True)
+        edge_counts = {
+            r["_bucket"]: r["n"]
+            for r in self._stage_counts("edges", out_fp, list(range(E)))
+        }
+        self._record_bulk("edges", {i: edge_counts.get(i, 0) for i in range(E)}, out_fp)
+
+        # band index: union of the chain's per-snapshot dirs
+        idx = reduce(
+            lambda a, b: a.unionByName(b),
+            [read_band_index(self.spark, self.workdir, self.cfg, fp) for fp in fps],
+        )
+        (
+            idx.withColumn("_unit", F.pmod(F.col("bucket"), F.lit(8)).cast("int"))
+            .write.mode("overwrite")
+            .partitionBy("_unit")
+            .parquet(band_index_dir(self.workdir, self.cfg, out_fp))
+        )
+
+        # clusters: the composed FULL labeling becomes the new base
+        id_type = dict(empty_edges.dtypes)["a"]
+        empty_labels = self.spark.createDataFrame(
+            [], f"conv_id {id_type}, cluster_id {id_type}"
+        )
+        full = self.read_clusters(fps, fallback=empty_labels)
+        full.write.mode("overwrite").parquet(self._unit_path("clusters", 0, out_fp))
+        n_clusters = self._stage_count_all("clusters", out_fp)
+        self._record_bulk("clusters", {0: n_clusters}, out_fp)
+
+        return {
+            "signatures": int(sum(sig_counts.values())),
+            "edges": int(sum(edge_counts.values())),
+            "clusters": n_clusters,
+        }
+
     def run_incremental(
         self,
         new_transcripts: DataFrame,

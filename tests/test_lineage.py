@@ -239,6 +239,31 @@ def test_incremental_batch_kill_resume_and_chain(spark, workdir):
     assert _fingerprint(out4["clusters"]) == _fingerprint(out3["clusters"])
 
 
+def test_compact_chain_equals_uncompacted(spark, workdir):
+    """Folding base + batch1 into one snapshot must leave a third batch
+    indistinguishable: run_incremental against [compacted] produces the
+    identical clustering to the same batch against [base, batch1]."""
+    cfg = PipelineConfig(num_buckets=8)
+    full_t = synth_transcripts(spark, n_convs=300, seed=29)
+    b1 = F.pmod(F.xxhash64("conv_id"), F.lit(4)) == 0
+    b2 = F.pmod(F.xxhash64("conv_id"), F.lit(4)) == 1
+    runner = LineageRunner(spark, workdir, cfg)
+    runner.run(full_t.where(~b1 & ~b2), input_fp="base")
+    runner.run_incremental(full_t.where(b1), "batch1", ["base"])
+
+    counts = runner.compact_chain(["base", "batch1"], "cmp1")
+    n_all = full_t.where(~b2).select("conv_id").distinct().count()
+    assert counts["signatures"] == n_all and counts["clusters"] == n_all
+
+    out_c, s_c = runner.run_incremental(full_t.where(b2), "batch2c", ["cmp1"])
+    out_u, _ = runner.run_incremental(full_t.where(b2), "batch2u", ["base", "batch1"])
+    assert _fingerprint(out_c["clusters"]) == _fingerprint(out_u["clusters"])
+
+    # compaction is idempotent
+    counts2 = runner.compact_chain(["base", "batch1"], "cmp1")
+    assert counts2 == counts
+
+
 def test_reset_before_any_run_is_safe(spark, workdir):
     runner = LineageRunner(spark, workdir, PipelineConfig(num_buckets=4))
     runner.reset_stage("clusters")  # ADVICE fix: no manifest yet -> no-op
