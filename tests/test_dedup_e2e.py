@@ -214,6 +214,48 @@ def test_incremental_components_bridges_and_relabels(spark):
     }
 
 
+def test_incremental_equivalence_property(spark):
+    """Hypothesis sweep: for random corpora and random batch split
+    fractions, incremental (band-probe + delta CC) must equal the full
+    recompute row-for-row in the uncapped regime -- not just on the
+    hand-picked seeds of the targeted tests."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    from datasketches_server_spark.config import PipelineConfig
+    from datasketches_server_spark.operators.lsh import band_buckets
+    from datasketches_server_spark.plans.pipeline import dedup_pipeline, incremental_dedup
+    from datasketches_server_spark.sources.synth import synth_transcripts
+
+    cfg = PipelineConfig()
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(seed=st.integers(0, 10_000), mod=st.integers(2, 10))
+    def check(seed: int, mod: int):
+        full_t = synth_transcripts(spark, n_convs=160, seed=seed)
+        is_new = F.pmod(F.xxhash64("conv_id"), F.lit(mod)) == 0
+        old = dedup_pipeline(full_t.where(~is_new), cfg)
+        inc = incremental_dedup(
+            old.conv_state, old.edges, full_t.where(is_new), cfg,
+            old_buckets=band_buckets(old.conv_state, cfg.lsh),
+            old_clusters=old.clusters,
+        )
+        got = {r["conv_id"]: r["cluster_id"] for r in inc.clusters.collect()}
+        full = dedup_pipeline(full_t, cfg)
+        want = {r["conv_id"]: r["cluster_id"] for r in full.clusters.collect()}
+        inc.unpersist()
+        old.unpersist()
+        full.unpersist()
+        assert got == want, (seed, mod)
+
+    check()
+
+
 def test_incremental_dedup_empty_batch_is_identity(spark, tmp_path):
     """An empty incremental batch must leave the clustering unchanged
     (and not crash on empty windows / empty contracted graphs)."""

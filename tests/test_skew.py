@@ -27,6 +27,48 @@ def _mega_family_corpus(spark, n_dupes=1500, n_unique=200):
     return base.unionByName(copies)
 
 
+def test_incremental_batch_mega_family_stays_linear(spark):
+    """Skew in the INCREMENTAL path: a new batch that is one giant
+    near-duplicate family joining an existing corpus must route through
+    the same star-edge topology -- O(m) new edges, not O(m^2) pairs --
+    and land in one cluster with the old copy of the template."""
+    from datasketches_server_spark.operators.lsh import band_buckets as bb
+    from datasketches_server_spark.plans.pipeline import incremental_dedup
+
+    cfg = PipelineConfig(
+        lsh=LshConfig(bands=32, rows_per_band=4, jaccard_threshold=0.7,
+                      bucket_cap=5000, salt_buckets=8, hot_bucket_threshold=256)
+    )
+    base = synth_transcripts(spark, n_convs=200, seed=99, dup_fraction=0.0)
+    old = dedup_pipeline(base, cfg)
+    old_edge_count = old.edges.count()
+
+    one = base.where(F.col("conv_id") == "conv-00000000")
+    m = 800
+    batch = (
+        spark.range(m)
+        .select(F.concat(F.lit("copy-"), F.lpad(F.col("id").cast("string"), 6, "0")).alias("new_id"))
+        .crossJoin(one)
+        .select(F.col("new_id").alias("conv_id"), "turn_idx", "role", "text", "tool", "ts")
+    )
+    inc = incremental_dedup(
+        old.conv_state, old.edges, batch, cfg,
+        old_buckets=bb(old.conv_state, cfg.lsh),
+        old_clusters=old.clusters,
+    )
+    new_edges = inc.edges.count() - old_edge_count
+    # star topology: O(m) edges for the m+1-member family, never m^2/2
+    assert new_edges < (m + 1) * 40, f"edge blowup: {new_edges}"
+    # the whole family (old template + new copies) is ONE cluster
+    fam = inc.clusters.where(
+        (F.col("conv_id") == "conv-00000000") | F.col("conv_id").startswith("copy-")
+    )
+    assert fam.select("cluster_id").distinct().count() == 1
+    assert fam.count() == m + 1
+    inc.unpersist()
+    old.unpersist()
+
+
 def test_mega_family_star_edges_and_single_cluster(spark):
     cfg = PipelineConfig(
         lsh=LshConfig(bands=32, rows_per_band=4, jaccard_threshold=0.7,
