@@ -3,11 +3,14 @@
 ``entry(spark)`` runs the flagship dedup query; ``queries()`` registers
 one callable per implemented operator (SURVEY.md section 2);
 ``oracle_sql()`` gives the DuckDB-replayable ANSI SQL for every
-registered query.  Library-approximate families (HLL q15, KLL q16) are
-registered as WITHIN-BOUNDS CONTRACTS: Spark emits exact values plus
-"estimate inside its published bounds" booleans, DuckDB replays the
-exact side and the expected TRUE -- so even the approximate families
-are hash-checked, not rows-only.
+registered query.  Library-approximate families (HLL q15, KLL q16/q34,
+theta-Jaccard q36) are registered as WITHIN-BOUNDS CONTRACTS: Spark
+emits exact values plus "estimate inside its published bounds"
+booleans, DuckDB replays the exact side and the expected TRUE -- so
+even the approximate families are hash-checked, not rows-only, and the
+contracts survive the estimation regime.  The incremental dedup path
+(q37) and the keeper-removal policy (q38) are checked against the same
+full-corpus exact transitive closure as the batch pipeline (q24).
 """
 
 from __future__ import annotations
