@@ -143,6 +143,31 @@ def main() -> None:
         extra["distinct_shingles"] = int(row["distinct_shingles"])
 
     timed("sketch_rollup", run_sketch_rollup)
+
+    def run_incremental_batch():
+        """~1% fresh batch folded into the just-built corpus via the
+        incremental path (band-probe + member pushdown + delta CC) --
+        the daily-ingest headline, measured while the corpus state is
+        warm the way a deployment's would be."""
+        from datasketches_server_spark.operators.lsh import band_buckets
+        from datasketches_server_spark.plans.pipeline import incremental_dedup
+
+        res = state["res"]
+        cfg = PipelineConfig()
+        batch = synth_transcripts(
+            spark, n_convs=max(50, n_convs // 100), seed=4242
+        ).withColumn("conv_id", F.concat(F.lit("inc-"), F.col("conv_id")))
+        inc = incremental_dedup(
+            res.conv_state, res.edges, batch, cfg,
+            old_buckets=band_buckets(res.conv_state, cfg.lsh),
+            old_clusters=res.clusters,
+        )
+        extra["incremental_batch_clusters"] = inc.clusters.select(
+            "cluster_id"
+        ).distinct().count()
+        inc.unpersist()
+
+    timed("incremental_1pct_batch", run_incremental_batch)
     state["res"].unpersist()
 
     def run_dedup_documents():
