@@ -81,6 +81,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_ann_lsh_cosine": Q.q31_ann_lsh_cosine,
         "q32_bow_cosine_near_dups": Q.q32_bow_cosine_near_dups,
         "q33_embedding_lsh_near_dups": Q.q33_embedding_lsh_near_dups,
+        # curation family (operators/curation.py)
+        "q39_decontamination": Q.q39_decontamination,
+        "q40_repetition_scores": Q.q40_repetition_scores,
+        "q41_stratified_sample": Q.q41_stratified_sample,
+        "q42_sequence_packing": Q.q42_sequence_packing,
     }
 
 
@@ -674,5 +679,71 @@ def oracle_sql() -> dict[str, str]:
                (m.id <> kp.keeper_id) AS dropped
         FROM members m JOIN kp USING (cluster_id)
         ORDER BY cluster_id, conv_id
+    """
+    # q39-q42: curation family (operators/curation.py).  Same normalized
+    # tokens as q20-q23; the sampling hash is the portable u01.
+    from datasketches_server_spark.operators.curation import word_grams_all_sql
+
+    grams4 = word_grams_sql(_NORM_TOKS, 4)
+    grams3_all = word_grams_all_sql(_NORM_TOKS, 3)
+    oracles["q39_decontamination"] = f"""
+        WITH g AS (
+            SELECT doc_id, {grams4} AS grams FROM documents
+        ), eg AS (
+            SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 17 = 3
+        ), train AS (
+            SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+                   unnest(grams) AS gram
+            FROM g WHERE doc_id % 17 <> 3
+        )
+        SELECT doc_id, n_grams,
+               CAST(count(*) AS BIGINT) AS n_contaminated,
+               round(count(*) / greatest(n_grams, 1)::DOUBLE, 4) AS contamination
+        FROM train JOIN eg USING (gram)
+        GROUP BY doc_id, n_grams
+        ORDER BY doc_id
+    """
+    oracles["q40_repetition_scores"] = f"""
+        WITH x AS (
+            SELECT doc_id, unnest({grams3_all}) AS gram FROM documents
+        ), c AS (
+            SELECT doc_id, gram, count(*) AS n FROM x GROUP BY 1, 2
+        )
+        SELECT doc_id,
+               CAST(sum(n) AS BIGINT) AS n_grams,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               round(1 - count(*) / sum(n)::DOUBLE, 4) AS rep_ratio,
+               CAST(max(n) AS BIGINT) AS max_repeat
+        FROM c GROUP BY doc_id ORDER BY doc_id
+    """
+    strat_key = u01_sql("doc_id", salt="strat")
+    oracles["q41_stratified_sample"] = f"""
+        WITH keyed AS (
+            SELECT lang, doc_id, {strat_key} AS k FROM documents
+        ), r AS (
+            SELECT lang, doc_id,
+                   row_number() OVER (PARTITION BY lang ORDER BY k, doc_id) AS rk
+            FROM keyed
+        )
+        SELECT lang, doc_id, CAST(rk AS INT) AS rk
+        FROM r WHERE rk <= 5 ORDER BY lang, rk
+    """
+    oracles["q42_sequence_packing"] = f"""
+        WITH t AS (
+            SELECT source, doc_id,
+                   CAST(len({_NORM_TOKS}) AS BIGINT) AS n_tok
+            FROM documents
+        ), c AS (
+            SELECT source, n_tok,
+                   sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cum
+            FROM t
+        )
+        SELECT source, CAST((cum - n_tok) // 256 AS BIGINT) AS bin,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS bin_tokens,
+               round(sum(n_tok) / 256.0, 4) AS fill
+        FROM c GROUP BY source, bin ORDER BY source, bin
     """
     return oracles

@@ -1,0 +1,210 @@
+"""Training-data curation operators: benchmark decontamination,
+repetition scoring, stratified sampling, sequence packing.
+
+These are the steps a 100 TB pretraining pipeline runs AFTER dedup
+(operators/dedup.py, plans/pipeline.py) and text scoring
+(functions/text.py): remove eval-set contamination, drop degenerate
+repetitive documents, draw reproducible per-stratum samples, and pack
+documents into fixed token budgets.  The reference has no analog (its
+scope is sketch serving -- README.md:6-8); these follow the same design
+rules as the rest of the repo: native Catalyst expressions only, every
+randomness source is the portable u01 hash (functions/portable.py), and
+every operator has a DuckDB-replayable formulation so the driver's
+correctness gate hash-checks it (q39-q42 in __spark_entry__.py).
+
+Scale notes are per-operator; the common theme is that nothing here
+shuffles fat text -- grams and token counts reduce to narrow keyed rows
+before any exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.portable import u01, word_grams
+from ..functions.text import token_count, tokens
+
+
+def word_grams_all(toks: Column, n: int) -> Column:
+    """All word n-grams WITH multiplicity (contrast
+    functions.portable.word_grams, which deduplicates).  Clamped like its
+    twin: a doc shorter than n tokens yields one (short) gram.  SQL twin:
+    :func:`word_grams_all_sql`."""
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+
+
+def word_grams_all_sql(toks_expr: str, n: int) -> str:
+    return (
+        f"[array_to_string(({toks_expr})[i+1:i+{n}], ' ') "
+        f"FOR i IN range(0, greatest(len({toks_expr})-{n}, 0)+1)]"
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document eval-set contamination: the fraction of a training
+    document's distinct word n-grams that appear anywhere in the eval
+    corpus.  Returns every training doc (zero-hit docs included) as
+    (id, n_grams, n_contaminated, contamination).
+
+    Scale shape: the eval side is a benchmark suite -- thousands of
+    documents, millions of distinct grams at most -- so its distinct
+    gram set is BROADCAST and the training side never shuffles: one
+    explode, a broadcast hash join, and a groupBy on the near-unique
+    doc id (map-side combined).  The fat text column is dropped before
+    the explode; only (id, gram) rows flow.  A contaminated mega-gram
+    cannot skew the plan because the join is map-side.
+    """
+    g = docs.select(
+        F.col(id_col), word_grams(tokens(F.col(text_col)), n).alias("grams")
+    )
+    eval_grams = (
+        eval_docs.select(
+            F.explode(word_grams(tokens(F.col(text_col)), n)).alias("gram")
+        )
+        .distinct()
+    )
+    exploded = g.select(
+        F.col(id_col),
+        F.size("grams").cast("long").alias("n_grams"),
+        F.explode("grams").alias("gram"),
+    )
+    hits = (
+        exploded.join(F.broadcast(eval_grams), "gram")
+        .groupBy(id_col, "n_grams")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    base = g.select(F.col(id_col), F.size("grams").cast("long").alias("n_grams"))
+    return (
+        base.join(hits, [id_col, "n_grams"], "left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce("n_contaminated", F.lit(0)).cast("long").alias("n_contaminated"),
+            F.round(
+                F.coalesce("n_contaminated", F.lit(0))
+                / F.greatest(F.col("n_grams"), F.lit(1)),
+                4,
+            ).alias("contamination"),
+        )
+    )
+
+
+def repetition_scores(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Intra-document repetition: duplicate-n-gram fraction
+    (1 - distinct/total) and the highest single-gram multiplicity --
+    the classic 'repetitive boilerplate' quality gate.
+
+    Scale shape: explode to (id, gram), two-level aggregate -- both
+    groupBys are map-side combined and keyed by the near-unique doc id,
+    so the only exchange is narrow (id, gram-hash-sized) rows.  No
+    window, no skew (a doc's grams are bounded by its own length).
+    """
+    g = docs.select(
+        F.col(id_col),
+        F.explode(word_grams_all(tokens(F.col(text_col)), n)).alias("gram"),
+    )
+    per_gram = g.groupBy(id_col, "gram").agg(F.count("*").alias("_n"))
+    return (
+        per_gram.groupBy(id_col)
+        .agg(
+            F.sum("_n").cast("long").alias("n_grams"),
+            F.count("*").cast("long").alias("n_distinct"),
+            F.round(1 - F.count("*") / F.sum("_n"), 4).alias("rep_ratio"),
+            F.max("_n").cast("long").alias("max_repeat"),
+        )
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    strata_cols: list[str],
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "strat",
+    partial_buckets: int = 32,
+) -> DataFrame:
+    """Deterministic k-per-stratum sample: rank documents inside each
+    stratum by the portable u01 hash of their id (ties by id) and keep
+    the top k.  Reproducible across runs, engines (the DuckDB oracle
+    replays the same hash), and cluster sizes.
+
+    Scale shape: a naive per-stratum window sorts EVERY member of a
+    stratum in one task -- with 10 languages over 10^12 docs that is a
+    serial 10^11-row sort.  Instead, top-k is computed in two phases
+    (top-k commutes over partitions): phase 1 ranks within
+    (stratum, salt-bucket) -- ``partial_buckets`` parallel sub-sorts,
+    each keeping only k rows -- phase 2 ranks the surviving
+    k x partial_buckets rows per stratum.  The final sort input is
+    bounded by k x partial_buckets per stratum regardless of corpus
+    size.  Identical output to the naive window.
+    """
+    key = u01(F.col(id_col), salt)
+    keyed = docs.select(*strata_cols, id_col).withColumn("_k", key)
+    bucket = F.pmod(F.xxhash64(F.col(id_col)), F.lit(partial_buckets))
+    w1 = Window.partitionBy(*strata_cols, "_b").orderBy("_k", id_col)
+    survivors = (
+        keyed.withColumn("_b", bucket)
+        .withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= k)
+    )
+    w2 = Window.partitionBy(*strata_cols).orderBy("_k", id_col)
+    return (
+        survivors.withColumn("rk", F.row_number().over(w2))
+        .where(F.col("rk") <= k)
+        .select(*strata_cols, id_col, "rk")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    capacity: int,
+    strata_cols: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy sequence packing: walk each stratum in id order, assign
+    every document to bin floor(preceding-token-total / capacity) --
+    the deterministic streaming packer a tokenize-and-shard job uses to
+    fill fixed context windows.  Returns one row per (stratum, bin)
+    with doc and token totals plus the fill ratio (>1 when a bin's last
+    doc overflows the budget; documents are never split).
+
+    Scale shape: packing is inherently sequential WITHIN a stratum (bin
+    of doc i depends on all earlier tokens), so the running sum is a
+    per-stratum window -- parallel ACROSS strata.  At 100 TB, strata
+    must therefore be sized like shards: pack per (source, shard) with
+    shard = a hash or ingest-partition of the id space, exactly how
+    tokenizer-sharding jobs bound their sequential scans.  Only
+    (stratum, id, n_tok) rows reach the window -- the text column is
+    reduced to a token count before the shuffle.
+    """
+    t = docs.select(
+        *strata_cols, id_col, token_count(F.col(text_col)).alias("n_tok")
+    )
+    w = (
+        Window.partitionBy(*strata_cols)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = t.withColumn("_cum", F.sum("n_tok").over(w)).select(
+        *strata_cols,
+        F.expr(f"(_cum - n_tok) DIV {capacity}").alias("bin"),
+        "n_tok",
+    )
+    return binned.groupBy(*strata_cols, "bin").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("bin_tokens"),
+        F.round(F.sum("n_tok") / F.lit(float(capacity)), 4).alias("fill"),
+    )

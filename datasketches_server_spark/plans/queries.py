@@ -753,3 +753,61 @@ def q31_ann_lsh_cosine(spark, sf_dir):
         e.where(F.col("vec_id") != 0), q, k=10,
         n_tables=24, n_bits=6, bucket_cap=128, probe_radius=1,
     ).select("query_id", "vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+# ------------------------------------------------------- curation family
+
+def q39_decontamination(spark, sf_dir):
+    """Benchmark decontamination: docs with doc_id % 17 == 3 play the
+    eval suite; every other doc reports the fraction of its distinct
+    word 4-grams that appear anywhere in the eval set.  The eval gram
+    set is broadcast, so the training side never shuffles text
+    (operators/curation.decontaminate).  Only contaminated docs are
+    returned (zero-hit rows carry no information and the row count
+    stays stable as the corpus grows)."""
+    from ..operators.curation import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 17 == 3
+    return (
+        decontaminate(d.where(~is_eval), d.where(is_eval), n=4)
+        .where(F.col("n_contaminated") > 0)
+        .orderBy("doc_id")
+    )
+
+
+def q40_repetition_scores(spark, sf_dir):
+    """Intra-doc repetition quality gate: duplicate-trigram fraction +
+    max single-gram multiplicity per document (operators/curation
+    .repetition_scores; explode + two map-side-combined aggregates,
+    no window)."""
+    from ..operators.curation import repetition_scores
+
+    d = _t(spark, sf_dir, "documents")
+    return repetition_scores(d, n=3).orderBy("doc_id")
+
+
+def q41_stratified_sample(spark, sf_dir):
+    """Deterministic 5-per-language sample ranked by the portable u01
+    hash (ties by doc_id).  Two-phase top-k (operators/curation
+    .stratified_sample): partial ranks inside salt buckets bound the
+    final per-stratum sort at k x buckets rows regardless of corpus
+    size; the oracle replays the same hash with one plain window."""
+    from ..operators.curation import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return stratified_sample(d, ["lang"], k=5).orderBy("lang", "rk")
+
+
+def q42_sequence_packing(spark, sf_dir):
+    """Greedy token packing into 256-token bins per source stratum
+    (operators/curation.pack_sequences): running token sum in id order,
+    bin = floor(preceding-total / capacity).  Sequential within a
+    stratum by definition, parallel across strata; only
+    (stratum, id, n_tok) rows reach the window."""
+    from ..operators.curation import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_sequences(d, capacity=256, strata_cols=["source"]).orderBy(
+        "source", "bin"
+    )

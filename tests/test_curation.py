@@ -1,0 +1,138 @@
+"""Curation operators (operators/curation.py): decontamination,
+repetition scoring, stratified sampling, sequence packing."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from datasketches_server_spark.functions.portable import u01
+from datasketches_server_spark.operators.curation import (
+    decontaminate,
+    pack_sequences,
+    repetition_scores,
+    stratified_sample,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_decontaminate_counts_and_zero_hit_rows(spark):
+    train = _docs(
+        spark,
+        [
+            # shares the eval 4-gram "a b c d" (and "b c d e")
+            (1, "a b c d e"),
+            # no overlap at 4-gram granularity
+            (2, "x y z w v"),
+            # shorter than n=4: one clamped gram, no overlap
+            (3, "a b"),
+        ],
+    )
+    ev = _docs(spark, [(100, "a b c d e f")])
+    out = {
+        r["doc_id"]: r
+        for r in decontaminate(train, ev, n=4).collect()
+    }
+    assert set(out) == {1, 2, 3}  # zero-hit docs are kept
+    assert out[1]["n_grams"] == 2 and out[1]["n_contaminated"] == 2
+    assert out[1]["contamination"] == 1.0
+    assert out[2]["n_contaminated"] == 0 and out[2]["contamination"] == 0.0
+    assert out[3]["n_grams"] == 1 and out[3]["n_contaminated"] == 0
+
+
+def test_decontaminate_plan_broadcasts_eval_no_python(spark):
+    train = _docs(spark, [(i, f"tok{i} a b c") for i in range(20)])
+    ev = _docs(spark, [(99, "a b c d")])
+    p = decontaminate(train, ev, n=3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p  # eval grams never shuffle the train side
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_repetition_scores_handcrafted(spark):
+    d = _docs(
+        spark,
+        [
+            # "a b a b a b": trigrams = [a b a, b a b, a b a, b a b] ->
+            # 4 total, 2 distinct, max multiplicity 2
+            (1, "a b a b a b"),
+            # all-distinct trigrams
+            (2, "p q r s t"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in repetition_scores(d, n=3).collect()}
+    assert out[1]["n_grams"] == 4 and out[1]["n_distinct"] == 2
+    assert out[1]["rep_ratio"] == 0.5 and out[1]["max_repeat"] == 2
+    assert out[2]["rep_ratio"] == 0.0 and out[2]["max_repeat"] == 1
+
+
+def test_stratified_sample_two_phase_equals_naive_window(spark):
+    rows = [(i, f"body {i}", ["en", "de", "fr"][i % 3]) for i in range(200)]
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = stratified_sample(d, ["lang"], k=7, partial_buckets=5)
+
+    w = Window.partitionBy("lang").orderBy("_k", "doc_id")
+    naive = (
+        d.select("lang", "doc_id").withColumn("_k", u01(F.col("doc_id"), "strat"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 7)
+        .select("lang", "doc_id", "rk")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, naive.collect()))
+    sizes = dict(got.groupBy("lang").count().collect())
+    assert sizes == {"en": 7, "de": 7, "fr": 7}
+
+
+def test_stratified_sample_small_stratum_returns_all(spark):
+    d = spark.createDataFrame(
+        [(1, "x", "en"), (2, "y", "en"), (3, "z", "de")],
+        "doc_id long, text string, lang string",
+    )
+    out = stratified_sample(d, ["lang"], k=10).collect()
+    assert len(out) == 3  # k larger than a stratum keeps every member
+
+
+def test_pack_sequences_matches_greedy_reference(spark):
+    # deterministic token counts: doc i has (i % 7) + 1 tokens
+    rows = [
+        (i, " ".join(f"t{j}" for j in range((i % 7) + 1)), f"s{i % 2}")
+        for i in range(50)
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    cap = 10
+    got = {
+        (r["source"], r["bin"]): (r["n_docs"], r["bin_tokens"], r["fill"])
+        for r in pack_sequences(d, capacity=cap, strata_cols=["source"]).collect()
+    }
+
+    # driver-side greedy reference: same rule, per source in doc_id order
+    import collections
+
+    ref: dict = collections.defaultdict(lambda: [0, 0])
+    for i, text, src in sorted(rows, key=lambda r: r[0]):
+        n_tok = len(text.split())
+        # cum BEFORE this doc determines its bin
+        pre = sum(len(t.split()) for j, t, s in rows if s == src and j < i)
+        b = pre // cap
+        ref[(src, b)][0] += 1
+        ref[(src, b)][1] += n_tok
+    assert set(got) == set(ref)
+    for k, (n_docs, bin_tokens, fill) in got.items():
+        assert [n_docs, bin_tokens] == ref[k]
+        assert fill == round(bin_tokens / cap, 4)
+    # every doc lands in exactly one bin (documents are never split)
+    assert sum(v[0] for v in got.values()) == 50
+
+
+def test_pack_sequences_plan_no_python_narrow_window(spark):
+    rows = [(i, "a b c", "s0") for i in range(10)]
+    d = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    p = (
+        pack_sequences(d, capacity=8, strata_cols=["source"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # the text column is reduced to n_tok before the window shuffle
+    assert "text" not in p.split("Window")[0].split("Exchange")[-1]
