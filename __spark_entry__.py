@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_repetition_scores": Q.q40_repetition_scores,
         "q41_stratified_sample": Q.q41_stratified_sample,
         "q42_sequence_packing": Q.q42_sequence_packing,
+        "q43_curation_funnel": Q.q43_curation_funnel,
     }
 
 
@@ -682,7 +683,7 @@ def oracle_sql() -> dict[str, str]:
     """
     # q39-q42: curation family (operators/curation.py).  Same normalized
     # tokens as q20-q23; the sampling hash is the portable u01.
-    from datasketches_server_spark.operators.curation import word_grams_all_sql
+    from datasketches_server_spark.functions.portable import word_grams_all_sql
 
     grams4 = word_grams_sql(_NORM_TOKS, 4)
     grams3_all = word_grams_all_sql(_NORM_TOKS, 3)
@@ -745,5 +746,86 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(n_tok) AS BIGINT) AS bin_tokens,
                round(sum(n_tok) / 256.0, 4) AS fill
         FROM c GROUP BY source, bin ORDER BY source, bin
+    """
+    # q43: the whole curation funnel -- q24's exact closure (train docs
+    # only) + q38's keeper argmax + q39 contamination + q40 repetition +
+    # q23 quality, folded into one verdict per training doc with the
+    # same precedence as the Spark plan
+    oracles["q43_curation_funnel"] = f"""
+        WITH RECURSIVE g AS (
+            SELECT CAST(doc_id AS VARCHAR) AS id, {grams3} AS grams
+            FROM documents WHERE doc_id % 17 <> 3
+        ), x AS (
+            SELECT id, unnest(grams) AS gram FROM g
+        ), inter AS (
+            SELECT l.id AS a, r.id AS b, count(*) AS i
+            FROM x l JOIN x r ON l.gram = r.gram AND l.id < r.id
+            GROUP BY 1, 2
+        ), szs AS (
+            SELECT id, len(grams) AS n FROM g
+        ), edges AS (
+            SELECT a, b FROM inter
+            JOIN szs sa ON inter.a = sa.id
+            JOIN szs sb ON inter.b = sb.id
+            WHERE i / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.7
+        ), sym AS (
+            SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges
+        ), cc(id, lbl) AS (
+            SELECT DISTINCT a, a FROM sym
+            UNION
+            SELECT s.b, cc.lbl FROM cc JOIN sym s ON cc.id = s.a
+        ), labels AS (
+            SELECT id, min(lbl) AS cluster_id FROM cc GROUP BY id
+        ), alllab AS (
+            SELECT g.id, coalesce(labels.cluster_id, g.id) AS cluster_id
+            FROM g LEFT JOIN labels ON g.id = labels.id
+        ), qual AS (
+            SELECT CAST(doc_id AS VARCHAR) AS id,
+                   round((CASE WHEN len({_NORM_TOKS}) BETWEEN 10 AND 5000 THEN 1.0
+                               WHEN len({_NORM_TOKS}) < 10 THEN len({_NORM_TOKS}) / 10.0
+                               ELSE 5000.0 / len({_NORM_TOKS}) END
+                          + CASE WHEN length(text) / greatest(len({_NORM_TOKS}), 1)::DOUBLE BETWEEN 3 AND 12
+                                 THEN 1.0 ELSE 0.5 END
+                          + 1.0 - least(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g'))
+                                        / greatest(length(text), 1)::DOUBLE * 4, 1.0)
+                         ) / 3, 4) AS quality
+            FROM documents WHERE doc_id % 17 <> 3
+        ), rk AS (
+            SELECT a.id, q.quality,
+                   row_number() OVER (PARTITION BY a.cluster_id
+                                      ORDER BY q.quality DESC, a.id) AS rk,
+                   count(*) OVER (PARTITION BY a.cluster_id) AS sz
+            FROM alllab a JOIN qual q ON a.id = q.id
+        ), g4 AS (
+            SELECT doc_id, {grams4} AS grams FROM documents
+        ), eg AS (
+            SELECT DISTINCT unnest(grams) AS gram FROM g4 WHERE doc_id % 17 = 3
+        ), train4 AS (
+            SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gram
+            FROM g4 WHERE doc_id % 17 <> 3
+        ), cont AS (
+            SELECT doc_id, count(*) / greatest(n_grams, 1)::DOUBLE AS contamination
+            FROM train4 JOIN eg USING (gram) GROUP BY doc_id, n_grams
+        ), rx AS (
+            SELECT doc_id, unnest({grams3_all}) AS gram
+            FROM documents WHERE doc_id % 17 <> 3
+        ), rc AS (
+            SELECT doc_id, gram, count(*) AS n FROM rx GROUP BY 1, 2
+        ), rep AS (
+            SELECT doc_id, round(1 - count(*) / sum(n)::DOUBLE, 4) AS rep_ratio
+            FROM rc GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CASE WHEN r.sz > 1 AND r.rk > 1 THEN 'dup'
+                    WHEN round(coalesce(c.contamination, 0), 4) >= 0.5 THEN 'contaminated'
+                    WHEN rep.rep_ratio >= 0.05 THEN 'repetitive'
+                    WHEN r.quality < 0.9 THEN 'low_quality'
+                    ELSE 'kept' END AS verdict
+        FROM documents d
+        JOIN rk r ON CAST(d.doc_id AS VARCHAR) = r.id
+        JOIN rep ON d.doc_id = rep.doc_id
+        LEFT JOIN cont c ON d.doc_id = c.doc_id
+        WHERE d.doc_id % 17 <> 3
+        ORDER BY d.doc_id
     """
     return oracles

@@ -89,19 +89,30 @@ def mix31_sql(expr: str) -> str:
 
 # -- word n-grams (shared with the DuckDB oracle) ----------------------------
 
+def word_grams_all(toks: Column, n: int) -> Column:
+    """All space-joined word n-grams WITH multiplicity (clamped: a doc
+    shorter than n tokens yields one short gram).  Matches
+    :func:`word_grams_all_sql` token for token; the distinct variant
+    :func:`word_grams` is derived so the clamp-and-slice logic lives in
+    exactly one place per engine."""
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+
+
+def word_grams_all_sql(toks_expr: str, n: int) -> str:
+    return (
+        f"[array_to_string(({toks_expr})[i+1:i+{n}], ' ') "
+        f"FOR i IN range(0, greatest(len({toks_expr})-{n}, 0)+1)]"
+    )
+
+
 def word_grams(toks: Column, n: int) -> Column:
     """Distinct space-joined word n-grams (clamped: short docs yield one
     gram).  Matches :func:`word_grams_sql` token for token."""
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        )
-    )
+    return F.array_distinct(word_grams_all(toks, n))
 
 
 def word_grams_sql(toks_expr: str, n: int) -> str:
-    return (
-        f"list_distinct([array_to_string(({toks_expr})[i+1:i+{n}], ' ') "
-        f"FOR i IN range(0, greatest(len({toks_expr})-{n}, 0)+1)])"
-    )
+    return f"list_distinct({word_grams_all_sql(toks_expr, n)})"

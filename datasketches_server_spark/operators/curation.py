@@ -10,7 +10,9 @@ scope is sketch serving -- README.md:6-8); these follow the same design
 rules as the rest of the repo: native Catalyst expressions only, every
 randomness source is the portable u01 hash (functions/portable.py), and
 every operator has a DuckDB-replayable formulation so the driver's
-correctness gate hash-checks it (q39-q42 in __spark_entry__.py).
+correctness gate hash-checks it (q39-q42 in __spark_entry__.py; q43
+composes the whole funnel -- dedup keeper -> decontaminate ->
+repetition/quality gates -> one verdict per doc).
 
 Scale notes are per-operator; the common theme is that nothing here
 shuffles fat text -- grams and token counts reduce to narrow keyed rows
@@ -19,29 +21,11 @@ before any exchange.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.portable import u01, word_grams
+from ..functions.portable import u01, word_grams, word_grams_all
 from ..functions.text import token_count, tokens
-
-
-def word_grams_all(toks: Column, n: int) -> Column:
-    """All word n-grams WITH multiplicity (contrast
-    functions.portable.word_grams, which deduplicates).  Clamped like its
-    twin: a doc shorter than n tokens yields one (short) gram.  SQL twin:
-    :func:`word_grams_all_sql`."""
-    return F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
-
-
-def word_grams_all_sql(toks_expr: str, n: int) -> str:
-    return (
-        f"[array_to_string(({toks_expr})[i+1:i+{n}], ' ') "
-        f"FOR i IN range(0, greatest(len({toks_expr})-{n}, 0)+1)]"
-    )
 
 
 def decontaminate(
@@ -54,46 +38,39 @@ def decontaminate(
     """Per-document eval-set contamination: the fraction of a training
     document's distinct word n-grams that appear anywhere in the eval
     corpus.  Returns every training doc (zero-hit docs included) as
-    (id, n_grams, n_contaminated, contamination).
+    (id, n_grams, n_contaminated, contamination).  Two rows sharing an
+    id merge into one output row (their gram rows aggregate together);
+    pass a unique id for per-document semantics.
 
     Scale shape: the eval side is a benchmark suite -- thousands of
     documents, millions of distinct grams at most -- so its distinct
-    gram set is BROADCAST and the training side never shuffles: one
-    explode, a broadcast hash join, and a groupBy on the near-unique
-    doc id (map-side combined).  The fat text column is dropped before
-    the explode; only (id, gram) rows flow.  A contaminated mega-gram
-    cannot skew the plan because the join is map-side.
+    gram set is BROADCAST and the training side never shuffles text:
+    ONE tokenize-and-gram pass over the corpus (the dominant cost at
+    100 TB), one explode, a broadcast LEFT join marking hits, and one
+    map-side-combined groupBy on the near-unique doc id.  The clamp in
+    word_grams guarantees every doc >= 1 exploded row, so zero-hit and
+    empty docs survive the aggregate.  A contaminated mega-gram cannot
+    skew the plan because the join is map-side.
     """
-    g = docs.select(
-        F.col(id_col), word_grams(tokens(F.col(text_col)), n).alias("grams")
+    exploded = docs.select(
+        F.col(id_col),
+        F.explode(word_grams(tokens(F.col(text_col)), n)).alias("gram"),
     )
     eval_grams = (
         eval_docs.select(
             F.explode(word_grams(tokens(F.col(text_col)), n)).alias("gram")
         )
         .distinct()
+        .withColumn("_hit", F.lit(1))
     )
-    exploded = g.select(
-        F.col(id_col),
-        F.size("grams").cast("long").alias("n_grams"),
-        F.explode("grams").alias("gram"),
-    )
-    hits = (
-        exploded.join(F.broadcast(eval_grams), "gram")
-        .groupBy(id_col, "n_grams")
-        .agg(F.count("*").alias("n_contaminated"))
-    )
-    base = g.select(F.col(id_col), F.size("grams").cast("long").alias("n_grams"))
     return (
-        base.join(hits, [id_col, "n_grams"], "left")
-        .select(
-            id_col,
-            "n_grams",
-            F.coalesce("n_contaminated", F.lit(0)).cast("long").alias("n_contaminated"),
+        exploded.join(F.broadcast(eval_grams), "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.count("_hit").cast("long").alias("n_contaminated"),
             F.round(
-                F.coalesce("n_contaminated", F.lit(0))
-                / F.greatest(F.col("n_grams"), F.lit(1)),
-                4,
+                F.count("_hit") / F.greatest(F.count("*"), F.lit(1)), 4
             ).alias("contamination"),
         )
     )

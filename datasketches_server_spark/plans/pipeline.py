@@ -76,6 +76,11 @@ class DedupResult:
     bucket_report: DataFrame | None = None
     # what the prune_verify="auto" heuristic decided (None = forced mode)
     pruned_verify: bool | None = None
+    # incremental runs only: the batch's newly discovered edges -- the
+    # DELTA a caller should persist per batch (``edges`` is old UNION
+    # new; re-deriving the delta from it would cost a corpus-scaled
+    # anti-join, defeating the batch-scaled absorb)
+    new_edges: DataFrame | None = None
     resources: list = field(default_factory=list)  # persisted relations
 
     def unpersist(self) -> None:
@@ -328,6 +333,7 @@ def incremental_dedup(
     return DedupResult(
         conv_state=state, edges=edges, clusters=clusters,
         bucket_report=bucket_stats_from_ranked(ranked_holder[0], cfg.lsh),
+        new_edges=new_edges.select(*edge_cols),
         resources=resources,
     )
 

@@ -811,3 +811,65 @@ def q42_sequence_packing(spark, sf_dir):
     return pack_sequences(d, capacity=256, strata_cols=["source"]).orderBy(
         "source", "bin"
     )
+
+
+def q43_curation_funnel(spark, sf_dir):
+    """The end-to-end curation funnel a training-data pipeline runs --
+    every training doc gets ONE verdict, by precedence:
+
+      dup           -- near-dup cluster member that lost the keeper
+                       argmax (q24 clusters x q38 policy)
+      contaminated  -- >= 50% of its 4-grams appear in the eval set
+                       (q39 decontamination, eval = doc_id % 17 == 3)
+      repetitive    -- duplicate-trigram fraction >= 0.05 (q40)
+      low_quality   -- replayable quality score < 0.9 (q23 formula)
+      kept          -- survives every gate
+
+    Composes the dedup pipeline with all four curation operators in one
+    DataFrame plan; the oracle replays the exact closure + the same
+    gates.  Every per-doc signal is narrow (doc_id, value) before the
+    joins, which all hash on the near-unique doc id."""
+    from ..operators.curation import decontaminate, repetition_scores
+    from .pipeline import dedup_pipeline
+
+    cfg = PipelineConfig(shingle=ShingleConfig(k=3))
+    d = _t(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 17 == 3
+    train = d.where(~is_eval)
+    t = transcripts_from_documents(spark, sf_dir).where(
+        F.col("conv_id").cast("long") % 17 != 3
+    )
+    res = dedup_pipeline(t, cfg)
+    qual = train.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.round(TXT.quality_score(F.col("text")), 4).alias("quality"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("quality"), "conv_id")
+    flags = (
+        res.clusters.join(qual, "conv_id")
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn("sz", F.count("*").over(Window.partitionBy("cluster_id")))
+        .select(
+            F.col("conv_id").cast("long").alias("doc_id"),
+            ((F.col("sz") > 1) & (F.col("rk") > 1)).alias("is_dup"),
+            "quality",
+        )
+    )
+    cont = decontaminate(train, d.where(is_eval), n=4).select(
+        "doc_id", "contamination"
+    )
+    rep = repetition_scores(train, n=3).select("doc_id", "rep_ratio")
+    return (
+        flags.join(cont, "doc_id")
+        .join(rep, "doc_id")
+        .select(
+            "doc_id",
+            F.when(F.col("is_dup"), F.lit("dup"))
+            .when(F.col("contamination") >= 0.5, F.lit("contaminated"))
+            .when(F.col("rep_ratio") >= 0.05, F.lit("repetitive"))
+            .when(F.col("quality") < 0.9, F.lit("low_quality"))
+            .otherwise(F.lit("kept"))
+            .alias("verdict"),
+        )
+        .orderBy("doc_id")
+    )

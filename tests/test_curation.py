@@ -135,4 +135,6 @@ def test_pack_sequences_plan_no_python_narrow_window(spark):
     )
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     # the text column is reduced to n_tok before the window shuffle
-    assert "text" not in p.split("Window")[0].split("Exchange")[-1]
+    # (attribute references render as "text#<id>"; bare "text" would
+    # also match unrelated plan words like "context")
+    assert "text#" not in p.split("Window")[0].split("Exchange")[-1]

@@ -51,19 +51,10 @@ from datasketches_server_spark.plans.pipeline import (
 )
 from datasketches_server_spark.session import get_spark
 from datasketches_server_spark.sources.synth import synth_transcripts
-from tools.cpu_ceiling import probe as cpu_probe
 
-
-def quick_ceiling() -> float:
-    return cpu_probe(levels=(2, 8), secs_per_rep=1.0, repeats=2)[
-        "efficiency_ceiling_2to8"
-    ]
-
-
-def fingerprint(clusters) -> int:
-    return clusters.select(
-        F.expr("bit_xor(xxhash64(conv_id, cluster_id))").alias("f")
-    ).collect()[0]["f"]
+# shared with the single-batch bench so the certification gate and the
+# fingerprint definition cannot drift between the two artifacts
+from tools.bench_incremental import fingerprint, quick_ceiling
 
 
 def main() -> None:
@@ -156,9 +147,11 @@ def main() -> None:
             "fingerprint": fp_last,
         }
         # untimed absorb: new state/edges/clusters/index rows to disk
+        # (delta edges straight from the result -- an exceptAll against
+        # old_edges would be a corpus-scaled anti-join per batch)
         new_state = conv_signatures(new_t, cfg)
         new_state.write.parquet(p(f"state_b{i}"))
-        res.edges.exceptAll(old_edges).write.parquet(p(f"edges_b{i}"))
+        res.new_edges.write.parquet(p(f"edges_b{i}"))
         res.clusters.write.mode("overwrite").parquet(p("clusters_next"))
         res.unpersist()
         spark.read.parquet(p("clusters_next")).write.mode("overwrite").parquet(
