@@ -335,3 +335,36 @@ def test_band_index_append_absorbs_batch(spark, tmp_path):
 
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_incremental_new_edges_is_the_exact_delta(spark):
+    """DedupResult.new_edges (the per-batch delta a caller persists)
+    must be disjoint from old_edges and union with it to exactly
+    res.edges -- so absorb steps never need a corpus-scaled anti-join."""
+    from pyspark.sql import functions as F
+
+    from datasketches_server_spark.config import PipelineConfig
+    from datasketches_server_spark.plans.pipeline import (
+        dedup_pipeline,
+        incremental_dedup,
+    )
+    from datasketches_server_spark.sources.synth import synth_transcripts
+
+    cfg = PipelineConfig()
+    full_t = synth_transcripts(spark, n_convs=400, seed=29)
+    is_new = F.pmod(F.xxhash64("conv_id"), F.lit(4)) == 0
+    old = dedup_pipeline(full_t.where(~is_new), cfg)
+    inc = incremental_dedup(old.conv_state, old.edges, full_t.where(is_new), cfg)
+
+    cols = [c for c in old.edges.columns if c in inc.new_edges.columns]
+    old_e = old.edges.select(*cols)
+    new_e = inc.new_edges.select(*cols)
+    assert new_e.count() > 0  # the batch cuts across planted dup families
+    # disjoint: every new edge touches >= 1 new conv, old edges none
+    assert new_e.join(old_e, ["a", "b"], "left_semi").count() == 0
+    # union is exactly the result's combined edge set
+    both = old_e.unionByName(new_e)
+    assert both.exceptAll(inc.edges.select(*cols)).count() == 0
+    assert inc.edges.select(*cols).exceptAll(both).count() == 0
+    inc.unpersist()
+    old.unpersist()
