@@ -165,6 +165,36 @@ def test_incremental_verify_member_filter_pushes_to_scan(spark, tmp_path):
     assert not pushed2
 
 
+def test_decontaminate_plan_broadcasts_eval_grams(spark, sf_dir):
+    """Curation family plan shape (q39): the eval-gram side is a small
+    benchmark suite, so it must reach the training side as a broadcast
+    (the training corpus never shuffles text at 100 TB), the per-doc
+    rollup must map-side combine, and the scan must prune to the two
+    used columns.  All native -- no Python eval anywhere."""
+    p = plan_str(Q.q39_decontamination(spark, sf_dir))
+    assert "BroadcastHashJoin" in p, "eval grams not broadcast"
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert p.count("HashAggregate") >= 2, "no map-side partial aggregation"
+    read = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "embedding" not in read and "lang" not in read, read
+
+
+def test_stratified_sample_two_phase_bounds_final_sort(spark, sf_dir):
+    """q41's two-phase top-k: phase 1 ranks inside (stratum, salt
+    bucket), phase 2 over survivors only -- the plan must contain BOTH
+    window sorts (the property that bounds any single task's sort input
+    to k x partial_buckets rows per stratum at corpus scale)."""
+    import re
+
+    p = plan_str(Q.q41_stratified_sample(spark, sf_dir))
+    assert len(re.findall(r"^\(\d+\) Window$", p, re.M)) == 2, "two-phase rank collapsed"
+    # Spark additionally pushes a WindowGroupLimit below each phase's
+    # sort (partial rank-limit before the exchange) -- keep that too
+    assert len(re.findall(r"^\(\d+\) WindowGroupLimit$", p, re.M)) == 4
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
 def test_incremental_components_plan_no_python_no_cartesian(spark):
     """Delta CC contraction is pure native joins over narrow label rows."""
     from datasketches_server_spark.operators.components import incremental_components
