@@ -87,6 +87,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q41_stratified_sample": Q.q41_stratified_sample,
         "q42_sequence_packing": Q.q42_sequence_packing,
         "q43_curation_funnel": Q.q43_curation_funnel,
+        # transcript-specific prefix dedup + semantic dedup clusters
+        "q44_prefix_containment_pairs": Q.q44_prefix_containment_pairs,
+        "q45_semantic_dedup_clusters": Q.q45_semantic_dedup_clusters,
     }
 
 
@@ -827,5 +830,73 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN cont c ON d.doc_id = c.doc_id
         WHERE d.doc_id % 17 <> 3
         ORDER BY d.doc_id
+    """
+    # q44: turn-aligned prefix/containment dedup.  The Spark side joins
+    # on running 60-bit prefix hashes then re-verifies texts; the oracle
+    # recomputes the SAME pair set the direct way (ordered turn-list
+    # slice equality), so a hash-collision false positive or a missed
+    # pair on either side breaks the match.
+    oracles["q44_prefix_containment_pairs"] = f"""
+        WITH tr AS ({transcripts_from_documents_sql()}),
+             arr AS (
+                SELECT conv_id, list(text ORDER BY turn_idx) AS turns
+                FROM tr GROUP BY conv_id
+             )
+        SELECT a.conv_id AS prefix_conv_id, b.conv_id AS super_conv_id,
+               CAST(len(a.turns) AS INT) AS prefix_turns,
+               CAST(len(b.turns) AS INT) AS super_turns,
+               CASE WHEN len(a.turns) = len(b.turns)
+                    THEN 'exact' ELSE 'prefix' END AS relation
+        FROM arr a JOIN arr b
+          ON a.turns[1] = b.turns[1]
+         AND a.conv_id <> b.conv_id
+         AND len(a.turns) <= len(b.turns)
+         AND (len(a.turns) < len(b.turns) OR a.conv_id < b.conv_id)
+         AND a.turns = b.turns[1:len(a.turns)]
+        ORDER BY prefix_conv_id, super_conv_id
+    """
+    # q45: semantic dedup clusters = q33's exact LSH edge replay closed
+    # with the same recursive min-label CTE as q24; keeper = min vec_id
+    # (= the component label).
+    oracles["q45_semantic_dedup_clusters"] = f"""
+        WITH RECURSIVE {ann_codes},
+        capped AS (
+            SELECT vec_id, tbl, code FROM (
+                SELECT vec_id, tbl, code,
+                       row_number() OVER (
+                           PARTITION BY tbl, code
+                           ORDER BY {cap_order_sql("vec_id")}, vec_id) AS rn
+                FROM codes
+            ) WHERE rn <= {ANN_CAP}
+        ), probes AS (
+            SELECT vec_id, tbl, unnest({probe_list}) AS code FROM codes
+        ), pcands AS (
+            SELECT DISTINCT least(p.vec_id, c.vec_id) AS a,
+                            greatest(p.vec_id, c.vec_id) AS b
+            FROM probes p
+            JOIN capped c ON p.tbl = c.tbl AND p.code = c.code
+                             AND p.vec_id <> c.vec_id
+        ), edges AS (
+            SELECT a, b FROM pcands
+            JOIN embeddings ea ON pcands.a = ea.vec_id
+            JOIN embeddings eb ON pcands.b = eb.vec_id
+            WHERE list_cosine_similarity(ea.embedding::DOUBLE[],
+                                         eb.embedding::DOUBLE[]) >= 0.4
+        ), sym AS (
+            SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges
+        ), cc(id, lbl) AS (
+            SELECT DISTINCT a, a FROM sym
+            UNION
+            SELECT s.b, cc.lbl FROM cc JOIN sym s ON cc.id = s.a
+        ), labels AS (
+            SELECT id AS vec_id, min(lbl) AS cluster_id FROM cc GROUP BY id
+        ), sizes AS (
+            SELECT cluster_id, count(*) AS cluster_size
+            FROM labels GROUP BY cluster_id
+        )
+        SELECT l.vec_id, l.cluster_id, s.cluster_size,
+               (l.vec_id = l.cluster_id) AS is_keeper
+        FROM labels l JOIN sizes s USING (cluster_id)
+        ORDER BY l.cluster_id, l.vec_id
     """
     return oracles

@@ -1,0 +1,173 @@
+"""Turn-aligned prefix/containment dedup over conversation transcripts.
+
+Transcript corpora carry a duplication mode document dedup misses:
+resumed or retried sessions log a conversation whose turns are exactly
+the first k turns of a longer conversation (same user turns, same
+assistant replies, then the longer one continues).  Jaccard near-dup
+catches these only when k is a large fraction of the longer conv; a
+3-turn stub of a 300-turn session is invisible to MinHash yet is pure
+redundancy for training.  This operator finds every ordered pair
+(prefix_conv, super_conv) where the prefix conv's turns equal the super
+conv's first ``n_turns(prefix)`` turns under the corpus's stable
+``(conv_id, turn_idx)`` ordering -- the same per-turn text-equality
+invariant the north rule pins (BASELINE.json input_hint; reference
+analog: the server's exact-key update semantics, UpdateHandler.java).
+
+Scale design (the part that must survive 10^12 turns):
+
+* Per-turn hash ``ph = md5_long60(turn_idx || ':' || text)`` -- the
+  position is baked into each term, so the XOR of any turn subset is
+  position-sensitive.
+* One window pass per conv computes the running prefix hash
+  ``cum_i = bit_xor(ph_0..ph_i)`` -- narrow (conv_id, turn_idx, cum)
+  rows, no text leaves the scan.
+* Conv A is prefix-of B  iff  B's ``cum`` at position ``n_A - 1``
+  equals A's whole-conv hash.  Candidates therefore come from ONE
+  equi-join on ``(h0, cum, turn_idx)`` -- first-turn hash plus the
+  64-bit running hash plus the position -- a high-entropy composite
+  key (no skew even when thousands of convs share an opening turn),
+  shuffling only narrow columns.  No banding, no cartesian.
+* XOR equality is necessary but not sufficient (a multiset of
+  differing turns could cancel), so ``verify=True`` re-joins the
+  actual turn texts for the candidate pairs only -- cost bounded by
+  candidates x prefix length, the same verify-the-candidates shape as
+  the LSH pipeline -- and keeps a pair only when all ``n_A`` turns
+  match exactly.  The emitted pairs carry no false positives.
+
+Output: (prefix_conv_id, super_conv_id, prefix_turns, super_turns,
+relation) with relation = 'exact' (equal length, i.e. whole-conv
+duplicates, emitted once with conv_id tie-break) or 'prefix' (proper
+prefix).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.portable import md5_long60
+
+__all__ = ["turn_prefix_candidates", "verify_prefix_pairs", "turn_prefix_pairs"]
+
+
+def _turn_hashes(transcripts: DataFrame) -> DataFrame:
+    """(conv_id, turn_idx, ph) with the position baked into the hash."""
+    return transcripts.select(
+        "conv_id",
+        "turn_idx",
+        md5_long60(
+            F.concat_ws(":", F.col("turn_idx").cast("string"), F.col("text"))
+        ).alias("ph"),
+    )
+
+
+def turn_prefix_candidates(transcripts: DataFrame) -> DataFrame:
+    """Hash-level candidate pairs (no text comparison yet).
+
+    One shuffle to build per-conv running hashes, one narrow equi-join
+    on (h0, cum, turn_idx).  Collision-true pairs (~2^-60 per candidate)
+    are removed by :func:`verify_prefix_pairs`.
+    """
+    h = _turn_hashes(transcripts)
+    conv = Window.partitionBy("conv_id")
+    ordered = conv.orderBy("turn_idx").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    rows = h.select(
+        "conv_id",
+        "turn_idx",
+        F.expr("bit_xor(ph)").over(ordered).alias("cum"),
+        F.min(F.when(F.col("turn_idx") == 0, F.col("ph"))).over(conv).alias("h0"),
+        F.count("*").over(conv).alias("n_turns"),
+    )
+    # whole-conv summaries = the last running-hash row of each conv
+    summaries = rows.where(F.col("turn_idx") == F.col("n_turns") - 1).select(
+        F.col("conv_id").alias("prefix_conv_id"),
+        F.col("n_turns").alias("prefix_turns"),
+        F.col("h0"),
+        F.col("cum"),
+        (F.col("n_turns") - 1).alias("turn_idx"),
+    )
+    supers = rows.select(
+        F.col("conv_id").alias("super_conv_id"),
+        F.col("n_turns").alias("super_turns"),
+        "h0",
+        "cum",
+        "turn_idx",
+    )
+    return (
+        summaries.join(supers, ["h0", "cum", "turn_idx"])
+        .where(
+            (F.col("prefix_conv_id") != F.col("super_conv_id"))
+            & (
+                (F.col("prefix_turns") < F.col("super_turns"))
+                | (
+                    (F.col("prefix_turns") == F.col("super_turns"))
+                    & (F.col("prefix_conv_id") < F.col("super_conv_id"))
+                )
+            )
+        )
+        .select(
+            "prefix_conv_id",
+            "super_conv_id",
+            "prefix_turns",
+            "super_turns",
+            F.when(F.col("prefix_turns") == F.col("super_turns"), F.lit("exact"))
+            .otherwise(F.lit("prefix"))
+            .alias("relation"),
+        )
+    )
+
+
+def verify_prefix_pairs(candidates: DataFrame, transcripts: DataFrame) -> DataFrame:
+    """Exact text verification of candidate pairs.
+
+    Joins the prefix conv's turns against the super conv's same-index
+    turns and keeps a pair only when every one of the ``prefix_turns``
+    positions matches exactly -- cost is candidates x prefix length
+    (LSH-verify shape), and the turn join is an equi-join on
+    (conv_id, turn_idx) so text never fans out.
+    """
+    t = transcripts.select("conv_id", "turn_idx", "text")
+    a = t.select(
+        F.col("conv_id").alias("prefix_conv_id"),
+        "turn_idx",
+        F.col("text").alias("text_a"),
+    )
+    b = t.select(
+        F.col("conv_id").alias("super_conv_id"),
+        "turn_idx",
+        F.col("text").alias("text_b"),
+    )
+    matched = (
+        candidates.join(a, "prefix_conv_id")
+        .join(b, ["super_conv_id", "turn_idx"])
+        .groupBy(
+            "prefix_conv_id",
+            "super_conv_id",
+            "prefix_turns",
+            "super_turns",
+            "relation",
+        )
+        .agg(
+            F.sum((F.col("text_a") == F.col("text_b")).cast("long")).alias("n_match"),
+            F.count("*").alias("n_joined"),
+        )
+    )
+    return matched.where(
+        (F.col("n_match") == F.col("prefix_turns"))
+        & (F.col("n_joined") == F.col("prefix_turns"))
+    ).drop("n_match", "n_joined")
+
+
+def turn_prefix_pairs(transcripts: DataFrame, verify: bool = True) -> DataFrame:
+    """Verified turn-aligned prefix/exact duplicate pairs.
+
+    ``verify=False`` skips the text re-join and trusts the 60-bit
+    running hashes (bench tier); the default emits exactly the pairs a
+    full text comparison would.
+    """
+    cands = turn_prefix_candidates(transcripts)
+    if not verify:
+        return cands
+    return verify_prefix_pairs(cands, transcripts)

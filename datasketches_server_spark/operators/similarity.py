@@ -218,3 +218,41 @@ def embedding_near_dup_pairs(
         .select("a", "b", cosine(F.col("emb_a"), F.col("emb_b")).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+
+
+def semantic_dedup_clusters(
+    data: DataFrame,
+    threshold: float = 0.95,
+    n_tables: int = 24,
+    n_bits: int = 6,
+    seed: int = 42,
+    bucket_cap: int = 128,
+    probe_radius: int = 1,
+) -> DataFrame:
+    """SemDeDup-style semantic duplicate clusters over an embedding
+    column: LSH-bucketed candidate pairs above ``threshold`` cosine
+    (:func:`embedding_near_dup_pairs`) -> connected components ->
+    (vec_id, cluster_id, cluster_size, is_keeper).
+
+    Only clustered vectors (cluster_size >= 2) are returned; the keeper
+    is the minimum vec_id of the component (which is also the
+    component's label, so no extra argmin pass is needed).  The scale
+    shape is the dedup pipeline's: candidate volume bounded by
+    tables x probes x bucket_cap, components over an edge list that is
+    tiny relative to the corpus, no all-pairs stage anywhere.
+    """
+    from .components import connected_components
+
+    edges = embedding_near_dup_pairs(
+        data, threshold, n_tables, n_bits, seed, bucket_cap, probe_radius
+    ).select("a", "b")
+    labels = connected_components(edges).select(
+        F.col("conv_id").alias("vec_id"), "cluster_id"
+    )
+    sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, "cluster_id").select(
+        "vec_id",
+        "cluster_id",
+        "cluster_size",
+        (F.col("vec_id") == F.col("cluster_id")).alias("is_keeper"),
+    )

@@ -873,3 +873,46 @@ def q43_curation_funnel(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+def q44_prefix_containment_pairs(spark, sf_dir):
+    """Turn-aligned prefix/containment duplicates over the transcripts
+    table: resumed/retried sessions whose turns are exactly the first k
+    turns of a longer conversation, plus whole-conv exact duplicates
+    (mutual prefixes, emitted once).  Candidates come from one narrow
+    equi-join on (first-turn hash, running 60-bit prefix hash,
+    position); every emitted pair is re-verified against the actual
+    turn texts (operators/prefix.py).  The oracle recomputes the pairs
+    the direct way -- ordered turn-list slice equality."""
+    from ..operators.prefix import turn_prefix_pairs
+
+    t = transcripts_from_documents(spark, sf_dir)
+    return (
+        turn_prefix_pairs(t, verify=True)
+        .select(
+            "prefix_conv_id",
+            "super_conv_id",
+            F.col("prefix_turns").cast("int").alias("prefix_turns"),
+            F.col("super_turns").cast("int").alias("super_turns"),
+            "relation",
+        )
+        .orderBy("prefix_conv_id", "super_conv_id")
+    )
+
+
+def q45_semantic_dedup_clusters(spark, sf_dir):
+    """SemDeDup-style semantic duplicate clusters: LSH-bucketed cosine
+    pairs at the q33 config -> connected components -> per-vector
+    cluster assignment with keeper flag (min vec_id).  The oracle
+    replays the LSH edge set bit-identically (exact integer codes, as
+    q33) and closes it with a recursive min-label CTE (as q24)."""
+    from ..operators.similarity import semantic_dedup_clusters
+
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        semantic_dedup_clusters(
+            e, threshold=0.4, n_tables=24, n_bits=6, bucket_cap=128, probe_radius=1
+        )
+        .select("vec_id", "cluster_id", "cluster_size", "is_keeper")
+        .orderBy("cluster_id", "vec_id")
+    )

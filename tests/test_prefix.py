@@ -1,0 +1,127 @@
+"""Turn-aligned prefix/containment dedup (operators/prefix.py) and
+semantic dedup clusters (operators/similarity.semantic_dedup_clusters)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from datasketches_server_spark.operators.prefix import (
+    turn_prefix_candidates,
+    turn_prefix_pairs,
+    verify_prefix_pairs,
+)
+
+
+def _transcripts(spark, convs: dict[str, list[str]]):
+    rows = [
+        (cid, i, "user" if i % 2 == 0 else "assistant", text, None)
+        for cid, turns in convs.items()
+        for i, text in enumerate(turns)
+    ]
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    ).withColumn("ts", F.to_timestamp(F.lit("2024-06-01 00:00:00")))
+
+
+def test_prefix_pairs_planted(spark):
+    """A proper prefix, an exact dup pair, a same-opening divergence,
+    and a unique conv: exactly the prefix/exact pairs come out, each
+    once, with the right turn counts."""
+    t = _transcripts(
+        spark,
+        {
+            "long": ["hello there", "hi how can i help", "run the job", "done"],
+            "stub": ["hello there", "hi how can i help"],
+            "copy": ["hello there", "hi how can i help", "run the job", "done"],
+            "fork": ["hello there", "hi how can i help", "cancel it"],
+            "solo": ["completely different opening"],
+        },
+    )
+    rows = turn_prefix_pairs(t).collect()
+    got = {(r.prefix_conv_id, r.super_conv_id, r.relation) for r in rows}
+    assert got == {
+        ("stub", "long", "prefix"),
+        ("stub", "copy", "prefix"),
+        ("stub", "fork", "prefix"),
+        ("copy", "long", "exact"),
+    }
+    by_pair = {(r.prefix_conv_id, r.super_conv_id): r for r in rows}
+    assert by_pair[("stub", "long")].prefix_turns == 2
+    assert by_pair[("stub", "long")].super_turns == 4
+    # the turn-granularity contract: 'fork' shares only a 2-turn prefix
+    # with 'long' (turn 2 differs), so no (fork, long) pair
+    assert ("fork", "long") not in by_pair
+
+
+def test_verify_drops_hash_collision_impostors(spark):
+    """verify_prefix_pairs is the exactness guarantee: feed it a forged
+    candidate (pretending a hash collision slipped through) and assert
+    it is dropped while the genuine pair survives."""
+    t = _transcripts(
+        spark,
+        {
+            "a": ["x y", "z w"],
+            "b": ["x y", "z w", "tail"],
+            "c": ["totally", "different", "turns"],
+        },
+    )
+    genuine = turn_prefix_candidates(t)
+    forged = spark.createDataFrame(
+        [("a", "c", 2, 3, "prefix")],
+        "prefix_conv_id string, super_conv_id string, prefix_turns long, "
+        "super_turns long, relation string",
+    )
+    out = verify_prefix_pairs(genuine.unionByName(forged), t).collect()
+    assert {(r.prefix_conv_id, r.super_conv_id) for r in out} == {("a", "b")}
+
+
+def test_prefix_empty_and_single(spark):
+    t = _transcripts(spark, {"only": ["one turn"]})
+    assert turn_prefix_pairs(t).count() == 0
+    empty = t.where(F.lit(False))
+    assert turn_prefix_pairs(empty).count() == 0
+
+
+def test_prefix_candidates_plan_is_equi_join(spark):
+    """Scale guard: the candidate join must be a hash/sort-merge
+    equi-join on the composite key -- never a nested-loop/cartesian."""
+    t = _transcripts(spark, {"a": ["x", "y"], "b": ["x", "y", "z"]})
+    plan = turn_prefix_candidates(t)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_dedup_clusters_planted(spark):
+    """Two tight semantic families + noise: family members cluster
+    together, keepers are the min vec_id, singletons are absent."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base1 = rng.normal(size=64)
+    base2 = rng.normal(size=64)
+    rows = []
+    for i in range(3):  # family A: vec 0,1,2
+        v = base1 + rng.normal(scale=0.01, size=64)
+        rows.append((i, (v / np.linalg.norm(v)).astype(float).tolist()))
+    for i in range(3, 5):  # family B: vec 3,4
+        v = base2 + rng.normal(scale=0.01, size=64)
+        rows.append((i, (v / np.linalg.norm(v)).astype(float).tolist()))
+    for i in range(5, 10):  # noise
+        v = rng.normal(size=64)
+        rows.append((i, (v / np.linalg.norm(v)).astype(float).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    from datasketches_server_spark.operators.similarity import (
+        semantic_dedup_clusters,
+    )
+
+    out = semantic_dedup_clusters(df, threshold=0.95).collect()
+    clusters = {}
+    for r in out:
+        clusters.setdefault(r.cluster_id, set()).add(r.vec_id)
+    assert clusters == {0: {0, 1, 2}, 3: {3, 4}}
+    keepers = {r.vec_id for r in out if r.is_keeper}
+    assert keepers == {0, 3}
+    sizes = {r.cluster_id: r.cluster_size for r in out}
+    assert sizes == {0: 3, 3: 2}
