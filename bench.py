@@ -144,6 +144,16 @@ def main() -> None:
 
     timed("sketch_rollup", run_sketch_rollup)
 
+    def run_prefix_dedup():
+        """Turn-aligned prefix/containment dedup over the full synth
+        corpus: one window pass + one composite-key equi-join + exact
+        text verify (operators/prefix.py)."""
+        from datasketches_server_spark.operators.prefix import turn_prefix_pairs
+
+        extra["prefix_pairs"] = turn_prefix_pairs(transcripts).count()
+
+    timed("prefix_dedup_synth", run_prefix_dedup)
+
     # deployment-warm setup for the incremental headline (untimed, like
     # the cached conv_state): a real ingest pipeline has the band index
     # ON DISK from the previous absorb -- writing it here is the analog

@@ -125,3 +125,41 @@ def test_semantic_dedup_clusters_planted(spark):
     assert keepers == {0, 3}
     sizes = {r.cluster_id: r.cluster_size for r in out}
     assert sizes == {0: 3, 3: 2}
+
+
+def test_prefix_pairs_property_vs_bruteforce(spark):
+    """Hypothesis sweep: random corpora of short token streams (with
+    deliberately heavy overlap so prefixes actually occur) must match a
+    brute-force python oracle pair-for-pair."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    turn = st.sampled_from(["a", "b", "a b", "c"])
+    conv = st.lists(turn, min_size=1, max_size=4)
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(convs=st.lists(conv, min_size=1, max_size=7))
+    def check(convs):
+        named = {f"c{i:02d}": turns for i, turns in enumerate(convs)}
+        want = set()
+        for a, ta in named.items():
+            for b, tb in named.items():
+                if a == b or len(ta) > len(tb):
+                    continue
+                if len(ta) == len(tb) and a > b:
+                    continue
+                if tb[: len(ta)] == ta:
+                    rel = "exact" if len(ta) == len(tb) else "prefix"
+                    want.add((a, b, rel))
+        t = _transcripts(spark, named)
+        got = {
+            (r.prefix_conv_id, r.super_conv_id, r.relation)
+            for r in turn_prefix_pairs(t).collect()
+        }
+        assert got == want, named
+
+    check()
