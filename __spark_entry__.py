@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # transcript-specific prefix dedup + semantic dedup clusters
         "q44_prefix_containment_pairs": Q.q44_prefix_containment_pairs,
         "q45_semantic_dedup_clusters": Q.q45_semantic_dedup_clusters,
+        "q46_prefix_dedup_assignments": Q.q46_prefix_dedup_assignments,
     }
 
 
@@ -854,6 +855,40 @@ def oracle_sql() -> dict[str, str]:
          AND (len(a.turns) < len(b.turns) OR a.conv_id < b.conv_id)
          AND a.turns = b.turns[1:len(a.turns)]
         ORDER BY prefix_conv_id, super_conv_id
+    """
+    # q46: the removal step of q44 -- same direct pair recomputation,
+    # then drops = prefix side of 'prefix' pairs + super side of
+    # 'exact' pairs, precedence prefix_dup > exact_dup, left-joined
+    # back onto the full conv list.
+    oracles["q46_prefix_dedup_assignments"] = f"""
+        WITH tr AS ({transcripts_from_documents_sql()}),
+             arr AS (
+                SELECT conv_id, list(text ORDER BY turn_idx) AS turns
+                FROM tr GROUP BY conv_id
+             ),
+             pairs AS (
+                SELECT a.conv_id AS prefix_conv_id, b.conv_id AS super_conv_id,
+                       CASE WHEN len(a.turns) = len(b.turns)
+                            THEN 'exact' ELSE 'prefix' END AS relation
+                FROM arr a JOIN arr b
+                  ON a.turns[1] = b.turns[1]
+                 AND a.conv_id <> b.conv_id
+                 AND len(a.turns) <= len(b.turns)
+                 AND (len(a.turns) < len(b.turns) OR a.conv_id < b.conv_id)
+                 AND a.turns = b.turns[1:len(a.turns)]
+             ),
+             drops AS (
+                SELECT CASE WHEN relation = 'prefix' THEN prefix_conv_id
+                            ELSE super_conv_id END AS conv_id,
+                       bool_or(relation = 'prefix') AS is_prefix_drop
+                FROM pairs GROUP BY 1
+             )
+        SELECT c.conv_id, CAST(len(c.turns) AS INT) AS n_turns,
+               CASE WHEN d.is_prefix_drop THEN 'prefix_dup'
+                    WHEN d.is_prefix_drop = FALSE THEN 'exact_dup'
+                    ELSE 'kept' END AS verdict
+        FROM arr c LEFT JOIN drops d USING (conv_id)
+        ORDER BY CAST(c.conv_id AS BIGINT)
     """
     # q45: semantic dedup clusters = q33's exact LSH edge replay closed
     # with the same recursive min-label CTE as q24; keeper = min vec_id

@@ -47,7 +47,12 @@ from pyspark.sql import functions as F
 
 from ..functions.portable import md5_long60
 
-__all__ = ["turn_prefix_candidates", "verify_prefix_pairs", "turn_prefix_pairs"]
+__all__ = [
+    "turn_prefix_candidates",
+    "verify_prefix_pairs",
+    "turn_prefix_pairs",
+    "prefix_dedup_assignments",
+]
 
 
 def _turn_hashes(transcripts: DataFrame) -> DataFrame:
@@ -171,3 +176,44 @@ def turn_prefix_pairs(transcripts: DataFrame, verify: bool = True) -> DataFrame:
     if not verify:
         return cands
     return verify_prefix_pairs(cands, transcripts)
+
+
+def prefix_dedup_assignments(
+    transcripts: DataFrame, pairs: DataFrame | None = None
+) -> DataFrame:
+    """The actionable removal step: per-conv verdicts from the pair set.
+
+    Drops every conv that is a proper prefix of another (its content is
+    contained in the superset conv) and, for whole-conv exact duplicate
+    groups, keeps only the minimum conv_id.  Chains resolve correctly
+    without iteration because the candidate join emits ALL prefix pairs
+    (prefix-of is transitive and the running-hash match fires at every
+    level): for A < B < C only C survives, and an exact twin of a kept
+    superset is dropped by its own pair.
+
+    Returns one row per conv: (conv_id, n_turns, verdict) with verdict
+    in {'kept', 'prefix_dup', 'exact_dup'}; precedence prefix_dup >
+    exact_dup when both apply.  One narrow aggregate over the pair set
+    joined back to the conv list -- no extra pass over turn text.
+    """
+    if pairs is None:
+        pairs = turn_prefix_pairs(transcripts)
+    convs = transcripts.groupBy("conv_id").agg(F.count("*").alias("n_turns"))
+    dropped = (
+        pairs.select(
+            F.when(F.col("relation") == "prefix", F.col("prefix_conv_id"))
+            .otherwise(F.col("super_conv_id"))
+            .alias("conv_id"),
+            (F.col("relation") == "prefix").alias("is_prefix_drop"),
+        )
+        .groupBy("conv_id")
+        .agg(F.max("is_prefix_drop").alias("is_prefix_drop"))
+    )
+    return convs.join(dropped, "conv_id", "left").select(
+        "conv_id",
+        "n_turns",
+        F.when(F.col("is_prefix_drop"), F.lit("prefix_dup"))
+        .when(F.col("is_prefix_drop") == F.lit(False), F.lit("exact_dup"))
+        .otherwise(F.lit("kept"))
+        .alias("verdict"),
+    )

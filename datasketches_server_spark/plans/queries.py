@@ -916,3 +916,24 @@ def q45_semantic_dedup_clusters(spark, sf_dir):
         .select("vec_id", "cluster_id", "cluster_size", "is_keeper")
         .orderBy("cluster_id", "vec_id")
     )
+
+
+def q46_prefix_dedup_assignments(spark, sf_dir):
+    """The actionable half of q44: one verdict per conversation --
+    'prefix_dup' (a proper prefix of another conv), 'exact_dup' (a
+    whole-conv twin that lost the min-id tie-break), or 'kept'.  One
+    narrow aggregate over the verified pair set joined back to the conv
+    list; the oracle recomputes the pair set directly (turn-list slice
+    equality) and applies the same precedence."""
+    from ..operators.prefix import prefix_dedup_assignments
+
+    t = transcripts_from_documents(spark, sf_dir)
+    return (
+        prefix_dedup_assignments(t)
+        .select(
+            "conv_id",
+            F.col("n_turns").cast("int").alias("n_turns"),
+            "verdict",
+        )
+        .orderBy(F.col("conv_id").cast("long"))
+    )

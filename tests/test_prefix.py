@@ -163,3 +163,31 @@ def test_prefix_pairs_property_vs_bruteforce(spark):
         assert got == want, named
 
     check()
+
+
+def test_prefix_dedup_assignments_chain_and_twins(spark):
+    """Chain a < b < c plus an exact twin of the chain head and a
+    unique conv: only the maximal conv and the unique conv survive;
+    verdicts carry the prefix_dup > exact_dup precedence."""
+    from datasketches_server_spark.operators.prefix import (
+        prefix_dedup_assignments,
+    )
+
+    t = _transcripts(
+        spark,
+        {
+            "a": ["t1"],
+            "b": ["t1", "t2"],
+            "c": ["t1", "t2", "t3"],
+            "d": ["t1", "t2", "t3"],  # exact twin of c (loses min-id)
+            "e": ["elsewhere"],
+        },
+    )
+    got = {r.conv_id: (r.n_turns, r.verdict) for r in prefix_dedup_assignments(t).collect()}
+    assert got == {
+        "a": (1, "prefix_dup"),
+        "b": (2, "prefix_dup"),
+        "c": (3, "kept"),
+        "d": (3, "exact_dup"),
+        "e": (1, "kept"),
+    }
