@@ -91,6 +91,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_prefix_containment_pairs": Q.q44_prefix_containment_pairs,
         "q45_semantic_dedup_clusters": Q.q45_semantic_dedup_clusters,
         "q46_prefix_dedup_assignments": Q.q46_prefix_dedup_assignments,
+        # ExactSubstr cross-document duplicate coverage + removal
+        "q47_exactsubstr_coverage": Q.q47_exactsubstr_coverage,
+        "q48_exactsubstr_removal": Q.q48_exactsubstr_removal,
     }
 
 
@@ -933,5 +936,78 @@ def oracle_sql() -> dict[str, str]:
                (l.vec_id = l.cluster_id) AS is_keeper
         FROM labels l JOIN sizes s USING (cluster_id)
         ORDER BY l.cluster_id, l.vec_id
+    """
+    # q47/q48: ExactSubstr cross-document duplicate coverage + removal.
+    # Shared scaffolding: every 8-token sliding window per document
+    # (same [a-z0-9]+ normalization), windows appearing in >=2 distinct
+    # docs are flagged, and covered token mass is the interval union of
+    # flagged [pos, pos+8) spans (gaps-and-islands over a running max).
+    _XS_WINS = f"""
+        tok AS (
+            SELECT doc_id, {_NORM_TOKS} AS toks FROM documents
+        ), base AS (
+            SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks
+            FROM tok WHERE len(toks) >= 8
+        ), wins AS (
+            SELECT doc_id, n_tokens,
+                   unnest(range(0, n_tokens - 8 + 1)) AS pos, toks
+            FROM base
+        ), wins2 AS (
+            SELECT doc_id, n_tokens, pos,
+                   array_to_string(toks[pos+1:pos+8], ' ') AS win
+            FROM wins
+        ), flagged AS (
+            SELECT win FROM (SELECT DISTINCT win, doc_id FROM wins2)
+            GROUP BY win HAVING count(*) >= 2
+        )
+    """
+    _XS_ISLANDS = """
+        marked AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos > coalesce(max(pos + 8) OVER (
+                            PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        -1)
+                        THEN 1 ELSE 0 END AS new_isl
+            FROM occ
+        ), isl AS (
+            SELECT doc_id, pos,
+                   sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+            FROM marked
+        ), agg AS (
+            SELECT doc_id, island, max(pos) + 8 - min(pos) AS ilen
+            FROM isl GROUP BY 1, 2
+        ), cov AS (
+            SELECT doc_id, CAST(sum(ilen) AS BIGINT) AS covered FROM agg GROUP BY 1
+        )
+    """
+    oracles["q47_exactsubstr_coverage"] = f"""
+        WITH {_XS_WINS}, occ AS (
+            SELECT w.doc_id, w.pos FROM wins2 w JOIN flagged USING (win)
+        ), {_XS_ISLANDS}
+        SELECT b.doc_id, b.n_tokens,
+               coalesce(c.covered, 0) AS dup_tokens,
+               round(coalesce(c.covered, 0) / CAST(b.n_tokens AS DOUBLE), 4) AS dup_frac
+        FROM base b LEFT JOIN cov c USING (doc_id)
+        ORDER BY b.doc_id
+    """
+    oracles["q48_exactsubstr_removal"] = f"""
+        WITH {_XS_WINS}, occ0 AS (
+            SELECT w.doc_id, w.pos, w.win FROM wins2 w JOIN flagged USING (win)
+        ), k1 AS (
+            SELECT win, min(doc_id) AS kid FROM occ0 GROUP BY win
+        ), k2 AS (
+            SELECT o.win, k1.kid, min(o.pos) AS kpos
+            FROM occ0 o JOIN k1 ON o.win = k1.win AND o.doc_id = k1.kid
+            GROUP BY o.win, k1.kid
+        ), occ AS (
+            SELECT o.doc_id, o.pos FROM occ0 o JOIN k2 ON o.win = k2.win
+            WHERE NOT (o.doc_id = k2.kid AND o.pos = k2.kpos)
+        ), {_XS_ISLANDS}
+        SELECT b.doc_id, b.n_tokens,
+               coalesce(c.covered, 0) AS removed_tokens,
+               b.n_tokens - coalesce(c.covered, 0) AS kept_tokens
+        FROM base b LEFT JOIN cov c USING (doc_id)
+        ORDER BY b.doc_id
     """
     return oracles

@@ -215,3 +215,173 @@ def hashed_bow_near_dup_pairs(
         .where(F.col("_cos") >= threshold)
         .select("a", "b", F.round("_cos", 4).alias("cosine"))
     )
+
+
+def _token_windows(
+    docs: DataFrame,
+    window: int,
+    id_col: str,
+    text_col: str,
+    exact: bool,
+) -> tuple[DataFrame, DataFrame]:
+    """(base, wins): base = (id, n_tokens) for docs with >= `window`
+    tokens; wins = one row per sliding window position (id, n_tokens,
+    pos, wkey).  exact=True keys windows by the window STRING (bit-exact,
+    oracle tier); exact=False keys by xxhash64 of it (scale tier: the
+    fat string never shuffles, rows are a narrow (long, long, int)).
+    Same [a-z0-9]+ normalization as every other tokenizer tier."""
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        tokens(F.col(text_col)).alias("toks"),
+    ).withColumn("n_tokens", F.size("toks").cast("long")).where(
+        F.col("n_tokens") >= window
+    )
+    win_str = lambda s: F.concat_ws(" ", F.slice("toks", s + 1, window))  # noqa: E731
+    key = (lambda s: win_str(s)) if exact else (lambda s: F.xxhash64(win_str(s)))
+    wins = base.select(
+        "id",
+        "n_tokens",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n_tokens").cast("int") - window),
+                lambda s: key(s),
+            )
+        ).alias("pos", "wkey"),
+    )
+    return base.select("id", "n_tokens"), wins
+
+
+def _interval_union_tokens(occ: DataFrame, window: int) -> DataFrame:
+    """occ (id, pos) -> (id, covered_tokens): size of the union of the
+    intervals [pos, pos+window) per id.  Gaps-and-islands with window
+    functions: an island starts where pos clears the running max end of
+    every earlier interval; island length = max(pos)+window-min(pos).
+    Per-doc sort of FLAGGED positions only -- the shuffled relation is
+    two longs per duplicated window occurrence, never the corpus."""
+    from pyspark.sql import Window as W
+
+    w_seq = W.partitionBy("id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + window).over(
+        w_seq.rowsBetween(W.unboundedPreceding, -1)
+    )
+    marked = occ.withColumn(
+        "new_isl",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0),
+    )
+    islands = marked.withColumn("island", F.sum("new_isl").over(w_seq))
+    return (
+        islands.groupBy("id", "island")
+        .agg((F.max("pos") + window - F.min("pos")).alias("ilen"))
+        .groupBy("id")
+        .agg(F.sum("ilen").cast("long").alias("covered_tokens"))
+    )
+
+
+def cross_doc_duplicate_coverage(
+    docs: DataFrame,
+    window: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    exact: bool = True,
+    min_docs: int = 2,
+) -> DataFrame:
+    """ExactSubstr-style CORPUS-WIDE duplicate-text coverage (the
+    cross-document complement of the per-pair suffix-array spans in
+    operators/suffixarray.py): for every document, how many token
+    positions sit inside a `window`-token run that also appears in at
+    least ``min_docs`` distinct documents.
+
+    Returns (id, n_tokens, dup_tokens, dup_frac) for every doc with
+    n_tokens >= window; dup_tokens is the size of the interval UNION of
+    flagged windows (overlapping runs are not double-counted).
+
+    Scale shape (10^12 tokens): the window relation is one row per
+    token position.  exact=False keys it by xxhash64 so the shuffled
+    rows are three longs; the distinct-(wkey,id) + count>=min_docs
+    aggregate map-side combines, and only flagged positions reach the
+    per-doc island sort.  No member lists are ever collected, so a
+    boilerplate window shared by millions of docs costs one count, not
+    one bucket sort.  Reference analog: the dedup family the sketch
+    server summarizes (distinct counting over streams,
+    UpdateHandler.java:102-112) lifted to position-level text reuse.
+    """
+    base, wins = _token_windows(docs, window, id_col, text_col, exact)
+    flagged = (
+        wins.select("wkey", "id")
+        .distinct()
+        .groupBy("wkey")
+        .agg(F.count("*").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("wkey")
+    )
+    dup_pos = wins.join(flagged, "wkey", "leftsemi").select("id", "pos")
+    cov = _interval_union_tokens(dup_pos, window)
+    return (
+        base.join(cov, "id", "left")
+        .select(
+            F.col("id"),
+            F.col("n_tokens"),
+            F.coalesce(F.col("covered_tokens"), F.lit(0)).cast("long").alias("dup_tokens"),
+            F.round(
+                F.coalesce(F.col("covered_tokens"), F.lit(0))
+                / F.col("n_tokens").cast("double"),
+                4,
+            ).alias("dup_frac"),
+        )
+    )
+
+
+def exactsubstr_removal_plan(
+    docs: DataFrame,
+    window: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    exact: bool = True,
+) -> DataFrame:
+    """ExactSubstr REMOVAL policy (the step after detection): for every
+    window duplicated across the corpus keep exactly ONE occurrence --
+    the smallest (doc id, position), chosen by two partial-aggregate
+    steps (min doc per window, then min position inside that doc), never
+    a per-window sort -- and schedule every other occurrence's token
+    span for removal.
+
+    Returns (id, n_tokens, removed_tokens, kept_tokens) per doc
+    (kept = n_tokens - interval-union of removed spans).  A doc equal to
+    the concatenation of earlier docs keeps ~0 tokens; the earliest copy
+    of each duplicated run always survives, so no text is lost from the
+    corpus as a whole.
+    """
+    base, wins = _token_windows(docs, window, id_col, text_col, exact)
+    flagged = (
+        wins.select("wkey", "id")
+        .distinct()
+        .groupBy("wkey")
+        .agg(F.count("*").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("wkey")
+    )
+    occ = wins.join(flagged, "wkey", "leftsemi")
+    k1 = occ.groupBy("wkey").agg(F.min("id").alias("kid"))
+    k2 = (
+        occ.join(k1, "wkey")
+        .where(F.col("id") == F.col("kid"))
+        .groupBy("wkey", "kid")
+        .agg(F.min("pos").alias("kpos"))
+    )
+    removed_occ = (
+        occ.join(k2, "wkey")
+        .where(~((F.col("id") == F.col("kid")) & (F.col("pos") == F.col("kpos"))))
+        .select("id", "pos")
+    )
+    cov = _interval_union_tokens(removed_occ, window)
+    return (
+        base.join(cov, "id", "left")
+        .select(
+            F.col("id"),
+            F.col("n_tokens"),
+            F.coalesce(F.col("covered_tokens"), F.lit(0)).cast("long").alias("removed_tokens"),
+            (F.col("n_tokens") - F.coalesce(F.col("covered_tokens"), F.lit(0)))
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+    )

@@ -937,3 +937,48 @@ def q46_prefix_dedup_assignments(spark, sf_dir):
         )
         .orderBy(F.col("conv_id").cast("long"))
     )
+
+
+def q47_exactsubstr_coverage(spark, sf_dir):
+    """ExactSubstr-style cross-document duplicate coverage (Lee et al.,
+    'Deduplicating Training Data Makes Language Models Better'): per
+    document, the token-position mass covered by 8-token runs that also
+    appear in >= 2 distinct documents -- corpus-wide, not per-pair like
+    q26.  Exact tier (windows keyed by their string) so the DuckDB
+    oracle replays it verbatim; the scale tier (exact=False) keys the
+    same relation by xxhash64 so only narrow longs shuffle."""
+    from ..operators.dedup import cross_doc_duplicate_coverage
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        cross_doc_duplicate_coverage(d, window=8, exact=True)
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_tokens",
+            "dup_tokens",
+            "dup_frac",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q48_exactsubstr_removal(spark, sf_dir):
+    """ExactSubstr removal policy: keep exactly one occurrence (min
+    doc_id, then min position) of every duplicated 8-token run and
+    schedule the rest for removal; per doc, the removed-token mass
+    (interval union, overlaps not double-counted) and the surviving
+    token budget.  Same keeper rule in the oracle via two grouped mins
+    -- no float, no tie ambiguity."""
+    from ..operators.dedup import exactsubstr_removal_plan
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        exactsubstr_removal_plan(d, window=8, exact=True)
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_tokens",
+            "removed_tokens",
+            "kept_tokens",
+        )
+        .orderBy("doc_id")
+    )
