@@ -207,6 +207,24 @@ def main() -> None:
         res.unpersist()
 
     timed("dedup_documents", run_dedup_documents)
+
+    def run_exactsubstr():
+        """ExactSubstr cross-document duplicate coverage over the sf
+        documents table, SCALE tier (windows keyed by xxhash64 so only
+        narrow longs shuffle -- the 10^12-token shape; the exact
+        string-keyed tier is what q47's oracle replays)."""
+        from datasketches_server_spark.operators.dedup import cross_doc_duplicate_coverage
+
+        d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        r = (
+            cross_doc_duplicate_coverage(d, window=8, exact=False)
+            .agg(F.sum("dup_tokens").alias("d"), F.sum("n_tokens").alias("n"))
+            .collect()[0]
+        )
+        extra["exactsubstr_dup_tokens"] = int(r["d"])
+        extra["exactsubstr_total_tokens"] = int(r["n"])
+
+    timed("exactsubstr_documents", run_exactsubstr)
     timed("q01_pricing_summary", lambda: Q.q01_pricing_summary(spark, sf_dir).collect())
     timed("q02_top_revenue_customers", lambda: Q.q02_top_revenue_customers(spark, sf_dir).collect())
     timed("q05_events_hourly", lambda: Q.q05_events_hourly(spark, sf_dir).count())
