@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ExactSubstr cross-document duplicate coverage + removal
         "q47_exactsubstr_coverage": Q.q47_exactsubstr_coverage,
         "q48_exactsubstr_removal": Q.q48_exactsubstr_removal,
+        "q49_exactsubstr_spans": Q.q49_exactsubstr_spans,
     }
 
 
@@ -990,6 +991,29 @@ def oracle_sql() -> dict[str, str]:
                round(coalesce(c.covered, 0) / CAST(b.n_tokens AS DOUBLE), 4) AS dup_frac
         FROM base b LEFT JOIN cov c USING (doc_id)
         ORDER BY b.doc_id
+    """
+    oracles["q49_exactsubstr_spans"] = f"""
+        WITH {_XS_WINS}, occ AS (
+            SELECT w.doc_id, w.pos FROM wins2 w JOIN flagged USING (win)
+        ), marked AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos > coalesce(max(pos + 8) OVER (
+                            PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        -1)
+                        THEN 1 ELSE 0 END AS new_isl
+            FROM occ
+        ), isl AS (
+            SELECT doc_id, pos,
+                   sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+            FROM marked
+        )
+        SELECT doc_id,
+               CAST(min(pos) AS BIGINT) AS span_start,
+               CAST(max(pos) + 8 AS BIGINT) AS span_end,
+               CAST(max(pos) + 8 - min(pos) AS BIGINT) AS span_tokens
+        FROM isl GROUP BY doc_id, island
+        ORDER BY doc_id, span_start
     """
     oracles["q48_exactsubstr_removal"] = f"""
         WITH {_XS_WINS}, occ0 AS (

@@ -385,3 +385,54 @@ def exactsubstr_removal_plan(
             .alias("kept_tokens"),
         )
     )
+
+
+def cross_doc_duplicate_spans(
+    docs: DataFrame,
+    window: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    exact: bool = True,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The actionable form of :func:`cross_doc_duplicate_coverage`:
+    emit the merged duplicated INTERVALS themselves -- one row per
+    maximal run of overlapping flagged windows, (id, span_start,
+    span_end, span_tokens) with token positions [span_start, span_end).
+    A trim/removal job rewrites exactly these slices; coverage is their
+    sum by construction (same gaps-and-islands pass, materialized
+    instead of aggregated away)."""
+    from pyspark.sql import Window as W
+
+    base, wins = _token_windows(docs, window, id_col, text_col, exact)
+    flagged = (
+        wins.select("wkey", "id")
+        .distinct()
+        .groupBy("wkey")
+        .agg(F.count("*").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("wkey")
+    )
+    occ = wins.join(flagged, "wkey", "leftsemi").select("id", "pos")
+    w_seq = W.partitionBy("id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + window).over(
+        w_seq.rowsBetween(W.unboundedPreceding, -1)
+    )
+    marked = occ.withColumn(
+        "new_isl",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0),
+    )
+    islands = marked.withColumn("island", F.sum("new_isl").over(w_seq))
+    return (
+        islands.groupBy("id", "island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + window).cast("long").alias("span_end"),
+        )
+        .select(
+            "id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
+        )
+    )

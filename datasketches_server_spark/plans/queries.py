@@ -982,3 +982,24 @@ def q48_exactsubstr_removal(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+def q49_exactsubstr_spans(spark, sf_dir):
+    """The actionable duplicated intervals behind q47: one row per
+    maximal cross-document duplicated token run (merged overlapping
+    8-token windows), [span_start, span_end) per doc.  A trim job
+    rewrites exactly these slices.  Oracle: same window replay +
+    gaps-and-islands, materializing the islands instead of summing."""
+    from ..operators.dedup import cross_doc_duplicate_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        cross_doc_duplicate_spans(d, window=8, exact=True)
+        .select(
+            F.col("id").alias("doc_id"),
+            "span_start",
+            "span_end",
+            "span_tokens",
+        )
+        .orderBy("doc_id", "span_start")
+    )

@@ -146,3 +146,25 @@ def test_plan_stays_native(spark):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "partial_count" in plan or "partial_finalmerge" in plan or "HashAggregate" in plan
+
+
+def test_spans_materialize_the_coverage(spark):
+    """cross_doc_duplicate_spans emits the islands themselves: per doc
+    the span_tokens must sum to dup_tokens, spans must be disjoint and
+    non-adjacent (maximal merge), and each span must match brute force."""
+    from datasketches_server_spark.operators.dedup import cross_doc_duplicate_spans
+
+    docs = spark.createDataFrame(FIXTURE, "doc_id long, text string")
+    spans = cross_doc_duplicate_spans(docs, window=W).collect()
+    cov, _ = _brute(FIXTURE)
+    by_doc: dict[int, list[tuple[int, int]]] = {}
+    for r in spans:
+        assert r["span_tokens"] == r["span_end"] - r["span_start"] > 0
+        by_doc.setdefault(r["id"], []).append((r["span_start"], r["span_end"]))
+    for i, ivs in by_doc.items():
+        ivs.sort()
+        for (s1, e1), (s2, e2) in zip(ivs, ivs[1:]):
+            assert e1 < s2  # disjoint AND non-adjacent (else not maximal)
+        assert sum(e - s for s, e in ivs) == cov[i][1]
+    # docs with zero coverage emit no spans
+    assert set(by_doc) == {i for i, (_, d) in cov.items() if d > 0}
