@@ -1,0 +1,328 @@
+"""Persisted window-occurrence index: incremental ExactSubstr.
+
+The band index (plans/band_index.py) gave MinHash dedup its accumulator;
+this module gives the ExactSubstr family the same property: a daily
+batch must never re-window the old corpus.  The reference's accumulator
+rule again (/root/reference/README.md:377-379): merge new state into old
+state, never re-derive old state.
+
+Key insight that makes the increment exact: cross-document duplicate
+COVERAGE IS MONOTONE.  Documents are immutable, so an old document's
+covered set can only GROW, and it grows in exactly one way -- a window
+that used to be a single-document orphan gets matched by a new batch
+("woken").  Therefore the index stores, per distinct window key:
+
+  * ``nd``   -- distinct docs seen so far
+  * ``sid`` / ``spositions`` -- iff nd == 1, the one doc and ALL its
+    positions for that window (so waking it covers every occurrence,
+    matching the full recompute)
+
+and the per-doc coverage state is the q49 span list (maximal merged
+intervals), written as per-batch DELTAS: a batch writes spans only for
+docs it touched (new docs + woken old docs); readers take the latest
+delta per doc (coverage monotonicity means latest-wins is exact, no
+tombstones possible).
+
+Per-batch cost: window-explode runs over the BATCH only; the index is
+probed with a broadcast of the batch's window keys (no shuffle of the
+index); the span merge re-islands only touched docs.  Nothing scales
+with the corpus except sequential columnar scans of the index -- the
+same contract the band index certifies in BENCH_incremental.json.
+
+Scale tier only (wkey = xxhash64 of the window string): the narrow-row
+shape.  Equality with a full recompute is asserted against the same
+hash tier so both sides share collision behavior (collisions at 64 bits
+are negligible and identical on both paths).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+WINDEX_STAGE = "windex"
+SPANS_STAGE = "wspans"
+BASE_STAGE = "wbase"
+
+
+def _dir(workdir: str, stage: str, window: int, fp: str) -> str:
+    return os.path.join(workdir, stage, f"w{window}_{fp}")
+
+
+def _wins(docs: DataFrame, window: int, id_col: str, text_col: str):
+    from ..operators.dedup import _token_windows
+
+    return _token_windows(docs, window, id_col, text_col, exact=False)
+
+
+def _merge_intervals(iv: DataFrame) -> DataFrame:
+    """(id, start, end) arbitrary overlapping intervals -> maximal
+    merged islands per id.  Same gaps-and-islands shape as
+    operators/dedup._interval_union_tokens but for variable-length
+    intervals: an island starts where start clears the running max end
+    of every earlier interval (ordered by start)."""
+    from pyspark.sql import Window as W
+
+    w_seq = W.partitionBy("id").orderBy("start", "end")
+    prev_end = F.max("end").over(w_seq.rowsBetween(W.unboundedPreceding, -1))
+    marked = iv.withColumn(
+        "new_isl",
+        F.when(prev_end.isNull() | (F.col("start") > prev_end), 1).otherwise(0),
+    )
+    return (
+        marked.withColumn("island", F.sum("new_isl").over(w_seq))
+        .groupBy("id", "island")
+        .agg(F.min("start").alias("span_start"), F.max("end").alias("span_end"))
+        .select("id", "span_start", "span_end")
+    )
+
+
+def write_window_index(
+    docs: DataFrame,
+    workdir: str,
+    window: int = 8,
+    input_fp: str = "base",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    units: int = 8,
+) -> dict:
+    """Bootstrap the index from an existing corpus (one full pass --
+    the LAST full pass this corpus ever needs)."""
+    base, wins = _wins(docs, window, id_col, text_col)
+    wins = wins.persist()
+    nd = wins.groupBy("wkey").agg(F.count_distinct("id").alias("nd"))
+    singles = (
+        wins.join(nd.where(F.col("nd") == 1).select("wkey"), "wkey", "leftsemi")
+        .groupBy("wkey")
+        .agg(
+            F.min("id").alias("sid"),
+            F.sort_array(F.collect_list("pos")).alias("spositions"),
+        )
+    )
+    windex = (
+        nd.join(singles, "wkey", "left")
+        .withColumn("_unit", F.pmod(F.col("wkey"), F.lit(units)).cast("int"))
+    )
+    windex.write.mode("overwrite").partitionBy("_unit").parquet(
+        _dir(workdir, WINDEX_STAGE, window, input_fp)
+    )
+    flagged = nd.where(F.col("nd") >= 2).select("wkey")
+    occ = wins.join(flagged, "wkey", "leftsemi").select(
+        "id", F.col("pos").alias("start"), (F.col("pos") + window).alias("end")
+    )
+    _merge_intervals(occ).write.mode("overwrite").parquet(
+        _dir(workdir, SPANS_STAGE, window, input_fp)
+    )
+    base.write.mode("overwrite").parquet(_dir(workdir, BASE_STAGE, window, input_fp))
+    n_rows = wins.count()
+    wins.unpersist()
+    return {"window_rows": n_rows}
+
+
+def absorb_batch(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    workdir: str,
+    window: int = 8,
+    chain: list[str] | None = None,
+    batch_fp: str = "b1",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    units: int = 8,
+) -> dict:
+    """Fold a new batch into the index.  Windows ONLY the batch; probes
+    the stored index via a broadcast of the batch's window keys; writes
+    per-batch deltas (index rows for keys the batch created or changed,
+    spans for docs the batch touched).  Returns work counters so tests
+    can pin the O(|batch|) contract.
+
+    chain: ordered fps already absorbed (base first).  Batches must
+    carry ids unseen in the chain (immutable corpus, the same contract
+    incremental_dedup documents)."""
+    chain = chain or ["base"]
+    base, bwins = _wins(new_docs, window, id_col, text_col)
+    bwins = bwins.persist()
+    batch_window_rows = bwins.count()
+
+    # current index rows for keys present in the batch: probe each delta
+    # with a broadcast semi-join, then latest-wins (later fp in the
+    # chain supersedes earlier) on the batch-scaled matched subset only
+    bkeys = bwins.select("wkey").distinct()
+    matched = None
+    for seq, fp in enumerate(chain):
+        d = (
+            spark.read.parquet(_dir(workdir, WINDEX_STAGE, window, fp))
+            .join(F.broadcast(bkeys), "wkey")
+            .select("wkey", "nd", "sid", "spositions", F.lit(seq).alias("_seq"))
+        )
+        matched = d if matched is None else matched.unionByName(d)
+    from pyspark.sql import Window as W
+
+    latest = (
+        matched.withColumn(
+            "_rk", F.row_number().over(W.partitionBy("wkey").orderBy(F.desc("_seq")))
+        )
+        .where(F.col("_rk") == 1)
+        .drop("_rk", "_seq")
+        .persist()
+    )
+
+    joined = bwins.join(latest, "wkey", "left").persist()
+    # batch positions covered: key already known to the corpus (nd>=1:
+    # the batch occurrence collides with at least one other doc), or
+    # key shared by >=2 distinct batch docs
+    batch_flagged_new = (
+        joined.where(F.col("nd").isNull())
+        .select("wkey", "id")
+        .distinct()
+        .groupBy("wkey")
+        .agg(F.count("*").alias("bnd"))
+        .where(F.col("bnd") >= 2)
+        .select("wkey")
+    )
+    covered_batch = joined.where(F.col("nd").isNotNull()).select("id", "pos").unionByName(
+        joined.join(F.broadcast(batch_flagged_new), "wkey", "leftsemi").select("id", "pos")
+    )
+    # woken old singletons: nd==1 keys the batch matched -> every stored
+    # position of the one old doc becomes covered
+    woken = (
+        joined.where(F.col("nd") == 1)
+        .select("wkey", "sid", "spositions")
+        .distinct()
+        .select(F.col("sid").alias("id"), F.explode("spositions").alias("pos"))
+        .distinct()
+    )
+    n_woken = woken.count()
+
+    new_intervals = covered_batch.unionByName(woken).select(
+        "id", F.col("pos").alias("start"), (F.col("pos") + window).alias("end")
+    )
+    touched = new_intervals.select("id").distinct()
+    n_touched = touched.count()
+
+    # old spans of touched docs (latest delta per doc, batch-scaled via
+    # broadcast probe), merged with the new intervals
+    old_spans = None
+    for seq, fp in enumerate(chain):
+        p = _dir(workdir, SPANS_STAGE, window, fp)
+        d = (
+            spark.read.parquet(p)
+            .join(F.broadcast(touched), "id")
+            .select("id", "span_start", "span_end", F.lit(seq).alias("_seq"))
+        )
+        old_spans = d if old_spans is None else old_spans.unionByName(d)
+    latest_spans = (
+        old_spans.withColumn(
+            "_mx", F.max("_seq").over(W.partitionBy("id"))
+        )
+        .where(F.col("_seq") == F.col("_mx"))
+        .select("id", F.col("span_start").alias("start"), F.col("span_end").alias("end"))
+    )
+    merged = _merge_intervals(latest_spans.unionByName(new_intervals))
+    merged.write.mode("overwrite").parquet(_dir(workdir, SPANS_STAGE, window, batch_fp))
+
+    # index delta: every key the batch touched gets a fresh row --
+    # updated nd (old nd + newly-contributed distinct batch docs); keys
+    # no longer singletons drop their stored positions
+    batch_nd = bwins.select("wkey", "id").distinct().groupBy("wkey").agg(
+        F.count("*").alias("bnd")
+    )
+    new_singles = (
+        bwins.join(F.broadcast(batch_nd.where(F.col("bnd") == 1).select("wkey")), "wkey", "leftsemi")
+        .join(F.broadcast(latest.select("wkey")), "wkey", "left_anti")
+        .groupBy("wkey")
+        .agg(
+            F.min("id").alias("sid"),
+            F.sort_array(F.collect_list("pos")).alias("spositions"),
+        )
+    )
+    delta = (
+        batch_nd.join(latest, "wkey", "left")
+        .select(
+            "wkey",
+            (F.coalesce(F.col("nd"), F.lit(0)) + F.col("bnd")).alias("nd"),
+        )
+        .join(new_singles, "wkey", "left")
+        # a previously-unknown key held by ONE batch doc stays a singleton
+        .withColumn(
+            "nd",
+            F.when(F.col("sid").isNotNull(), F.lit(1)).otherwise(F.col("nd")),
+        )
+        .withColumn("_unit", F.pmod(F.col("wkey"), F.lit(units)).cast("int"))
+    )
+    delta.write.mode("overwrite").partitionBy("_unit").parquet(
+        _dir(workdir, WINDEX_STAGE, window, batch_fp)
+    )
+    base.write.mode("overwrite").parquet(_dir(workdir, BASE_STAGE, window, batch_fp))
+
+    joined.unpersist()
+    latest.unpersist()
+    bwins.unpersist()
+    return {
+        "batch_window_rows": batch_window_rows,
+        "woken_singleton_positions": n_woken,
+        "touched_docs": n_touched,
+    }
+
+
+def read_coverage(
+    spark: SparkSession, workdir: str, window: int = 8, chain: list[str] | None = None
+) -> DataFrame:
+    """(id, n_tokens, dup_tokens, dup_frac) of the whole indexed corpus:
+    latest span delta per doc, summed, left-joined onto the base docs --
+    the incremental equivalent of cross_doc_duplicate_coverage."""
+    from pyspark.sql import Window as W
+
+    chain = chain or ["base"]
+    spans = None
+    base = None
+    for seq, fp in enumerate(chain):
+        s = spark.read.parquet(_dir(workdir, SPANS_STAGE, window, fp)).withColumn(
+            "_seq", F.lit(seq)
+        )
+        spans = s if spans is None else spans.unionByName(s)
+        b = spark.read.parquet(_dir(workdir, BASE_STAGE, window, fp))
+        base = b if base is None else base.unionByName(b)
+    latest = (
+        spans.withColumn("_mx", F.max("_seq").over(W.partitionBy("id")))
+        .where(F.col("_seq") == F.col("_mx"))
+    )
+    cov = latest.groupBy("id").agg(
+        F.sum(F.col("span_end") - F.col("span_start")).cast("long").alias("covered")
+    )
+    return base.join(cov, "id", "left").select(
+        "id",
+        "n_tokens",
+        F.coalesce(F.col("covered"), F.lit(0)).cast("long").alias("dup_tokens"),
+        F.round(
+            F.coalesce(F.col("covered"), F.lit(0)) / F.col("n_tokens").cast("double"), 4
+        ).alias("dup_frac"),
+    )
+
+
+def read_spans(
+    spark: SparkSession, workdir: str, window: int = 8, chain: list[str] | None = None
+) -> DataFrame:
+    """(id, span_start, span_end) latest per doc -- the incremental
+    equivalent of cross_doc_duplicate_spans."""
+    from pyspark.sql import Window as W
+
+    chain = chain or ["base"]
+    spans = None
+    for seq, fp in enumerate(chain):
+        s = spark.read.parquet(_dir(workdir, SPANS_STAGE, window, fp)).withColumn(
+            "_seq", F.lit(seq)
+        )
+        spans = s if spans is None else spans.unionByName(s)
+    return (
+        spans.withColumn("_mx", F.max("_seq").over(W.partitionBy("id")))
+        .where(F.col("_seq") == F.col("_mx"))
+        .select(
+            "id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
+        )
+    )

@@ -1,0 +1,125 @@
+"""Incremental ExactSubstr: the persisted window index must absorb
+batches in O(|batch|) work and stay bit-identical to a full recompute.
+
+Mirrors the band-index contract tests: equality across a multi-batch
+chain (including singleton wakes, batch-internal duplicates, and
+chain-spanning matches), plus work counters pinning that the window
+explode ran over the batch only.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+from datasketches_server_spark.operators.dedup import (
+    cross_doc_duplicate_coverage,
+    cross_doc_duplicate_spans,
+)
+from datasketches_server_spark.plans.window_index import (
+    absorb_batch,
+    read_coverage,
+    read_spans,
+    write_window_index,
+)
+
+W = 5
+
+BASE = [
+    (1, "the quick brown fox jumps over the lazy dog near the old river bank today"),
+    # singleton with the SAME 5-token run at two positions: a wake must
+    # cover both occurrences, exactly like the full recompute
+    (2, "alpha beta gamma delta epsilon filler word alpha beta gamma delta epsilon tail"),
+    (3, "totally unrelated content sits here with nothing shared at all among others"),
+]
+BATCH1 = [
+    (10, "zz quick brown fox jumps over the lazy dog yy"),  # wakes doc 1
+    (11, "lead alpha beta gamma delta epsilon close"),  # wakes doc 2 (both positions)
+    (12, "pair aaa bbb ccc ddd eee fff shared run here"),
+    (13, "other aaa bbb ccc ddd eee fff shared run there"),  # batch-internal dup
+]
+BATCH2 = [
+    # id SMALLER than every old id: coverage semantics are id-order-free
+    (0, "again alpha beta gamma delta epsilon repeat"),  # matches an nd>=2 key
+    (21, "fresh totally new content nothing shared here ok fine"),
+]
+
+
+@pytest.fixture(scope="module")
+def chain_state(spark):
+    wd = tempfile.mkdtemp(prefix="wix_test_")
+    base = spark.createDataFrame(BASE, "doc_id long, text string")
+    b1 = spark.createDataFrame(BATCH1, "doc_id long, text string")
+    b2 = spark.createDataFrame(BATCH2, "doc_id long, text string")
+    s0 = write_window_index(base, wd, window=W, input_fp="base")
+    s1 = absorb_batch(spark, b1, wd, window=W, chain=["base"], batch_fp="b1")
+    s2 = absorb_batch(spark, b2, wd, window=W, chain=["base", "b1"], batch_fp="b2")
+    yield wd, (s0, s1, s2), base.unionByName(b1).unionByName(b2)
+    shutil.rmtree(wd, ignore_errors=True)
+
+
+def test_incremental_coverage_equals_full_recompute(spark, chain_state):
+    wd, _, all_docs = chain_state
+    inc = sorted(map(tuple, read_coverage(spark, wd, W, ["base", "b1", "b2"]).collect()))
+    full = sorted(
+        map(tuple, cross_doc_duplicate_coverage(all_docs, window=W, exact=False).collect())
+    )
+    assert inc == full
+
+
+def test_incremental_spans_equal_full_recompute(spark, chain_state):
+    wd, _, all_docs = chain_state
+    inc = sorted(map(tuple, read_spans(spark, wd, W, ["base", "b1", "b2"]).collect()))
+    full = sorted(
+        map(tuple, cross_doc_duplicate_spans(all_docs, window=W, exact=False).collect())
+    )
+    assert inc == full
+
+
+def test_multi_position_singleton_wake(spark, chain_state):
+    """Doc 2 holds its duplicated run at TWO positions; the batch match
+    must cover both (the index stores every singleton position)."""
+    wd, _, _ = chain_state
+    spans = {
+        (r["span_start"], r["span_end"])
+        for r in read_spans(spark, wd, W, ["base", "b1", "b2"]).collect()
+        if r["id"] == 2
+    }
+    assert len(spans) == 2  # two disjoint woken occurrences
+
+
+def test_batch_work_scales_with_batch(spark, chain_state):
+    """The O(|batch|) contract: each absorb's window explode saw exactly
+    the batch's own windows (sum over batch docs of n_tokens - W + 1),
+    never the corpus's."""
+    _, (s0, s1, s2), _ = chain_state
+
+    def expected(rows):
+        import re
+
+        return sum(
+            max(0, len(re.findall(r"[a-z0-9]+", t.lower())) - W + 1) for _, t in rows
+        )
+
+    assert s0["window_rows"] == expected(BASE)
+    assert s1["batch_window_rows"] == expected(BATCH1)
+    assert s2["batch_window_rows"] == expected(BATCH2)
+    # batch 2 matched an already-flagged (nd>=2) key: nothing to wake
+    assert s2["woken_singleton_positions"] == 0
+    assert s1["woken_singleton_positions"] > 0
+
+
+def test_rerunning_a_batch_is_idempotent(spark, chain_state):
+    """Crash-rerun of the last absorb (same batch_fp) must leave the
+    chain state unchanged -- deltas are written with overwrite, exactly
+    like append_band_index."""
+    wd, _, all_docs = chain_state
+    b2 = spark.createDataFrame(BATCH2, "doc_id long, text string")
+    absorb_batch(spark, b2, wd, window=W, chain=["base", "b1"], batch_fp="b2")
+    inc = sorted(map(tuple, read_coverage(spark, wd, W, ["base", "b1", "b2"]).collect()))
+    full = sorted(
+        map(tuple, cross_doc_duplicate_coverage(all_docs, window=W, exact=False).collect())
+    )
+    assert inc == full
