@@ -326,3 +326,57 @@ def read_spans(
             (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
         )
     )
+
+
+def compact_window_chain(
+    spark: SparkSession,
+    workdir: str,
+    window: int = 8,
+    chain: list[str] | None = None,
+    out_fp: str = "compacted",
+    units: int = 8,
+) -> str:
+    """Fold a delta chain into one consolidated snapshot (the same
+    periodic-compaction contract as lineage.compact_chain and the
+    streaming metrics epoch compaction): latest-wins per window key /
+    per doc materialized once, so reads stop paying the per-delta union
+    and the next absorb probes a single dir.  Idempotent: overwrite
+    semantics, re-runnable after a crash; readers keep using the old
+    chain until the new dir exists."""
+    from pyspark.sql import Window as W
+
+    chain = chain or ["base"]
+    wix = None
+    for seq, fp in enumerate(chain):
+        d = spark.read.parquet(_dir(workdir, WINDEX_STAGE, window, fp)).select(
+            "wkey", "nd", "sid", "spositions", F.lit(seq).alias("_seq")
+        )
+        wix = d if wix is None else wix.unionByName(d)
+    (
+        wix.withColumn("_mx", F.max("_seq").over(W.partitionBy("wkey")))
+        .where(F.col("_seq") == F.col("_mx"))
+        .select("wkey", "nd", "sid", "spositions")
+        .withColumn("_unit", F.pmod(F.col("wkey"), F.lit(units)).cast("int"))
+        .write.mode("overwrite")
+        .partitionBy("_unit")
+        .parquet(_dir(workdir, WINDEX_STAGE, window, out_fp))
+    )
+    spans = None
+    for seq, fp in enumerate(chain):
+        s = spark.read.parquet(_dir(workdir, SPANS_STAGE, window, fp)).withColumn(
+            "_seq", F.lit(seq)
+        )
+        spans = s if spans is None else spans.unionByName(s)
+    (
+        spans.withColumn("_mx", F.max("_seq").over(W.partitionBy("id")))
+        .where(F.col("_seq") == F.col("_mx"))
+        .select("id", "span_start", "span_end")
+        .write.mode("overwrite")
+        .parquet(_dir(workdir, SPANS_STAGE, window, out_fp))
+    )
+    base = None
+    for fp in chain:
+        b = spark.read.parquet(_dir(workdir, BASE_STAGE, window, fp))
+        base = b if base is None else base.unionByName(b)
+    base.write.mode("overwrite").parquet(_dir(workdir, BASE_STAGE, window, out_fp))
+    return out_fp

@@ -123,3 +123,29 @@ def test_rerunning_a_batch_is_idempotent(spark, chain_state):
         map(tuple, cross_doc_duplicate_coverage(all_docs, window=W, exact=False).collect())
     )
     assert inc == full
+
+
+def test_compaction_preserves_state_and_absorbs_continue(spark, chain_state):
+    """Compacting the chain into one snapshot changes nothing readable,
+    and a further batch absorbed on top of the compacted dir still
+    equals the full recompute."""
+    from datasketches_server_spark.plans.window_index import compact_window_chain
+
+    wd, _, all_docs = chain_state
+    before = sorted(map(tuple, read_coverage(spark, wd, W, ["base", "b1", "b2"]).collect()))
+    compact_window_chain(spark, wd, W, ["base", "b1", "b2"], out_fp="c0")
+    after = sorted(map(tuple, read_coverage(spark, wd, W, ["c0"]).collect()))
+    assert before == after
+    b3_rows = [(30, "closing zz quick brown fox jumps over the lazy dog after compaction")]
+    b3 = spark.createDataFrame(b3_rows, "doc_id long, text string")
+    absorb_batch(spark, b3, wd, window=W, chain=["c0"], batch_fp="b3")
+    inc = sorted(map(tuple, read_coverage(spark, wd, W, ["c0", "b3"]).collect()))
+    full = sorted(
+        map(
+            tuple,
+            cross_doc_duplicate_coverage(
+                all_docs.unionByName(b3), window=W, exact=False
+            ).collect(),
+        )
+    )
+    assert inc == full
