@@ -95,6 +95,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_exactsubstr_coverage": Q.q47_exactsubstr_coverage,
         "q48_exactsubstr_removal": Q.q48_exactsubstr_removal,
         "q49_exactsubstr_spans": Q.q49_exactsubstr_spans,
+        # turn-level template dedup over the transcript shape
+        "q50_turn_template_dedup": Q.q50_turn_template_dedup,
+        "q51_turn_template_contamination": Q.q51_turn_template_contamination,
     }
 
 
@@ -1033,5 +1036,34 @@ def oracle_sql() -> dict[str, str]:
                b.n_tokens - coalesce(c.covered, 0) AS kept_tokens
         FROM base b LEFT JOIN cov c USING (doc_id)
         ORDER BY b.doc_id
+    """
+    # q50/q51: turn-level template dedup over the derived transcript
+    # shape.  md5 is the shared engine-portable fingerprint (q21's
+    # convention); a template turn = exact text recurring in >= 2
+    # DISTINCT conversations (within-conv repeats don't count).
+    oracles["q50_turn_template_dedup"] = f"""
+        WITH tr AS ({transcripts_from_documents_sql()})
+        SELECT md5(text) AS fp,
+               count(DISTINCT conv_id) AS n_convs,
+               count(*) AS n_occurrences,
+               min(conv_id) AS exemplar_conv,
+               min(role) AS role
+        FROM tr
+        GROUP BY 1
+        HAVING count(DISTINCT conv_id) >= 2
+    """
+    oracles["q51_turn_template_contamination"] = f"""
+        WITH tr AS ({transcripts_from_documents_sql()}),
+             turns AS (SELECT conv_id, md5(text) AS fp FROM tr),
+             tmpl AS (
+                SELECT fp, 1 AS _t FROM turns
+                GROUP BY fp HAVING count(DISTINCT conv_id) >= 2
+             )
+        SELECT u.conv_id,
+               count(*) AS n_turns,
+               CAST(count(t._t) AS BIGINT) AS n_template_turns,
+               round(count(t._t) * 1.0 / count(*), 4) AS template_frac
+        FROM turns u LEFT JOIN tmpl t USING (fp)
+        GROUP BY u.conv_id
     """
     return oracles

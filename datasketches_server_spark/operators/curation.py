@@ -185,3 +185,74 @@ def pack_sequences(
         F.sum("n_tok").cast("long").alias("bin_tokens"),
         F.round(F.sum("n_tok") / F.lit(float(capacity)), 4).alias("fill"),
     )
+
+
+def turn_templates(
+    turns: DataFrame,
+    min_convs: int = 2,
+    conv_col: str = "conv_id",
+    text_col: str = "text",
+    role_col: str = "role",
+) -> DataFrame:
+    """Turn-level template detection: turns whose exact text recurs in
+    >= ``min_convs`` DISTINCT conversations (within-conversation repeats
+    never qualify).  One row per template md5 fingerprint with its
+    conversation spread, total occurrences, and a deterministic
+    exemplar -- the boilerplate set a transcript pipeline strips.
+
+    Scale shape: fat turn text reduces to (md5, conv_id, role) narrow
+    rows before the single fingerprint-keyed exchange; both aggregates
+    are map-side combined.  10^12 turns shuffle ~48 bytes each, never
+    text.
+    """
+    return (
+        turns.select(
+            F.md5(F.col(text_col)).alias("fp"),
+            F.col(conv_col).alias("conv_id"),
+            F.col(role_col).alias("role"),
+        )
+        .groupBy("fp")
+        .agg(
+            F.count_distinct("conv_id").alias("n_convs"),
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.min("conv_id").alias("exemplar_conv"),
+            F.min("role").alias("role"),
+        )
+        .where(F.col("n_convs") >= min_convs)
+        .select("fp", "n_convs", "n_occurrences", "exemplar_conv", "role")
+    )
+
+
+def template_contamination(
+    turns: DataFrame,
+    min_convs: int = 2,
+    conv_col: str = "conv_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-conversation template contamination: fraction of a
+    conversation's turns whose exact text also appears in >= min_convs
+    distinct conversations (the :func:`turn_templates` set).  The
+    per-conv gate a curation funnel thresholds on.
+
+    Scale shape: the same narrow (conv_id, md5) reduction, a narrow
+    fingerprint equi-join against the template set, then one map-side
+    combined groupBy on the near-unique conv id.
+    """
+    keyed = turns.select(
+        F.col(conv_col).alias("conv_id"), F.md5(F.col(text_col)).alias("fp")
+    )
+    tmpl = (
+        keyed.groupBy("fp")
+        .agg(F.count_distinct("conv_id").alias("nd"))
+        .where(F.col("nd") >= min_convs)
+        .select("fp", F.lit(1).alias("_t"))
+    )
+    return (
+        keyed.join(tmpl, "fp", "left")
+        .groupBy("conv_id")
+        .agg(
+            F.count("*").cast("long").alias("n_turns"),
+            F.count("_t").cast("long").alias("n_template_turns"),
+            F.round(F.count("_t") / F.count("*"), 4).alias("template_frac"),
+        )
+    )

@@ -1003,3 +1003,33 @@ def q49_exactsubstr_spans(spark, sf_dir):
         )
         .orderBy("doc_id", "span_start")
     )
+
+
+def q50_turn_template_dedup(spark, sf_dir):
+    """Turn-level template detection over the transcript shape
+    (BASELINE.json input_hint): turns whose exact text recurs in >= 2
+    distinct conversations -- the boilerplate/template-response mass a
+    transcript-curation pipeline strips before training.  One row per
+    template fingerprint with its conversation spread, total occurrence
+    count, and a deterministic exemplar.
+
+    md5 is engine-portable (DuckDB replays it verbatim -- same
+    convention as q21's exact-dedup fingerprint); scale notes on the
+    operator (operators/curation.py)."""
+    from ..operators.curation import turn_templates
+
+    return turn_templates(transcripts_from_documents(spark, sf_dir))
+
+
+def q51_turn_template_contamination(spark, sf_dir):
+    """Per-conversation template contamination: the fraction of a
+    conversation's turns whose exact text also appears in some OTHER
+    conversation (q50's template set) -- the per-conv gate a curation
+    funnel thresholds on, complementing doc-level q47 coverage with
+    turn-granularity semantics (a turn is boilerplate only if shared
+    ACROSS conversations; repeats inside one conversation don't count).
+
+    Scale notes on the operator (operators/curation.py)."""
+    from ..operators.curation import template_contamination
+
+    return template_contamination(transcripts_from_documents(spark, sf_dir))

@@ -138,3 +138,53 @@ def test_pack_sequences_plan_no_python_narrow_window(spark):
     # (attribute references render as "text#<id>"; bare "text" would
     # also match unrelated plan words like "context")
     assert "text#" not in p.split("Window")[0].split("Exchange")[-1]
+
+
+def _turns(spark, rows):
+    return spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string")
+
+
+def test_turn_templates_cross_conv_only(spark):
+    from datasketches_server_spark.operators.curation import turn_templates
+
+    t = _turns(
+        spark,
+        [
+            # "hello" repeats WITHIN conv A only -> not a template
+            ("A", 0, "user", "hello"),
+            ("A", 1, "assistant", "hello"),
+            # "ack" shared by B and C (and twice in B) -> template,
+            # n_convs=2, n_occurrences=3, exemplar=min conv id
+            ("B", 0, "user", "ack"),
+            ("B", 1, "assistant", "ack"),
+            ("C", 0, "user", "ack"),
+            ("C", 1, "assistant", "unique reply"),
+        ],
+    )
+    out = turn_templates(t).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_convs"] == 2 and r["n_occurrences"] == 3
+    assert r["exemplar_conv"] == "B" and r["role"] == "assistant"
+
+
+def test_template_contamination_fractions(spark):
+    from datasketches_server_spark.operators.curation import template_contamination
+
+    t = _turns(
+        spark,
+        [
+            ("A", 0, "user", "hello"),
+            ("A", 1, "assistant", "hello"),   # within-conv repeat: clean
+            ("B", 0, "user", "ack"),
+            ("B", 1, "assistant", "ack"),
+            ("B", 2, "assistant", "fresh"),
+            ("C", 0, "user", "ack"),
+            ("C", 1, "assistant", "unique reply"),
+        ],
+    )
+    out = {r["conv_id"]: r for r in template_contamination(t).collect()}
+    assert out["A"]["n_template_turns"] == 0 and out["A"]["template_frac"] == 0.0
+    assert out["B"]["n_turns"] == 3 and out["B"]["n_template_turns"] == 2
+    assert out["B"]["template_frac"] == 0.6667
+    assert out["C"]["n_template_turns"] == 1 and out["C"]["template_frac"] == 0.5
