@@ -192,24 +192,27 @@ def turn_templates(
     min_convs: int = 2,
     conv_col: str = "conv_id",
     text_col: str = "text",
-    role_col: str = "role",
+    role_col: str | None = "role",
 ) -> DataFrame:
     """Turn-level template detection: turns whose exact text recurs in
     >= ``min_convs`` DISTINCT conversations (within-conversation repeats
     never qualify).  One row per template md5 fingerprint with its
     conversation spread, total occurrences, and a deterministic
     exemplar -- the boilerplate set a transcript pipeline strips.
+    ``role_col=None`` skips the role column (null in the output) for
+    inputs without one.
 
     Scale shape: fat turn text reduces to (md5, conv_id, role) narrow
     rows before the single fingerprint-keyed exchange; both aggregates
     are map-side combined.  10^12 turns shuffle ~48 bytes each, never
     text.
     """
+    role = F.col(role_col) if role_col else F.lit(None).cast("string")
     return (
         turns.select(
             F.md5(F.col(text_col)).alias("fp"),
             F.col(conv_col).alias("conv_id"),
-            F.col(role_col).alias("role"),
+            role.alias("role"),
         )
         .groupBy("fp")
         .agg(
@@ -235,16 +238,19 @@ def template_contamination(
     per-conv gate a curation funnel thresholds on.
 
     Scale shape: the same narrow (conv_id, md5) reduction, a narrow
-    fingerprint equi-join against the template set, then one map-side
-    combined groupBy on the near-unique conv id.
+    fingerprint equi-join against the :func:`turn_templates` set (one
+    definition of "template" for both operators), then one map-side
+    combined groupBy on the near-unique conv id.  Both join branches
+    derive from ``turns``, so Catalyst scans the fat text twice --
+    persist the turns relation first when the input is not already a
+    cheap parquet scan (same caller-persists convention as
+    dedup.cross_doc_duplicate_coverage).
     """
     keyed = turns.select(
         F.col(conv_col).alias("conv_id"), F.md5(F.col(text_col)).alias("fp")
     )
     tmpl = (
-        keyed.groupBy("fp")
-        .agg(F.count_distinct("conv_id").alias("nd"))
-        .where(F.col("nd") >= min_convs)
+        turn_templates(turns, min_convs, conv_col, text_col, role_col=None)
         .select("fp", F.lit(1).alias("_t"))
     )
     return (

@@ -57,6 +57,70 @@ def _wins(docs: DataFrame, window: int, id_col: str, text_col: str):
     return _token_windows(docs, window, id_col, text_col, exact=False)
 
 
+def _chain_windex_latest(
+    spark: SparkSession,
+    workdir: str,
+    window: int,
+    chain: list[str],
+    probe: DataFrame | None = None,
+) -> DataFrame:
+    """Latest-wins window-index row per wkey across a delta chain
+    (later fp supersedes earlier; one row per wkey within each delta).
+    ``probe`` (a small wkey relation) broadcast-filters every delta
+    before the union so only the probed subset shuffles."""
+    from pyspark.sql import Window as W
+
+    wix = None
+    for seq, fp in enumerate(chain):
+        d = spark.read.parquet(_dir(workdir, WINDEX_STAGE, window, fp))
+        if probe is not None:
+            d = d.join(F.broadcast(probe), "wkey")
+        d = d.select("wkey", "nd", "sid", "spositions", F.lit(seq).alias("_seq"))
+        wix = d if wix is None else wix.unionByName(d)
+    return (
+        wix.withColumn(
+            "_rk", F.row_number().over(W.partitionBy("wkey").orderBy(F.desc("_seq")))
+        )
+        .where(F.col("_rk") == 1)
+        .drop("_rk", "_seq")
+    )
+
+
+def _chain_spans_latest(
+    spark: SparkSession,
+    workdir: str,
+    window: int,
+    chain: list[str],
+    probe: DataFrame | None = None,
+) -> DataFrame:
+    """Latest-wins span rows per doc across a delta chain (a delta
+    rewrites ALL spans of every doc it touches, so the newest delta
+    holding a doc is that doc's complete span set).  ``probe`` (a small
+    id relation) broadcast-filters every delta before the union."""
+    from pyspark.sql import Window as W
+
+    spans = None
+    for seq, fp in enumerate(chain):
+        d = spark.read.parquet(_dir(workdir, SPANS_STAGE, window, fp))
+        if probe is not None:
+            d = d.join(F.broadcast(probe), "id")
+        d = d.withColumn("_seq", F.lit(seq))
+        spans = d if spans is None else spans.unionByName(d)
+    return (
+        spans.withColumn("_mx", F.max("_seq").over(W.partitionBy("id")))
+        .where(F.col("_seq") == F.col("_mx"))
+        .select("id", "span_start", "span_end")
+    )
+
+
+def _chain_base(spark: SparkSession, workdir: str, window: int, chain: list[str]) -> DataFrame:
+    base = None
+    for fp in chain:
+        b = spark.read.parquet(_dir(workdir, BASE_STAGE, window, fp))
+        base = b if base is None else base.unionByName(b)
+    return base
+
+
 def _merge_intervals(iv: DataFrame) -> DataFrame:
     """(id, start, end) arbitrary overlapping intervals -> maximal
     merged islands per id.  Same gaps-and-islands shape as
@@ -147,27 +211,10 @@ def absorb_batch(
     batch_window_rows = bwins.count()
 
     # current index rows for keys present in the batch: probe each delta
-    # with a broadcast semi-join, then latest-wins (later fp in the
-    # chain supersedes earlier) on the batch-scaled matched subset only
+    # with a broadcast join, then latest-wins (later fp in the chain
+    # supersedes earlier) on the batch-scaled matched subset only
     bkeys = bwins.select("wkey").distinct()
-    matched = None
-    for seq, fp in enumerate(chain):
-        d = (
-            spark.read.parquet(_dir(workdir, WINDEX_STAGE, window, fp))
-            .join(F.broadcast(bkeys), "wkey")
-            .select("wkey", "nd", "sid", "spositions", F.lit(seq).alias("_seq"))
-        )
-        matched = d if matched is None else matched.unionByName(d)
-    from pyspark.sql import Window as W
-
-    latest = (
-        matched.withColumn(
-            "_rk", F.row_number().over(W.partitionBy("wkey").orderBy(F.desc("_seq")))
-        )
-        .where(F.col("_rk") == 1)
-        .drop("_rk", "_seq")
-        .persist()
-    )
+    latest = _chain_windex_latest(spark, workdir, window, chain, probe=bkeys).persist()
 
     joined = bwins.join(latest, "wkey", "left").persist()
     # batch positions covered: key already known to the corpus (nd>=1:
@@ -204,22 +251,9 @@ def absorb_batch(
 
     # old spans of touched docs (latest delta per doc, batch-scaled via
     # broadcast probe), merged with the new intervals
-    old_spans = None
-    for seq, fp in enumerate(chain):
-        p = _dir(workdir, SPANS_STAGE, window, fp)
-        d = (
-            spark.read.parquet(p)
-            .join(F.broadcast(touched), "id")
-            .select("id", "span_start", "span_end", F.lit(seq).alias("_seq"))
-        )
-        old_spans = d if old_spans is None else old_spans.unionByName(d)
-    latest_spans = (
-        old_spans.withColumn(
-            "_mx", F.max("_seq").over(W.partitionBy("id"))
-        )
-        .where(F.col("_seq") == F.col("_mx"))
-        .select("id", F.col("span_start").alias("start"), F.col("span_end").alias("end"))
-    )
+    latest_spans = _chain_spans_latest(
+        spark, workdir, window, chain, probe=touched
+    ).select("id", F.col("span_start").alias("start"), F.col("span_end").alias("end"))
     merged = _merge_intervals(latest_spans.unionByName(new_intervals))
     merged.write.mode("overwrite").parquet(_dir(workdir, SPANS_STAGE, window, batch_fp))
 
@@ -273,22 +307,9 @@ def read_coverage(
     """(id, n_tokens, dup_tokens, dup_frac) of the whole indexed corpus:
     latest span delta per doc, summed, left-joined onto the base docs --
     the incremental equivalent of cross_doc_duplicate_coverage."""
-    from pyspark.sql import Window as W
-
     chain = chain or ["base"]
-    spans = None
-    base = None
-    for seq, fp in enumerate(chain):
-        s = spark.read.parquet(_dir(workdir, SPANS_STAGE, window, fp)).withColumn(
-            "_seq", F.lit(seq)
-        )
-        spans = s if spans is None else spans.unionByName(s)
-        b = spark.read.parquet(_dir(workdir, BASE_STAGE, window, fp))
-        base = b if base is None else base.unionByName(b)
-    latest = (
-        spans.withColumn("_mx", F.max("_seq").over(W.partitionBy("id")))
-        .where(F.col("_seq") == F.col("_mx"))
-    )
+    latest = _chain_spans_latest(spark, workdir, window, chain)
+    base = _chain_base(spark, workdir, window, chain)
     cov = latest.groupBy("id").agg(
         F.sum(F.col("span_end") - F.col("span_start")).cast("long").alias("covered")
     )
@@ -307,24 +328,12 @@ def read_spans(
 ) -> DataFrame:
     """(id, span_start, span_end) latest per doc -- the incremental
     equivalent of cross_doc_duplicate_spans."""
-    from pyspark.sql import Window as W
-
     chain = chain or ["base"]
-    spans = None
-    for seq, fp in enumerate(chain):
-        s = spark.read.parquet(_dir(workdir, SPANS_STAGE, window, fp)).withColumn(
-            "_seq", F.lit(seq)
-        )
-        spans = s if spans is None else spans.unionByName(s)
-    return (
-        spans.withColumn("_mx", F.max("_seq").over(W.partitionBy("id")))
-        .where(F.col("_seq") == F.col("_mx"))
-        .select(
-            "id",
-            "span_start",
-            "span_end",
-            (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
-        )
+    return _chain_spans_latest(spark, workdir, window, chain).select(
+        "id",
+        "span_start",
+        "span_end",
+        (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
     )
 
 
@@ -342,41 +351,27 @@ def compact_window_chain(
     per doc materialized once, so reads stop paying the per-delta union
     and the next absorb probes a single dir.  Idempotent: overwrite
     semantics, re-runnable after a crash; readers keep using the old
-    chain until the new dir exists."""
-    from pyspark.sql import Window as W
+    chain until the new dir exists.
 
+    ``out_fp`` must be a FRESH snapshot name, not a member of ``chain``:
+    Spark cannot overwrite a path it is lazily reading from, so periodic
+    compaction rotates names (compacted_1 -> compacted_2 -> ...) and
+    deletes superseded dirs once the new snapshot lands."""
     chain = chain or ["base"]
-    wix = None
-    for seq, fp in enumerate(chain):
-        d = spark.read.parquet(_dir(workdir, WINDEX_STAGE, window, fp)).select(
-            "wkey", "nd", "sid", "spositions", F.lit(seq).alias("_seq")
+    if out_fp in chain:
+        raise ValueError(
+            f"out_fp {out_fp!r} is in the chain being compacted; "
+            "rotate snapshot names (cannot overwrite a path being read)"
         )
-        wix = d if wix is None else wix.unionByName(d)
-    (
-        wix.withColumn("_mx", F.max("_seq").over(W.partitionBy("wkey")))
-        .where(F.col("_seq") == F.col("_mx"))
-        .select("wkey", "nd", "sid", "spositions")
-        .withColumn("_unit", F.pmod(F.col("wkey"), F.lit(units)).cast("int"))
-        .write.mode("overwrite")
-        .partitionBy("_unit")
-        .parquet(_dir(workdir, WINDEX_STAGE, window, out_fp))
+    _chain_windex_latest(spark, workdir, window, chain).withColumn(
+        "_unit", F.pmod(F.col("wkey"), F.lit(units)).cast("int")
+    ).write.mode("overwrite").partitionBy("_unit").parquet(
+        _dir(workdir, WINDEX_STAGE, window, out_fp)
     )
-    spans = None
-    for seq, fp in enumerate(chain):
-        s = spark.read.parquet(_dir(workdir, SPANS_STAGE, window, fp)).withColumn(
-            "_seq", F.lit(seq)
-        )
-        spans = s if spans is None else spans.unionByName(s)
-    (
-        spans.withColumn("_mx", F.max("_seq").over(W.partitionBy("id")))
-        .where(F.col("_seq") == F.col("_mx"))
-        .select("id", "span_start", "span_end")
-        .write.mode("overwrite")
-        .parquet(_dir(workdir, SPANS_STAGE, window, out_fp))
+    _chain_spans_latest(spark, workdir, window, chain).write.mode("overwrite").parquet(
+        _dir(workdir, SPANS_STAGE, window, out_fp)
     )
-    base = None
-    for fp in chain:
-        b = spark.read.parquet(_dir(workdir, BASE_STAGE, window, fp))
-        base = b if base is None else base.unionByName(b)
-    base.write.mode("overwrite").parquet(_dir(workdir, BASE_STAGE, window, out_fp))
+    _chain_base(spark, workdir, window, chain).write.mode("overwrite").parquet(
+        _dir(workdir, BASE_STAGE, window, out_fp)
+    )
     return out_fp
