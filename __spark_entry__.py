@@ -98,6 +98,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # turn-level template dedup over the transcript shape
         "q50_turn_template_dedup": Q.q50_turn_template_dedup,
         "q51_turn_template_contamination": Q.q51_turn_template_contamination,
+        # incremental ExactSubstr (persisted window index) vs q47's oracle
+        "q52_incremental_exactsubstr_coverage": Q.q52_incremental_exactsubstr_coverage,
     }
 
 
@@ -1037,6 +1039,9 @@ def oracle_sql() -> dict[str, str]:
         FROM base b LEFT JOIN cov c USING (doc_id)
         ORDER BY b.doc_id
     """
+    # q52 proves the persisted-window-index incremental path against the
+    # same full-corpus window replay that checks the batch operator (q47)
+    oracles["q52_incremental_exactsubstr_coverage"] = oracles["q47_exactsubstr_coverage"]
     # q50/q51: turn-level template dedup over the derived transcript
     # shape.  md5 is the shared engine-portable fingerprint (q21's
     # convention); a template turn = exact text recurring in >= 2

@@ -1033,3 +1033,30 @@ def q51_turn_template_contamination(spark, sf_dir):
     from ..operators.curation import template_contamination
 
     return template_contamination(transcripts_from_documents(spark, sf_dir))
+
+
+def q52_incremental_exactsubstr_coverage(spark, sf_dir):
+    """Round-4: the incremental ExactSubstr path under the SAME oracle
+    as q47.  Documents are split ~80/20 by doc-id hash; the 80% corpus
+    bootstraps the persisted window index (its LAST full pass), then
+    absorb_batch folds the 20% in -- batch-only window explode,
+    broadcast key probe against the stored index, woken singletons,
+    per-batch span deltas.  The chain read must hash-match DuckDB's
+    full-corpus window replay -- proving incremental == full recompute
+    on driver data, not just on pytest fixtures.  (Scale tier: wkey =
+    xxhash64; collision-free at any testable corpus size, and both the
+    incremental and full paths share collision behavior by design.)"""
+    import tempfile
+
+    from . import window_index as WI
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    is_new = F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(5)) == 0
+    wd = tempfile.mkdtemp(prefix="q52_windex_")
+    WI.write_window_index(docs.where(~is_new), wd)
+    WI.absorb_batch(spark, docs.where(is_new), wd, chain=["base"], batch_fp="b1")
+    return (
+        WI.read_coverage(spark, wd, chain=["base", "b1"])
+        .select(F.col("id").alias("doc_id"), "n_tokens", "dup_tokens", "dup_frac")
+        .orderBy("doc_id")
+    )
