@@ -95,3 +95,54 @@ def global_rollup(
         F.sum("n_convs").alias("n_convs"),
     )
     return sh.crossJoin(ss).crossJoin(cl)
+
+
+def exactsubstr_metrics(
+    coverage: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """KLL sketch of per-doc duplicate-coverage fractions per bucket
+    (update op #5 lifted to the ExactSubstr family), plus exact token
+    totals.  ``coverage`` is the (id, n_tokens, dup_tokens, dup_frac)
+    relation from dedup.cross_doc_duplicate_coverage or
+    window_index.read_coverage -- batch and incremental paths feed the
+    same table, and rows stay mergeable across buckets, batches, and
+    compactions like every other metric table here."""
+    return (
+        coverage.select(
+            _bucket(F.col("id"), cfg.num_buckets).alias("bucket"),
+            F.col("dup_frac").cast("float").alias("frac"),
+            "dup_tokens",
+            "n_tokens",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.kll_sketch_agg_float("frac", cfg.sketch.kll_k).alias("kll_dup_frac"),
+            F.sum("dup_tokens").cast("long").alias("dup_tokens"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.count("*").cast("long").alias("n_docs"),
+        )
+    )
+
+
+def exactsubstr_rollup(
+    metrics: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Merge the per-bucket ExactSubstr metric rows to one global row:
+    coverage-fraction quantiles (merge op #18 + query op #11) and exact
+    corpus duplicate-token mass."""
+    return (
+        metrics.agg(
+            F.kll_merge_agg_float("kll_dup_frac", cfg.sketch.kll_k).alias("kll"),
+            F.sum("dup_tokens").alias("dup_tokens"),
+            F.sum("total_tokens").alias("total_tokens"),
+            F.sum("n_docs").alias("n_docs"),
+        )
+        .select(
+            F.kll_sketch_get_quantile_float(
+                "kll", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
+            ).alias("dup_frac_quantiles"),
+            "dup_tokens",
+            "total_tokens",
+            "n_docs",
+        )
+    )

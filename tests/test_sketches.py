@@ -304,3 +304,42 @@ def test_theta_bounds_coverage_across_boundary(spark):
         assert row["lb_3"] - 2 <= n <= row["ub_3"] + 2, (n, dict(row.asDict()))
         if not row["estimation_mode"]:
             assert row["estimate"] == pytest.approx(n, abs=2)
+
+
+def test_exactsubstr_metric_table_batch_incremental_parity(spark, tmp_path):
+    """The ExactSubstr metric table accepts both the batch coverage
+    relation and the incremental window-index read; per-bucket rows are
+    mergeable to one global row, and the two paths roll up identically
+    (they compute the same coverage relation)."""
+    from datasketches_server_spark.config import DEFAULT_CONFIG
+    from datasketches_server_spark.operators.dedup import cross_doc_duplicate_coverage
+    from datasketches_server_spark.plans import window_index as WI
+    from datasketches_server_spark.plans.metrics import (
+        exactsubstr_metrics,
+        exactsubstr_rollup,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta theta " * 3 + f"tail{i % 4}")
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    batch_cov = cross_doc_duplicate_coverage(docs, window=8, exact=False)
+
+    wd = str(tmp_path / "windex")
+    WI.write_window_index(docs.where("doc_id % 4 != 0"), wd)
+    WI.absorb_batch(spark, docs.where("doc_id % 4 = 0"), wd, chain=["base"], batch_fp="b1")
+    inc_cov = WI.read_coverage(spark, wd, chain=["base", "b1"])
+
+    def roll(cov):
+        return exactsubstr_rollup(
+            exactsubstr_metrics(cov, DEFAULT_CONFIG), DEFAULT_CONFIG
+        ).collect()[0]
+
+    rb, ri = roll(batch_cov), roll(inc_cov)
+    assert rb["n_docs"] == ri["n_docs"] == 20
+    assert rb["dup_tokens"] == ri["dup_tokens"] > 0
+    assert rb["total_tokens"] == ri["total_tokens"]
+    assert list(rb["dup_frac_quantiles"]) == list(ri["dup_frac_quantiles"])
+    qs = rb["dup_frac_quantiles"]
+    assert all(0.0 <= q <= 1.0 for q in qs) and qs[0] <= qs[1] <= qs[2]
