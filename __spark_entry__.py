@@ -100,6 +100,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_turn_template_contamination": Q.q51_turn_template_contamination,
         # incremental ExactSubstr (persisted window index) vs q47's oracle
         "q52_incremental_exactsubstr_coverage": Q.q52_incremental_exactsubstr_coverage,
+        # Gopher heuristic quality gates + PII scan/redaction
+        "q53_gopher_quality": Q.q53_gopher_quality,
+        "q54_pii_scan": Q.q54_pii_scan,
     }
 
 
@@ -1070,5 +1073,90 @@ def oracle_sql() -> dict[str, str]:
                round(count(t._t) * 1.0 / count(*), 4) AS template_frac
         FROM turns u LEFT JOIN tmpl t USING (fp)
         GROUP BY u.conv_id
+    """
+    # q53: Gopher quality rules (Rae et al. 2021 A1.1).  Every rule is
+    # replayed measurement-for-measurement; per-doc ratios are rounded
+    # to 4dp on BOTH sides before the per-source average (mirrors the
+    # struct in functions/text.py:gopher_flags).
+    from datasketches_server_spark.functions.text import GOPHER_STOPS
+
+    gopher_stops_sql = "['" + "','".join(GOPHER_STOPS) + "']"
+    oracles["q53_gopher_quality"] = f"""
+        WITH w AS (
+            SELECT source, text,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS words,
+                   list_filter(regexp_split_to_array(text, '\\n'), l -> trim(l) <> '') AS lines
+            FROM documents
+        ), m AS (
+            SELECT source,
+                   len(words) AS n_words,
+                   round(coalesce(list_sum(list_transform(words, x -> length(x))), 0)
+                         / greatest(len(words), 1)::DOUBLE, 4) AS mean_word_len,
+                   round(((length(text) - length(replace(text, '#', '')))
+                          + (length(text) - length(replace(text, '...', ''))) / 3.0)
+                         / greatest(len(words), 1)::DOUBLE, 4) AS symbol_ratio,
+                   round(len(list_filter(words, x -> regexp_matches(x, '[a-z]')))
+                         / greatest(len(words), 1)::DOUBLE, 4) AS alpha_word_frac,
+                   len(list_filter({gopher_stops_sql}, s -> list_contains(words, s))) AS stop_hits,
+                   round(len(list_filter(lines, l -> substr(ltrim(l), 1, 1) IN ('-', '*', '•')))
+                         / greatest(len(lines), 1)::DOUBLE, 4) AS bullet_line_frac,
+                   round(len(list_filter(lines, l -> ends_with(rtrim(l), '...')))
+                         / greatest(len(lines), 1)::DOUBLE, 4) AS ellipsis_line_frac
+            FROM w
+        )
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(CASE WHEN n_words BETWEEN 50 AND 100000
+                              AND mean_word_len BETWEEN 3.0 AND 10.0
+                              AND symbol_ratio <= 0.1
+                              AND bullet_line_frac <= 0.9
+                              AND ellipsis_line_frac <= 0.3
+                              AND alpha_word_frac >= 0.8
+                              AND stop_hits >= 2
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+               CAST(sum(CASE WHEN n_words NOT BETWEEN 50 AND 100000
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_words,
+               CAST(sum(CASE WHEN stop_hits < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stops,
+               round(avg(n_words), 4) AS avg_words,
+               round(avg(mean_word_len), 4) AS avg_word_len,
+               round(avg(alpha_word_frac), 4) AS avg_alpha_frac,
+               round(avg(stop_hits), 4) AS avg_stop_hits
+        FROM m GROUP BY source ORDER BY source
+    """
+    # q54: PII scan + redaction proof.  The oracle plants the SAME
+    # deterministic matches (doc_id % 7 == 0 gets an email/phone/IP
+    # derived from the row's own columns), runs the SAME patterns
+    # (RE2-and-Java common subset), and hashes the redacted text --
+    # redaction_proof matching means the rewrite is byte-identical.
+    _pii_email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    _pii_phone = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    _pii_ipv4 = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+    oracles["q54_pii_scan"] = f"""
+        WITH planted AS (
+            SELECT doc_id, source,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN text || ' contact ' || source
+                             || '@example.com or 555-867-5309 from 10.0.0.'
+                             || (doc_id % 200)::VARCHAR
+                        ELSE text END AS text
+            FROM documents
+        ), scanned AS (
+            SELECT source,
+                   len(regexp_extract_all(text, '{_pii_email}')) AS n_email,
+                   len(regexp_extract_all(text, '{_pii_phone}')) AS n_phone,
+                   len(regexp_extract_all(text, '{_pii_ipv4}')) AS n_ipv4,
+                   md5(regexp_replace(regexp_replace(regexp_replace(text,
+                        '{_pii_email}', '<EMAIL>', 'g'),
+                        '{_pii_phone}', '<PHONE>', 'g'),
+                        '{_pii_ipv4}', '<IPV4>', 'g')) AS redacted_fp
+            FROM planted
+        )
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(n_email) AS BIGINT) AS n_email,
+               CAST(sum(n_phone) AS BIGINT) AS n_phone,
+               CAST(sum(n_ipv4) AS BIGINT) AS n_ipv4,
+               md5(string_agg(redacted_fp, '|' ORDER BY redacted_fp)) AS redaction_proof
+        FROM scanned GROUP BY source ORDER BY source
     """
     return oracles

@@ -96,3 +96,120 @@ def fingerprint64(col: Column) -> Column:
     """64-bit document fingerprint over normalized tokens (xxhash64 of
     the canonical token stream) -- the exact-dedup key."""
     return F.xxhash64(F.concat_ws(" ", tokens(col)))
+
+
+# ------------------------------------------------------- Gopher quality rules
+#
+# Heuristic document-quality gates from Rae et al. 2021 ("Scaling Language
+# Models: ... Gopher", section A1.1 quality filtering) -- the standard
+# pre-training corpus filter set.  All native Catalyst expressions with
+# exact DuckDB twins in __spark_entry__.oracle_sql (q53); ratios are
+# deterministic rational arithmetic so the oracle hash-matches.
+
+GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+# paper thresholds
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_LINE_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_LINE_FRAC = 0.3
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.8
+GOPHER_MIN_STOP_HITS = 2
+
+
+def ws_words(col: Column) -> Column:
+    """Whitespace words (Gopher's unit), lowercased, empties dropped."""
+    return F.filter(F.split(F.lower(col), r"\s+"), lambda w: w != "")
+
+
+def gopher_flags(col: Column) -> Column:
+    """Struct of the seven Gopher quality measurements + the combined
+    pass verdict.  One projection, whole-stage codegen'd; no UDFs."""
+    words = ws_words(col)
+    n_words = F.size(words).cast("long")
+    denom_w = F.greatest(n_words, F.lit(1)).cast("double")
+    total_chars = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w).cast("long")
+    )
+    mean_word_len = (total_chars / denom_w).cast("double")
+    n_hash = F.length(col) - F.length(F.replace(col, F.lit("#"), F.lit("")))
+    n_ellipsis = (F.length(col) - F.length(F.replace(col, F.lit("..."), F.lit("")))) / F.lit(3)
+    symbol_ratio = ((n_hash + n_ellipsis) / denom_w).cast("double")
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[a-z]"))).cast("long")
+    alpha_word_frac = (alpha_words / denom_w).cast("double")
+    stop_hits = F.size(
+        F.filter(F.array(*[F.lit(s) for s in GOPHER_STOPS]), lambda s: F.array_contains(words, s))
+    ).cast("long")
+    lines = F.filter(F.split(col, "\n"), lambda ln: F.trim(ln) != "")
+    denom_l = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet_line_frac = (
+        F.size(
+            F.filter(
+                lines,
+                lambda ln: F.substring(F.ltrim(ln), 1, 1).isin("-", "*", "•"),
+            )
+        )
+        / denom_l
+    ).cast("double")
+    ellipsis_line_frac = (
+        F.size(F.filter(lines, lambda ln: F.endswith(F.rtrim(ln), F.lit("...")))) / denom_l
+    ).cast("double")
+    passes = (
+        (n_words >= GOPHER_MIN_WORDS)
+        & (n_words <= GOPHER_MAX_WORDS)
+        & (mean_word_len >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (mean_word_len <= GOPHER_MAX_MEAN_WORD_LEN)
+        & (symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO)
+        & (bullet_line_frac <= GOPHER_MAX_BULLET_LINE_FRAC)
+        & (ellipsis_line_frac <= GOPHER_MAX_ELLIPSIS_LINE_FRAC)
+        & (alpha_word_frac >= GOPHER_MIN_ALPHA_WORD_FRAC)
+        & (stop_hits >= GOPHER_MIN_STOP_HITS)
+    )
+    return F.struct(
+        n_words.alias("n_words"),
+        F.round(mean_word_len, 4).alias("mean_word_len"),
+        F.round(symbol_ratio, 4).alias("symbol_ratio"),
+        F.round(alpha_word_frac, 4).alias("alpha_word_frac"),
+        stop_hits.alias("stop_hits"),
+        F.round(bullet_line_frac, 4).alias("bullet_line_frac"),
+        F.round(ellipsis_line_frac, 4).alias("ellipsis_line_frac"),
+        passes.alias("passes_gopher"),
+    )
+
+
+# ------------------------------------------------------------- PII scrubbing
+#
+# Regex-based PII scan + redaction over text columns.  Patterns are kept
+# inside the Java-regex / RE2 common subset (no lookaround, no backrefs)
+# so the DuckDB oracle replays the SAME pattern byte-for-byte (q54
+# hash-matches the md5 of the redacted text).
+
+PII_PATTERNS = {
+    # order matters for redaction: emails contain dots, redact first
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"[0-9]{3}-[0-9]{3}-[0-9]{4}",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+
+def pii_counts(col: Column) -> Column:
+    """Struct of per-kind match counts (the scan/report tier)."""
+    return F.struct(
+        *[
+            F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0))).cast("long").alias(f"n_{kind}")
+            for kind, pat in PII_PATTERNS.items()
+        ]
+    )
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace every PII match with a typed placeholder token.  Applied
+    in declaration order so overlapping grammars (emails contain
+    dotted hosts) resolve deterministically on both engines."""
+    out = col
+    for kind, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
+    return out

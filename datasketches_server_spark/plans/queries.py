@@ -1060,3 +1060,73 @@ def q52_incremental_exactsubstr_coverage(spark, sf_dir):
         .select(F.col("id").alias("doc_id"), "n_tokens", "dup_tokens", "dup_frac")
         .orderBy("doc_id")
     )
+
+
+def q53_gopher_quality(spark, sf_dir):
+    """Gopher quality-rule gates (Rae et al. 2021 A1.1) per source: how
+    much of each source survives the standard pre-training heuristic
+    filter, plus the average per-rule measurements.  One scan + one
+    projection (all seven rules are one codegen'd struct) + one 2-key
+    agg -- at 100 TB this is a map-side-combined pass, no extra shuffle
+    beyond the final per-source reduce."""
+    d = _t(spark, sf_dir, "documents")
+    g = d.select("source", TXT.gopher_flags(F.col("text")).alias("g"))
+    return (
+        g.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("g.passes_gopher").cast("long")).alias("n_pass"),
+            F.sum((~F.col("g.n_words").between(50, 100_000)).cast("long")).alias("n_fail_words"),
+            F.sum((F.col("g.stop_hits") < 2).cast("long")).alias("n_fail_stops"),
+            F.round(F.avg("g.n_words"), 4).alias("avg_words"),
+            F.round(F.avg("g.mean_word_len"), 4).alias("avg_word_len"),
+            F.round(F.avg("g.alpha_word_frac"), 4).alias("avg_alpha_frac"),
+            F.round(F.avg("g.stop_hits"), 4).alias("avg_stop_hits"),
+        )
+        .orderBy("source")
+    )
+
+
+def q54_pii_scan(spark, sf_dir):
+    """PII scan + redaction proof.  Matches are planted deterministically
+    from driver data (docs with doc_id % 7 == 0 get an email + phone +
+    IP built from their own columns -- the SAME derivation the DuckDB
+    oracle applies), then the scan counts per-kind matches and the
+    redaction is proven byte-for-byte by hashing the redacted text.
+    Native regexp_extract_all / regexp_replace in the RE2-and-Java
+    common subset; one scan, no shuffle before the final agg."""
+    d = _t(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact "),
+                F.col("source"),
+                F.lit("@example.com or 555-867-5309 from 10.0.0."),
+                (F.col("doc_id") % 200).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    p = planted.select(
+        "source",
+        TXT.pii_counts(F.col("text")).alias("p"),
+        F.md5(TXT.redact_pii(F.col("text"))).alias("redacted_fp"),
+    )
+    return (
+        p.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("p.n_email").alias("n_email"),
+            F.sum("p.n_phone").alias("n_phone"),
+            F.sum("p.n_ipv4").alias("n_ipv4"),
+            F.md5(F.expr("listagg(redacted_fp, '|') within group (order by redacted_fp)")).alias(
+                "redaction_proof"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -184,3 +184,74 @@ def test_shingle_config_rejects_split_patterns():
             ShingleConfig(token_pattern=bad)
     with _pytest.raises(ValueError, match="non-empty"):
         ShingleConfig(token_pattern="")
+
+
+# ------------------------------------------------------- Gopher rules + PII
+
+
+def test_gopher_flags_planted_gates(spark):
+    """Each Gopher gate (Rae et al. 2021 A1.1) trips on a doc built to
+    violate exactly it, and a healthy doc passes all seven."""
+    from datasketches_server_spark.functions.text import gopher_flags
+
+    healthy = (
+        "the quick brown fox jumps over that lazy dog and then we have "
+        "a long walk to be taken with plenty of ordinary words in it "
+    ) * 3  # ~72 words, mean len ~4, many stopwords
+    too_short = "the cat sat with that of and be to have"  # < 50 words
+    symbol_heavy = ("the code #tag with " + "# " * 40 + "of and that be to have ") * 2
+    no_stops = "alpha beta gamma delta epsilon zeta eta theta " * 10
+    bullety = "\n".join(f"- the item {i} of that list with and be to have" for i in range(20))
+    numeric = ("12345 67890 24680 13579 11111 " * 20) + " the of and with"
+
+    df = spark.createDataFrame(
+        [
+            ("healthy", healthy),
+            ("too_short", too_short),
+            ("symbol_heavy", symbol_heavy),
+            ("no_stops", no_stops),
+            ("bullety", bullety),
+            ("numeric", numeric),
+        ],
+        ["name", "text"],
+    )
+    rows = {
+        r["name"]: r["g"].asDict()
+        for r in df.select("name", gopher_flags(F.col("text")).alias("g")).collect()
+    }
+    assert rows["healthy"]["passes_gopher"], rows["healthy"]
+    assert not rows["too_short"]["passes_gopher"] and rows["too_short"]["n_words"] < 50
+    assert not rows["symbol_heavy"]["passes_gopher"]
+    assert rows["symbol_heavy"]["symbol_ratio"] > 0.1
+    assert not rows["no_stops"]["passes_gopher"] and rows["no_stops"]["stop_hits"] < 2
+    assert not rows["bullety"]["passes_gopher"]
+    assert rows["bullety"]["bullet_line_frac"] > 0.9
+    assert not rows["numeric"]["passes_gopher"]
+    assert rows["numeric"]["alpha_word_frac"] < 0.8
+
+
+def test_pii_scan_and_redaction(spark):
+    """Counts and redaction for the three PII kinds; the redacted text
+    contains no residual matches."""
+    from datasketches_server_spark.functions.text import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            ("a", "reach me at jane.doe+x@mail.example.org or 555-123-4567 ok"),
+            ("b", "server 192.168.1.200 then 10.0.0.1; admin@host.io"),
+            ("c", "no pii here at all"),
+        ],
+        ["id", "text"],
+    )
+    out = {
+        r["id"]: (r["p"].asDict(), r["red"])
+        for r in df.select(
+            "id", pii_counts(F.col("text")).alias("p"), redact_pii(F.col("text")).alias("red")
+        ).collect()
+    }
+    assert out["a"][0] == {"n_email": 1, "n_phone": 1, "n_ipv4": 0}
+    assert out["b"][0] == {"n_email": 1, "n_phone": 0, "n_ipv4": 2}
+    assert out["c"][0] == {"n_email": 0, "n_phone": 0, "n_ipv4": 0}
+    assert out["a"][1] == "reach me at <EMAIL> or <PHONE> ok"
+    assert out["b"][1] == "server <IPV4> then <IPV4>; <EMAIL>"
+    assert out["c"][1] == "no pii here at all"
