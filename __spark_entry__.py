@@ -103,6 +103,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Gopher heuristic quality gates + PII scan/redaction
         "q53_gopher_quality": Q.q53_gopher_quality,
         "q54_pii_scan": Q.q54_pii_scan,
+        # threshold sensitivity + cross-source leakage over verified pairs
+        "q55_jaccard_threshold_sweep": Q.q55_jaccard_threshold_sweep,
+        "q56_cross_source_leakage": Q.q56_cross_source_leakage,
     }
 
 
@@ -1158,5 +1161,57 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(n_ipv4) AS BIGINT) AS n_ipv4,
                md5(string_agg(redacted_fp, '|' ORDER BY redacted_fp)) AS redaction_proof
         FROM scanned GROUP BY source ORDER BY source
+    """
+    # q55/q56: both replay the exact all->=0.7-jaccard pair set (the
+    # same inverted-gram-index CTE the q24 closure oracle uses).  Green
+    # hashes re-prove candidate recall 1.0 at the design threshold --
+    # the sweep only looks ABOVE it, so higher cutoffs are subsets of
+    # the verified edge set on both engines.
+    _scored_pairs = f"""
+        WITH g AS (
+            SELECT CAST(doc_id AS VARCHAR) AS id, {grams3} AS grams FROM documents
+        ), x AS (
+            SELECT id, unnest(grams) AS gram FROM g
+        ), inter AS (
+            SELECT l.id AS a, r.id AS b, count(*) AS i
+            FROM x l JOIN x r ON l.gram = r.gram AND l.id < r.id
+            GROUP BY 1, 2
+        ), sz AS (
+            SELECT id, len(grams) AS n FROM g
+        ), scored AS (
+            SELECT a, b, i / CAST(sa.n + sb.n - i AS DOUBLE) AS j
+            FROM inter
+            JOIN sz sa ON inter.a = sa.id
+            JOIN sz sb ON inter.b = sb.id
+            WHERE i / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.7
+        )"""
+    oracles["q55_jaccard_threshold_sweep"] = f"""
+        {_scored_pairs}, th AS (
+            SELECT unnest([0.7, 0.75, 0.8, 0.85, 0.9, 0.95]) AS threshold
+        ), e AS (
+            SELECT th.threshold, s.a, s.b, s.j
+            FROM th JOIN scored s ON s.j >= th.threshold
+        ), pairs AS (
+            SELECT threshold, count(*) AS n_pairs,
+                   CAST(sum(CAST(round(j * 10000) AS BIGINT)) AS BIGINT) AS sum_j_e4
+            FROM e GROUP BY threshold
+        ), docs AS (
+            SELECT threshold, count(DISTINCT id) AS n_dup_docs FROM (
+                SELECT threshold, a AS id FROM e
+                UNION ALL SELECT threshold, b FROM e
+            ) GROUP BY threshold
+        )
+        SELECT CAST(p.threshold AS DOUBLE) AS threshold, n_pairs, n_dup_docs, sum_j_e4
+        FROM pairs p JOIN docs USING (threshold) ORDER BY threshold
+    """
+    oracles["q56_cross_source_leakage"] = f"""
+        {_scored_pairs}
+        SELECT least(da.source, db.source) AS source_a,
+               greatest(da.source, db.source) AS source_b,
+               count(*) AS n_pairs
+        FROM scored e
+        JOIN documents da ON CAST(da.doc_id AS VARCHAR) = e.a
+        JOIN documents db ON CAST(db.doc_id AS VARCHAR) = e.b
+        GROUP BY 1, 2 ORDER BY 1, 2
     """
     return oracles

@@ -1130,3 +1130,77 @@ def q54_pii_scan(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+SWEEP_THRESHOLDS = [0.7, 0.75, 0.8, 0.85, 0.9, 0.95]
+
+
+def q55_jaccard_threshold_sweep(spark, sf_dir):
+    """Threshold-sensitivity sweep: how many near-dup pairs / affected
+    docs survive at each jaccard cutoff >= the LSH design threshold --
+    the number an operator looks at before committing a dedup config.
+    ONE banding + exact-verify pass produces scored edges; the sweep is
+    an explode over a constant 6-element array on the (small) verified
+    pair set, so at 100 TB the sweep costs nothing beyond q24's
+    pipeline.  Sweeping only ABOVE the design threshold keeps candidate
+    recall 1.0 (every >=0.7 pair is a candidate; higher cutoffs are
+    subsets), which is what lets the exact all-pairs oracle hash-match.
+    sum_j_e4 accumulates round(jaccard*1e4) as an integer so the hash
+    can never be flipped by float association order."""
+    from .pipeline import dedup_pipeline
+
+    cfg = PipelineConfig(shingle=ShingleConfig(k=3))
+    t = transcripts_from_documents(spark, sf_dir)
+    res = dedup_pipeline(t, cfg)
+    th = F.explode(F.array(*[F.lit(x) for x in SWEEP_THRESHOLDS])).alias("threshold")
+    e = res.edges.select(
+        F.col("a"), F.col("b"), F.col("jaccard"), th
+    ).where(F.col("jaccard") >= F.col("threshold"))
+    pairs = e.groupBy("threshold").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.round(F.col("jaccard") * 10000).cast("long")).alias("sum_j_e4"),
+    )
+    docs = (
+        e.select("threshold", F.explode(F.array("a", "b")).alias("id"))
+        .groupBy("threshold")
+        .agg(F.countDistinct("id").alias("n_dup_docs"))
+    )
+    return (
+        pairs.join(docs, "threshold")
+        .select(F.round("threshold", 2).alias("threshold"), "n_pairs", "n_dup_docs", "sum_j_e4")
+        .orderBy("threshold")
+    )
+
+
+def q56_cross_source_leakage(spark, sf_dir):
+    """Cross-source near-dup leakage matrix: verified >=0.7-jaccard
+    pairs bucketed by the (unordered) source pair -- the table that
+    shows which corpus sources duplicate INTO each other (train/eval
+    contamination risk, redundant-crawl detection).  Reuses the scored
+    edges from one pipeline pass; the (doc_id -> source) dim is tiny
+    relative to the corpus and is broadcast to both sides of the pair
+    join, so the only shuffle is the final 2-key agg."""
+    from .pipeline import dedup_pipeline
+
+    cfg = PipelineConfig(shingle=ShingleConfig(k=3))
+    t = transcripts_from_documents(spark, sf_dir)
+    res = dedup_pipeline(t, cfg)
+    src = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("id"), "source"
+    )
+    e = (
+        res.edges.select("a", "b")
+        .join(F.broadcast(src.withColumnRenamed("source", "sa")), F.col("a") == F.col("id"))
+        .drop("id")
+        .join(F.broadcast(src.withColumnRenamed("source", "sb")), F.col("b") == F.col("id"))
+        .drop("id")
+    )
+    return (
+        e.select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("source_a", "source_b")
+    )

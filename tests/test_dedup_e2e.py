@@ -368,3 +368,64 @@ def test_incremental_new_edges_is_the_exact_delta(spark):
     assert inc.edges.select(*cols).exceptAll(both).count() == 0
     inc.unpersist()
     old.unpersist()
+
+
+def test_threshold_sweep_matches_bruteforce(spark, sf_dir):
+    """q55's sweep rows equal a driver-side brute-force over the same
+    verified edge set: monotone non-increasing counts, and every
+    (n_pairs, n_dup_docs, sum_j_e4) triple recomputed from the raw
+    edges matches."""
+    from datasketches_server_spark.config import PipelineConfig, ShingleConfig
+    from datasketches_server_spark.plans.pipeline import dedup_pipeline
+    from datasketches_server_spark.plans.queries import (
+        SWEEP_THRESHOLDS,
+        q55_jaccard_threshold_sweep,
+    )
+    from datasketches_server_spark.sources.synth import transcripts_from_documents
+
+    rows = {r["threshold"]: r for r in q55_jaccard_threshold_sweep(spark, sf_dir).collect()}
+    assert set(rows) == {round(t, 2) for t in SWEEP_THRESHOLDS}
+
+    cfg = PipelineConfig(shingle=ShingleConfig(k=3))
+    res = dedup_pipeline(transcripts_from_documents(spark, sf_dir), cfg)
+    edges = [(r["a"], r["b"], r["jaccard"]) for r in res.edges.collect()]
+    res.unpersist()
+    prev_pairs = None
+    for t in SWEEP_THRESHOLDS:
+        keep = [(a, b, j) for a, b, j in edges if j >= t]
+        want_docs = len({x for a, b, _ in keep for x in (a, b)})
+        r = rows[round(t, 2)]
+        assert r["n_pairs"] == len(keep)
+        assert r["n_dup_docs"] == want_docs
+        assert r["sum_j_e4"] == sum(round(j * 10000) for _, _, j in keep)
+        if prev_pairs is not None:
+            assert r["n_pairs"] <= prev_pairs
+        prev_pairs = r["n_pairs"]
+
+
+def test_cross_source_leakage_planted(spark, tmp_path):
+    """A corpus with a planted cross-source dup and a same-source dup
+    yields exactly the two expected matrix cells, sources unordered."""
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from datasketches_server_spark.plans.queries import q56_cross_source_leakage
+
+    text_a = "the quick brown fox jumps over the lazy dog again and again today"
+    text_b = "completely different content about spark shuffles and partitions here now"
+    docs = spark.createDataFrame(
+        [
+            (0, "web", text_a),
+            (1, "forum", text_a),        # cross-source dup pair (0,1)
+            (2, "web", text_b),
+            (3, "web", text_b),          # same-source dup pair (2,3)
+            (4, "wiki", "a singleton document with nothing in common at all whatsoever"),
+        ],
+        ["doc_id", "source", "text"],
+    )
+    d = str(tmp_path / "sf")
+    docs.write.parquet(f"{d}/documents.parquet")
+    got = {
+        (r["source_a"], r["source_b"]): r["n_pairs"]
+        for r in q56_cross_source_leakage(spark, d).collect()
+    }
+    assert got == {("forum", "web"): 1, ("web", "web"): 1}
