@@ -118,6 +118,25 @@ def parse_log(log_dir: str) -> dict:
             windows.append([s["sub"], s["comp"]])
     covered = sum(b - a for a, b in windows)
     total = (app_end - app_start) if app_start and app_end else None
+    # name the biggest serial holes: gap intervals between merged stage
+    # windows, labeled by the stage that preceded and followed them --
+    # this is where the driver_gap_ms actually lives
+    lwin = []  # [start, end, last_stage_name, first_stage_name]
+    for s in done:
+        if lwin and s["sub"] <= lwin[-1][1]:
+            if s["comp"] > lwin[-1][1]:
+                lwin[-1][1], lwin[-1][2] = s["comp"], s["name"]
+        else:
+            lwin.append([s["sub"], s["comp"], s["name"], s["name"]])
+    gaps = []
+    prev_end, prev_label = app_start, "app_start"
+    for a, b, last, first in lwin:
+        if prev_end and a - prev_end > 0:
+            gaps.append({"ms": a - prev_end, "after": prev_label, "before": first})
+        prev_end, prev_label = b, last
+    if app_end and prev_end and app_end - prev_end > 0:
+        gaps.append({"ms": app_end - prev_end, "after": prev_label, "before": "app_end"})
+    gaps.sort(key=lambda g: -g["ms"])
     per_name: dict[str, dict] = {}
     for s in done:
         g = per_name.setdefault(s["name"], {"wall_ms": 0, "task_ms": 0, "n_stages": 0, "tail_ms": 0})
@@ -133,6 +152,7 @@ def parse_log(log_dir: str) -> dict:
         "driver_gap_ms": (total - covered) if total else None,
         "n_stages": len(done),
         "task_ms_sum": sum(s["task_ms"] for s in done),
+        "top_gaps": gaps[:8],
         "by_stage_name": {
             k: {kk: vv for kk, vv in v.items()} for k, v in
             sorted(per_name.items(), key=lambda kv: -kv[1]["wall_ms"])
