@@ -106,6 +106,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # threshold sensitivity + cross-source leakage over verified pairs
         "q55_jaccard_threshold_sweep": Q.q55_jaccard_threshold_sweep,
         "q56_cross_source_leakage": Q.q56_cross_source_leakage,
+        # transcript-native gates: agent-loop runs + structural audit
+        "q57_agent_loop_detection": Q.q57_agent_loop_detection,
+        "q58_transcript_structure_audit": Q.q58_transcript_structure_audit,
     }
 
 
@@ -1213,5 +1216,64 @@ def oracle_sql() -> dict[str, str]:
         JOIN documents da ON CAST(da.doc_id AS VARCHAR) = e.a
         JOIN documents db ON CAST(db.doc_id AS VARCHAR) = e.b
         GROUP BY 1, 2 ORDER BY 1, 2
+    """
+    # q57: replay the planted loop (convs % 11 get turns 2..5 rewritten
+    # to one constant assistant line), then the same gaps-and-islands:
+    # row_number difference is constant within one consecutive run.
+    oracles["q57_agent_loop_detection"] = f"""
+        WITH tr AS ({transcripts_from_documents_sql()}),
+        p AS (
+            SELECT conv_id, turn_idx,
+                   CASE WHEN CAST(conv_id AS BIGINT) % 11 = 0 AND turn_idx BETWEEN 2 AND 5
+                        THEN 'assistant' ELSE role END
+                   || '|' ||
+                   md5(CASE WHEN CAST(conv_id AS BIGINT) % 11 = 0 AND turn_idx BETWEEN 2 AND 5
+                            THEN 'i will retry the same action now' ELSE text END) AS sig
+            FROM tr
+        ), m AS (
+            SELECT conv_id, sig,
+                   CASE WHEN lag(sig) OVER w = sig THEN 1 ELSE 0 END AS is_repeat,
+                   row_number() OVER w
+                   - row_number() OVER (PARTITION BY conv_id, sig ORDER BY turn_idx) AS run_id
+            FROM p WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+        ), runs AS (
+            SELECT conv_id, count(*) AS run_len FROM m GROUP BY conv_id, sig, run_id
+        ), per_run AS (
+            SELECT conv_id, max(run_len) AS max_run FROM runs GROUP BY conv_id
+        )
+        SELECT m.conv_id,
+               count(*) AS n_turns,
+               CAST(sum(is_repeat) AS BIGINT) AS n_repeat_turns,
+               CAST(any_value(max_run) AS BIGINT) AS max_run,
+               any_value(max_run) >= 3 AS loop_flag
+        FROM m JOIN per_run ON m.conv_id = per_run.conv_id
+        GROUP BY m.conv_id ORDER BY m.conv_id
+    """
+    # q58: replay the planted corruption (dropped turns -> gaps, forced
+    # roles -> alternation violations, blanked texts -> empty turns).
+    oracles["q58_transcript_structure_audit"] = f"""
+        WITH tr AS ({transcripts_from_documents_sql()}),
+        p AS (
+            SELECT conv_id, turn_idx,
+                   CASE WHEN (CAST(conv_id AS BIGINT) + turn_idx) % 17 = 0
+                        THEN 'user' ELSE role END AS role,
+                   CASE WHEN (CAST(conv_id AS BIGINT) + turn_idx) % 19 = 0
+                        THEN '' ELSE text END AS text
+            FROM tr
+            WHERE (CAST(conv_id AS BIGINT) * 31 + turn_idx) % 13 <> 0
+        ), m AS (
+            SELECT conv_id, turn_idx,
+                   CASE WHEN trim(text) = '' THEN 1 ELSE 0 END AS is_empty,
+                   CASE WHEN lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) = role
+                        THEN 1 ELSE 0 END AS same_role
+            FROM p
+        )
+        SELECT conv_id,
+               count(*) AS n_turns,
+               (min(turn_idx) <> 0 OR max(turn_idx) <> count(*) - 1
+                OR count(DISTINCT turn_idx) <> count(*)) AS has_gap,
+               CAST(sum(same_role) AS BIGINT) AS n_role_violations,
+               CAST(sum(is_empty) AS BIGINT) AS n_empty_turns
+        FROM m GROUP BY conv_id ORDER BY conv_id
     """
     return oracles

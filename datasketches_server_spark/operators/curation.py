@@ -262,3 +262,95 @@ def template_contamination(
             F.round(F.count("_t") / F.count("*"), 4).alias("template_frac"),
         )
     )
+
+
+def agent_loop_scores(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    text_col: str = "text",
+    role_col: str = "role",
+    idx_col: str = "turn_idx",
+    loop_run: int = 3,
+) -> DataFrame:
+    """Per-conversation agent-loop detection: an agent stuck in a loop
+    emits the same (role, text) turn consecutively.  Reports, per conv,
+    the turn count, how many turns exactly repeat their predecessor
+    (same role AND same text), the longest consecutive-identical run,
+    and a ``loop_flag`` once that run reaches ``loop_run``.
+
+    Scale shape: every window partitions by conv_id (narrow rows --
+    md5 of the text, never the text itself, flows through the sort), so
+    state is bounded by the longest single conversation regardless of
+    corpus size; the final reduce is one map-side-combined groupBy on
+    the near-unique conv key.  Gaps-and-islands via the classic
+    row_number difference, all whole-stage-codegen'd -- no UDFs.
+    """
+    w = Window.partitionBy(conv_col).orderBy(idx_col)
+    keyed = turns.select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(idx_col).alias("turn_idx"),
+        F.concat_ws("|", F.col(role_col), F.md5(F.col(text_col))).alias("sig"),
+    )
+    marked = keyed.withColumn(
+        "is_repeat", (F.col("sig") == F.lag("sig").over(w)).cast("long")
+    ).withColumn(
+        # island id: row_number minus per-signature row_number is
+        # constant within one consecutive run of the same sig
+        "run_id",
+        F.row_number().over(w)
+        - F.row_number().over(Window.partitionBy("conv_id", "sig").orderBy("turn_idx")),
+    )
+    runs = marked.groupBy("conv_id", "sig", "run_id").agg(
+        F.count("*").cast("long").alias("run_len")
+    )
+    per_run = runs.groupBy("conv_id").agg(F.max("run_len").alias("max_run"))
+    per_turn = marked.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_turns"),
+        F.coalesce(F.sum("is_repeat"), F.lit(0)).cast("long").alias("n_repeat_turns"),
+    )
+    return per_turn.join(per_run, "conv_id").select(
+        "conv_id",
+        "n_turns",
+        "n_repeat_turns",
+        "max_run",
+        (F.col("max_run") >= loop_run).alias("loop_flag"),
+    )
+
+
+def structure_audit(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    text_col: str = "text",
+    role_col: str = "role",
+    idx_col: str = "turn_idx",
+) -> DataFrame:
+    """Per-conversation structural validation for transcript tables:
+
+    * ``has_gap`` -- turn_idx is not the contiguous 0..n-1 sequence
+      (checked arithmetically: min=0, max=n-1, all distinct);
+    * ``n_role_violations`` -- adjacent turns with the same role
+      (strict user/assistant alternation is the expected shape);
+    * ``n_empty_turns`` -- whitespace-only text.
+
+    The gate a transcript-ingest pipeline runs BEFORE dedup: malformed
+    conversations poison shingling (concatenation order) silently.
+    Same scale shape as :func:`agent_loop_scores`: one conv-partitioned
+    window over narrow rows + one map-side-combined groupBy.
+    """
+    w = Window.partitionBy(conv_col).orderBy(idx_col)
+    m = turns.select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(idx_col).alias("turn_idx"),
+        F.col(role_col).alias("role"),
+        (F.trim(F.col(text_col)) == "").cast("long").alias("is_empty"),
+    ).withColumn("same_role", (F.col("role") == F.lag("role").over(w)).cast("long"))
+    return m.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_turns"),
+        (
+            (F.min("turn_idx") != 0)
+            | (F.max("turn_idx") != F.count("*") - 1)
+            | (F.countDistinct("turn_idx") != F.count("*"))
+        ).alias("has_gap"),
+        F.coalesce(F.sum("same_role"), F.lit(0)).cast("long").alias("n_role_violations"),
+        F.sum("is_empty").cast("long").alias("n_empty_turns"),
+    )

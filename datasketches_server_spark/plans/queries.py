@@ -1204,3 +1204,51 @@ def q56_cross_source_leakage(spark, sf_dir):
         .agg(F.count("*").alias("n_pairs"))
         .orderBy("source_a", "source_b")
     )
+
+
+def q57_agent_loop_detection(spark, sf_dir):
+    """Agent-loop detector over the transcript shape: conversations
+    where the same (role, text) turn repeats consecutively (a stuck
+    tool-retry loop).  Loops are planted deterministically from driver
+    data -- convs with conv_id % 11 == 0 get turns 2..5 overwritten
+    with one constant assistant retry line, the SAME rewrite the DuckDB
+    oracle applies -- then operators/curation.agent_loop_scores runs
+    conv-partitioned windows over (role|md5(text)) rows: state bounded
+    by the longest conversation, never the corpus."""
+    from ..operators.curation import agent_loop_scores
+
+    t = transcripts_from_documents(spark, sf_dir)
+    cid = F.col("conv_id").cast("long")
+    looped = (cid % 11 == 0) & F.col("turn_idx").between(2, 5)
+    planted = t.select(
+        "conv_id",
+        "turn_idx",
+        F.when(looped, F.lit("assistant")).otherwise(F.col("role")).alias("role"),
+        F.when(looped, F.lit("i will retry the same action now"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return agent_loop_scores(planted).orderBy("conv_id")
+
+
+def q58_transcript_structure_audit(spark, sf_dir):
+    """Structural validation of transcript conversations (the gate
+    BEFORE dedup: malformed turn order poisons shingling silently).
+    Corruption is planted deterministically from the rows themselves --
+    (conv*31+idx) % 13 == 0 turns dropped (index gaps), (conv+idx) %
+    17 == 0 roles forced to 'user' (alternation violations), (conv+idx)
+    % 19 == 0 texts blanked -- and the oracle replays the identical
+    plant.  operators/curation.structure_audit: one conv-partitioned
+    window + one map-side-combined groupBy, no UDFs."""
+    from ..operators.curation import structure_audit
+
+    t = transcripts_from_documents(spark, sf_dir)
+    cid = F.col("conv_id").cast("long")
+    idx = F.col("turn_idx")
+    planted = t.where((cid * 31 + idx) % 13 != 0).select(
+        "conv_id",
+        "turn_idx",
+        F.when((cid + idx) % 17 == 0, F.lit("user")).otherwise(F.col("role")).alias("role"),
+        F.when((cid + idx) % 19 == 0, F.lit("")).otherwise(F.col("text")).alias("text"),
+    )
+    return structure_audit(planted).orderBy("conv_id")

@@ -90,3 +90,46 @@ class TableIO:
             st = os.stat(os.path.join(p, f))
             h.update(f"{f}:{st.st_size}:{st.st_mtime_ns}".encode())
         return h.hexdigest()[:16]
+
+
+TRANSCRIPT_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts timestamp"
+)
+
+
+def read_transcripts_jsonl(
+    spark: SparkSession, path: str, quarantine: str | None = None
+) -> DataFrame:
+    """Ingest front door: JSONL -> the contract transcript schema
+    (BASELINE.json input_hint: conv_id, turn_idx, role, text, tool, ts).
+
+    text scan + ``from_json`` with an explicit schema: malformed lines
+    parse to a NULL struct instead of failing the job (at 100 TB a
+    crawler WILL emit broken lines; FAILFAST would burn hours then
+    die).  Rows missing either key field (conv_id, turn_idx) count as
+    bad too -- they cannot participate in stable turn ordering.  When
+    ``quarantine`` is given, bad raw lines are appended there for
+    offline triage.  (Deliberately NOT the PERMISSIVE reader's
+    ``_corrupt_record`` column: Spark disallows filtering on the
+    internal corrupt column without caching the whole scan first --
+    the text+from_json form keeps both branches streaming.)
+
+    Timestamps parse as ISO-8601 (Spark's JSON default); column order
+    is normalized so downstream unionByName never depends on producer
+    field order.
+    """
+    from pyspark.sql import functions as F
+
+    lines = spark.read.text(path)
+    parsed = lines.select(
+        "value", F.from_json("value", TRANSCRIPT_SCHEMA).alias("r")
+    )
+    bad = (
+        F.col("r").isNull()
+        | F.col("r.conv_id").isNull()
+        | F.col("r.turn_idx").isNull()
+    )
+    if quarantine:
+        parsed.where(bad).select("value").write.mode("append").text(quarantine)
+    return parsed.where(~bad).select("r.conv_id", "r.turn_idx", "r.role", "r.text", "r.tool", "r.ts")

@@ -188,3 +188,56 @@ def test_template_contamination_fractions(spark):
     assert out["B"]["n_turns"] == 3 and out["B"]["n_template_turns"] == 2
     assert out["B"]["template_frac"] == 0.6667
     assert out["C"]["n_template_turns"] == 1 and out["C"]["template_frac"] == 0.5
+
+
+def test_agent_loop_scores_planted(spark):
+    """A planted 3-turn identical run trips loop_flag; alternating-role
+    repeats of the same text do NOT count (sig includes the role)."""
+    from datasketches_server_spark.operators.curation import agent_loop_scores
+
+    rows = [
+        # c1: healthy alternating conversation
+        ("c1", 0, "user", "hi"),
+        ("c1", 1, "assistant", "hello"),
+        ("c1", 2, "user", "bye"),
+        # c2: assistant stuck repeating the same line 3x
+        ("c2", 0, "user", "do it"),
+        ("c2", 1, "assistant", "retrying"),
+        ("c2", 2, "assistant", "retrying"),
+        ("c2", 3, "assistant", "retrying"),
+        ("c2", 4, "user", "stop"),
+        # c3: same TEXT repeats but roles alternate -> not a loop run
+        ("c3", 0, "user", "ok"),
+        ("c3", 1, "assistant", "ok"),
+        ("c3", 2, "user", "ok"),
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "role", "text"])
+    got = {r["conv_id"]: r.asDict() for r in agent_loop_scores(df).collect()}
+    assert got["c1"]["n_repeat_turns"] == 0 and got["c1"]["max_run"] == 1
+    assert not got["c1"]["loop_flag"]
+    assert got["c2"]["n_repeat_turns"] == 2 and got["c2"]["max_run"] == 3
+    assert got["c2"]["loop_flag"]
+    assert got["c3"]["n_repeat_turns"] == 0 and got["c3"]["max_run"] == 1
+    assert not got["c3"]["loop_flag"]
+
+
+def test_structure_audit_planted(spark):
+    """Each structural defect is detected on a conv built to have
+    exactly it: index gap, duplicate index, role violation, empty."""
+    from datasketches_server_spark.operators.curation import structure_audit
+
+    rows = [
+        ("ok", 0, "user", "a"), ("ok", 1, "assistant", "b"),
+        ("gap", 0, "user", "a"), ("gap", 2, "assistant", "b"),
+        ("dupidx", 0, "user", "a"), ("dupidx", 0, "assistant", "b"),
+        ("roles", 0, "user", "a"), ("roles", 1, "user", "b"), ("roles", 2, "user", "c"),
+        ("empty", 0, "user", "  "), ("empty", 1, "assistant", "x"),
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "role", "text"])
+    got = {r["conv_id"]: r.asDict() for r in structure_audit(df).collect()}
+    assert not got["ok"]["has_gap"] and got["ok"]["n_role_violations"] == 0
+    assert got["ok"]["n_empty_turns"] == 0
+    assert got["gap"]["has_gap"]
+    assert got["dupidx"]["has_gap"]  # duplicate turn_idx is a gap too
+    assert got["roles"]["n_role_violations"] == 2 and not got["roles"]["has_gap"]
+    assert got["empty"]["n_empty_turns"] == 1

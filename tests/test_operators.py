@@ -737,3 +737,33 @@ def test_prune_auto_counts_members_not_pairs(spark):
     res2 = dedup_pipeline(t2, prune_verify="auto")
     assert res2.pruned_verify is False
     res2.unpersist()
+
+
+def test_read_transcripts_jsonl_quarantine(spark, tmp_path):
+    """Typed JSONL ingest: clean rows come back on the contract schema;
+    broken lines and key-field-less rows land in the quarantine."""
+    from datasketches_server_spark.sources.io import read_transcripts_jsonl
+
+    src = tmp_path / "in.jsonl"
+    src.write_text(
+        "\n".join(
+            [
+                '{"conv_id":"c1","turn_idx":0,"role":"user","text":"hi","tool":null,'
+                '"ts":"2024-06-01T00:00:00Z"}',
+                '{"conv_id":"c1","turn_idx":1,"role":"assistant","text":"yo","tool":"search",'
+                '"ts":"2024-06-01T00:00:01Z"}',
+                "this is not json at all {",
+                '{"role":"user","text":"no ids here"}',
+                '{"conv_id":"c2","turn_idx":"zero","role":"user","text":"bad idx type"}',
+            ]
+        )
+    )
+    qdir = str(tmp_path / "quarantine")
+    got = read_transcripts_jsonl(spark, str(src), quarantine=qdir)
+    rows = sorted((r["conv_id"], r["turn_idx"]) for r in got.collect())
+    assert rows == [("c1", 0), ("c1", 1)]
+    assert [f.name for f in got.schema.fields] == [
+        "conv_id", "turn_idx", "role", "text", "tool", "ts",
+    ]
+    bad = spark.read.text(qdir).count()
+    assert bad == 3
