@@ -42,6 +42,8 @@ def get_spark(
             "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp",
         )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # catalog tables (write_bucketed) land in tmp, not the repo cwd
+        .config("spark.sql.warehouse.dir", "/tmp/spark-warehouse")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

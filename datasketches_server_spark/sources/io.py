@@ -133,3 +133,31 @@ def read_transcripts_jsonl(
     if quarantine:
         parsed.where(bad).select("value").write.mode("append").text(quarantine)
     return parsed.where(~bad).select("r.conv_id", "r.turn_idx", "r.role", "r.text", "r.tool", "r.ts")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 64,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist a relation bucketed (and optionally sorted) by its join
+    key -- the 100 TB pattern for state that gets RE-JOINED every
+    incremental batch (conv_state, the band-bucket index, old cluster
+    labels): two tables bucketed by the same key into the same bucket
+    count join with ZERO Exchange on either side (plan-asserted in
+    tests/test_plan_quality.py), so each daily batch pays a shuffle of
+    the BATCH only, never of the corpus.
+
+    Parquet + ``bucketBy`` must go through ``saveAsTable`` (bucket
+    metadata lives in the catalog, not the files); on a real cluster
+    the catalog is the metastore, in this sandbox the in-memory session
+    catalog.  Pick ``n_buckets`` so one bucket of the biggest table
+    fits an executor core's working set (~shuffle-partition sizing);
+    both sides of the co-located join MUST use the same count.
+    """
+    w = df.write.format("parquet").mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)

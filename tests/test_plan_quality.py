@@ -210,3 +210,37 @@ def test_incremental_components_plan_no_python_no_cartesian(spark):
     p = plan_str(labels)
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed by the same key/count sort-merge-join with
+    ZERO shuffle on either side -- the co-located-join contract
+    write_bucketed exists for (incremental state re-joined per batch)."""
+    from datasketches_server_spark.sources.io import write_bucketed
+
+    old_ab = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        left = spark.range(0, 10_000).selectExpr(
+            "cast(id as string) conv_id", "id * 2 as v"
+        )
+        right = spark.range(0, 10_000, 3).selectExpr(
+            "cast(id as string) conv_id", "id * 7 as w"
+        )
+        write_bucketed(left, "bkt_left", ["conv_id"], n_buckets=8)
+        write_bucketed(right, "bkt_right", ["conv_id"], n_buckets=8)
+        j = spark.table("bkt_left").join(spark.table("bkt_right"), "conv_id")
+        plan = plan_str(j)
+        assert "Exchange" not in plan, plan
+        assert j.count() == 3334
+        # control: the same join from plain parquet DOES shuffle
+        left.write.mode("overwrite").parquet(str(tmp_path / "pl"))
+        right.write.mode("overwrite").parquet(str(tmp_path / "pr"))
+        jp = spark.read.parquet(str(tmp_path / "pl")).join(
+            spark.read.parquet(str(tmp_path / "pr")), "conv_id"
+        )
+        assert "Exchange" in plan_str(jp)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_ab)
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")
