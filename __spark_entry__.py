@@ -109,6 +109,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # transcript-native gates: agent-loop runs + structural audit
         "q57_agent_loop_detection": Q.q57_agent_loop_detection,
         "q58_transcript_structure_audit": Q.q58_transcript_structure_audit,
+        # tool/ts analytics over the contract transcript schema
+        "q59_tool_latency": Q.q59_tool_latency,
     }
 
 
@@ -1275,5 +1277,36 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(same_role) AS BIGINT) AS n_role_violations,
                CAST(sum(is_empty) AS BIGINT) AS n_empty_turns
         FROM m GROUP BY conv_id ORDER BY conv_id
+    """
+    # q59: replay the planted tool names + timestamp jitter, lead() over
+    # ALL turns (latency = next turn's ts - this turn's), then exact
+    # interpolated quantiles (Spark percentile == DuckDB quantile_cont).
+    oracles["q59_tool_latency"] = f"""
+        WITH tr AS ({transcripts_from_documents_sql()}),
+        p AS (
+            SELECT conv_id, turn_idx,
+                   CASE WHEN role = 'assistant'
+                             AND (CAST(conv_id AS BIGINT) + turn_idx) % 5 = 0
+                        THEN (['search', 'python', 'browser'])
+                             [(CAST(conv_id AS BIGINT) + turn_idx) % 3 + 1]
+                        ELSE NULL END AS tool,
+                   ts + ((CAST(conv_id AS BIGINT) * 31 + turn_idx) % 9)
+                        * INTERVAL 1 SECOND AS ts
+            FROM tr
+        ), lat AS (
+            SELECT tool, conv_id,
+                   epoch(lead(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx))
+                   - epoch(ts) AS latency_s
+            FROM p
+        )
+        SELECT tool,
+               count(*) AS n_calls,
+               count(DISTINCT conv_id) AS n_convs,
+               round(quantile_cont(latency_s, 0.5), 4) AS p50_latency_s,
+               round(quantile_cont(latency_s, 0.95), 4) AS p95_latency_s,
+               round(avg(latency_s), 4) AS avg_latency_s
+        FROM lat
+        WHERE tool IS NOT NULL AND latency_s IS NOT NULL
+        GROUP BY tool ORDER BY tool
     """
     return oracles

@@ -1252,3 +1252,45 @@ def q58_transcript_structure_audit(spark, sf_dir):
         F.when((cid + idx) % 19 == 0, F.lit("")).otherwise(F.col("text")).alias("text"),
     )
     return structure_audit(planted).orderBy("conv_id")
+
+
+def q59_tool_latency(spark, sf_dir):
+    """Tool-call analytics over the transcript shape (the role/tool/ts
+    columns of the contract schema): per planted tool, call volume,
+    distinct conversations, and EXACT interpolated p50/p95 of the
+    latency between a tool-bearing assistant turn and the next turn.
+    Tool names and timestamp jitter are planted deterministically from
+    the rows themselves (the oracle replays both).  One conv-partitioned
+    lead() window + one groupBy; percentile() is Spark's exact
+    interpolated definition, which is DuckDB's quantile_cont."""
+    t = transcripts_from_documents(spark, sf_dir)
+    cid = F.col("conv_id").cast("long")
+    idx = F.col("turn_idx")
+    has_tool = (F.col("role") == "assistant") & ((cid + idx) % 5 == 0)
+    tool = F.when(
+        has_tool,
+        F.element_at(
+            F.array(F.lit("search"), F.lit("python"), F.lit("browser")),
+            F.pmod(cid + idx, F.lit(3)).cast("int") + 1,
+        ),
+    )
+    jitter = F.make_interval(secs=F.pmod(cid * 31 + idx, F.lit(9)).cast("double"))
+    planted = t.select(
+        "conv_id", "turn_idx", tool.alias("tool"), (F.col("ts") + jitter).alias("ts")
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    lat = planted.withColumn(
+        "latency_s",
+        (F.lead("ts").over(w).cast("double") - F.col("ts").cast("double")),
+    ).where(F.col("tool").isNotNull() & F.col("latency_s").isNotNull())
+    return (
+        lat.groupBy("tool")
+        .agg(
+            F.count("*").alias("n_calls"),
+            F.countDistinct("conv_id").alias("n_convs"),
+            F.round(F.expr("percentile(latency_s, 0.5)"), 4).alias("p50_latency_s"),
+            F.round(F.expr("percentile(latency_s, 0.95)"), 4).alias("p95_latency_s"),
+            F.round(F.avg("latency_s"), 4).alias("avg_latency_s"),
+        )
+        .orderBy("tool")
+    )
