@@ -111,6 +111,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q58_transcript_structure_audit": Q.q58_transcript_structure_audit,
         # tool/ts analytics over the contract transcript schema
         "q59_tool_latency": Q.q59_tool_latency,
+        # temperature-based source mixing (pre-training mix allocation)
+        "q60_temperature_mix": Q.q60_temperature_mix,
     }
 
 
@@ -1308,5 +1310,31 @@ def oracle_sql() -> dict[str, str]:
         FROM lat
         WHERE tool IS NOT NULL AND latency_s IS NOT NULL
         GROUP BY tool ORDER BY tool
+    """
+    # q60: replay the n^0.5 allocation (rates rounded to 6dp on both
+    # sides BEFORE the accept gate) and the portable u01 draw.
+    _mix_u01 = u01_sql("CAST(doc_id AS VARCHAR)", salt="mix|")
+    oracles["q60_temperature_mix"] = f"""
+        WITH w AS (
+            SELECT source, count(*) AS n_docs,
+                   pow(count(*)::DOUBLE, 0.5) AS wgt
+            FROM documents GROUP BY source
+        ), tot AS (
+            SELECT sum(wgt) AS wgt_sum, sum(n_docs)::DOUBLE AS n_tot FROM w
+        ), rates AS (
+            SELECT source, n_docs,
+                   round(least(1.0::DOUBLE,
+                               0.2 * n_tot * wgt / (wgt_sum * n_docs::DOUBLE)), 6) AS rate
+            FROM w CROSS JOIN tot
+        ), acc AS (
+            SELECT d.source, count(*) AS n_sampled
+            FROM documents d JOIN rates r ON d.source = r.source
+            WHERE {_mix_u01} <= r.rate
+            GROUP BY d.source
+        )
+        SELECT r.source, r.n_docs, r.rate,
+               CAST(coalesce(a.n_sampled, 0) AS BIGINT) AS n_sampled
+        FROM rates r LEFT JOIN acc a ON r.source = a.source
+        ORDER BY r.source
     """
     return oracles

@@ -354,3 +354,62 @@ def structure_audit(
         F.coalesce(F.sum("same_role"), F.lit(0)).cast("long").alias("n_role_violations"),
         F.sum("is_empty").cast("long").alias("n_empty_turns"),
     )
+
+
+def temperature_mix(
+    docs: DataFrame,
+    budget_frac: float = 0.2,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based source mixing: allocate a global sampling
+    budget of ``budget_frac`` x corpus across sources proportionally to
+    n_source^alpha (alpha < 1 upsamples small sources -- the standard
+    pre-training mix rule), then accept each doc by the portable u01
+    hash so runs, resume, and the SQL oracle see the same draw.
+
+    Returns one row per source: size, computed accept rate (6dp -- the
+    rounding both engines share, so cross-engine float-sum ULP drift in
+    the normalizer cannot flip any accept decision), and accepted count.
+
+    Scale shape: two map-side-combined aggregates over the (tiny)
+    source dimension + one broadcast join of the per-source rate back
+    onto the corpus; the corpus itself is scanned once and never
+    shuffled on a fat key.
+    """
+    w = docs.groupBy(source_col).agg(F.count("*").cast("long").alias("n_docs"))
+    w = w.withColumn("wgt", F.pow(F.col("n_docs").cast("double"), F.lit(float(alpha))))
+    tot = w.agg(
+        F.sum("wgt").alias("wgt_sum"), F.sum("n_docs").cast("double").alias("n_tot")
+    )
+    rates = (
+        w.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "rate",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(budget_frac) * F.col("n_tot") * F.col("wgt")
+                    / (F.col("wgt_sum") * F.col("n_docs").cast("double")),
+                ),
+                6,
+            ),
+        )
+        .select(source_col, "n_docs", "rate")
+    )
+    accepted = (
+        docs.join(F.broadcast(rates), source_col)
+        .where(u01(F.col(id_col).cast("string"), salt="mix|") <= F.col("rate"))
+        .groupBy(source_col)
+        .agg(F.count("*").cast("long").alias("n_sampled"))
+    )
+    return (
+        rates.join(accepted, source_col, "left")
+        .select(
+            source_col,
+            "n_docs",
+            "rate",
+            F.coalesce("n_sampled", F.lit(0)).cast("long").alias("n_sampled"),
+        )
+    )

@@ -1294,3 +1294,16 @@ def q59_tool_latency(spark, sf_dir):
         )
         .orderBy("tool")
     )
+
+
+def q60_temperature_mix(spark, sf_dir):
+    """Temperature-based source mixing (n^alpha allocation, alpha=0.5,
+    20% global budget): the per-source accept rates and realized sample
+    counts a pre-training mix job would apply.  Rates are rounded to
+    6dp on BOTH engines before the u01 accept gate, so normalizer
+    float-sum ULP drift can never flip a decision (same determinism
+    discipline as the portable sampling family)."""
+    from ..operators.curation import temperature_mix
+
+    d = _t(spark, sf_dir, "documents")
+    return temperature_mix(d, budget_frac=0.2, alpha=0.5).orderBy("source")

@@ -241,3 +241,31 @@ def test_structure_audit_planted(spark):
     assert got["dupidx"]["has_gap"]  # duplicate turn_idx is a gap too
     assert got["roles"]["n_role_violations"] == 2 and not got["roles"]["has_gap"]
     assert got["empty"]["n_empty_turns"] == 1
+
+
+def test_temperature_mix_allocation(spark):
+    """alpha=0.5 upsamples the small source to rate 1.0 under a 50%
+    budget; the big source's rate matches the closed form; realized
+    counts equal a direct replay of the same u01 gate."""
+    import pyspark.sql.functions as F
+
+    from datasketches_server_spark.functions.portable import u01
+    from datasketches_server_spark.operators.curation import temperature_mix
+
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 90, "big").otherwise("small").alias("source"),
+    )
+    got = {r["source"]: r.asDict() for r in temperature_mix(docs, 0.5, 0.5).collect()}
+    import math
+
+    W = math.sqrt(90) + math.sqrt(10)
+    want_big = round(min(1.0, 0.5 * 100 * math.sqrt(90) / (W * 90)), 6)
+    assert got["small"]["rate"] == 1.0 and got["small"]["n_sampled"] == 10
+    assert got["big"]["rate"] == want_big
+    replay = (
+        docs.where(F.col("source") == "big")
+        .where(u01(F.col("doc_id").cast("string"), salt="mix|") <= F.lit(want_big))
+        .count()
+    )
+    assert got["big"]["n_sampled"] == replay
