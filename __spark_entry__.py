@@ -1228,11 +1228,14 @@ def oracle_sql() -> dict[str, str]:
         WITH tr AS ({transcripts_from_documents_sql()}),
         p AS (
             SELECT conv_id, turn_idx,
-                   CASE WHEN CAST(conv_id AS BIGINT) % 11 = 0 AND turn_idx BETWEEN 2 AND 5
-                        THEN 'assistant' ELSE role END
+                   coalesce(CASE WHEN CAST(conv_id AS BIGINT) % 11 = 0
+                                      AND turn_idx BETWEEN 2 AND 5
+                                 THEN 'assistant' ELSE role END, '<norole>')
                    || '|' ||
-                   md5(CASE WHEN CAST(conv_id AS BIGINT) % 11 = 0 AND turn_idx BETWEEN 2 AND 5
-                            THEN 'i will retry the same action now' ELSE text END) AS sig
+                   coalesce(md5(CASE WHEN CAST(conv_id AS BIGINT) % 11 = 0
+                                          AND turn_idx BETWEEN 2 AND 5
+                                     THEN 'i will retry the same action now'
+                                     ELSE text END), '<notext>') AS sig
             FROM tr
         ), m AS (
             SELECT conv_id, sig,

@@ -127,36 +127,47 @@ def ws_words(col: Column) -> Column:
 
 def gopher_flags(col: Column) -> Column:
     """Struct of the seven Gopher quality measurements + the combined
-    pass verdict.  One projection, whole-stage codegen'd; no UDFs."""
+    pass verdict.  One projection, whole-stage codegen'd; no UDFs.
+
+    The verdict gates on the same 4dp-ROUNDED ratios the struct reports
+    (and the q53 oracle replays): a consumer recomputing the verdict
+    from the struct's fields always agrees with ``passes_gopher``, and a
+    boundary doc (e.g. mean_word_len 2.99995) can never flip between
+    engines that round before comparing."""
     words = ws_words(col)
     n_words = F.size(words).cast("long")
     denom_w = F.greatest(n_words, F.lit(1)).cast("double")
     total_chars = F.aggregate(
         words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w).cast("long")
     )
-    mean_word_len = (total_chars / denom_w).cast("double")
+    mean_word_len = F.round((total_chars / denom_w).cast("double"), 4)
     n_hash = F.length(col) - F.length(F.replace(col, F.lit("#"), F.lit("")))
     n_ellipsis = (F.length(col) - F.length(F.replace(col, F.lit("..."), F.lit("")))) / F.lit(3)
-    symbol_ratio = ((n_hash + n_ellipsis) / denom_w).cast("double")
+    symbol_ratio = F.round(((n_hash + n_ellipsis) / denom_w).cast("double"), 4)
     alpha_words = F.size(F.filter(words, lambda w: w.rlike("[a-z]"))).cast("long")
-    alpha_word_frac = (alpha_words / denom_w).cast("double")
+    alpha_word_frac = F.round((alpha_words / denom_w).cast("double"), 4)
     stop_hits = F.size(
         F.filter(F.array(*[F.lit(s) for s in GOPHER_STOPS]), lambda s: F.array_contains(words, s))
     ).cast("long")
     lines = F.filter(F.split(col, "\n"), lambda ln: F.trim(ln) != "")
     denom_l = F.greatest(F.size(lines), F.lit(1)).cast("double")
-    bullet_line_frac = (
-        F.size(
-            F.filter(
-                lines,
-                lambda ln: F.substring(F.ltrim(ln), 1, 1).isin("-", "*", "•"),
+    bullet_line_frac = F.round(
+        (
+            F.size(
+                F.filter(
+                    lines,
+                    lambda ln: F.substring(F.ltrim(ln), 1, 1).isin("-", "*", "•"),
+                )
             )
-        )
-        / denom_l
-    ).cast("double")
-    ellipsis_line_frac = (
-        F.size(F.filter(lines, lambda ln: F.endswith(F.rtrim(ln), F.lit("...")))) / denom_l
-    ).cast("double")
+            / denom_l
+        ).cast("double"),
+        4,
+    )
+    ellipsis_line_frac = F.round(
+        (F.size(F.filter(lines, lambda ln: F.endswith(F.rtrim(ln), F.lit("...")))) / denom_l)
+        .cast("double"),
+        4,
+    )
     passes = (
         (n_words >= GOPHER_MIN_WORDS)
         & (n_words <= GOPHER_MAX_WORDS)
@@ -170,12 +181,12 @@ def gopher_flags(col: Column) -> Column:
     )
     return F.struct(
         n_words.alias("n_words"),
-        F.round(mean_word_len, 4).alias("mean_word_len"),
-        F.round(symbol_ratio, 4).alias("symbol_ratio"),
-        F.round(alpha_word_frac, 4).alias("alpha_word_frac"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_word_frac.alias("alpha_word_frac"),
         stop_hits.alias("stop_hits"),
-        F.round(bullet_line_frac, 4).alias("bullet_line_frac"),
-        F.round(ellipsis_line_frac, 4).alias("ellipsis_line_frac"),
+        bullet_line_frac.alias("bullet_line_frac"),
+        ellipsis_line_frac.alias("ellipsis_line_frac"),
         passes.alias("passes_gopher"),
     )
 

@@ -286,10 +286,19 @@ def agent_loop_scores(
     row_number difference, all whole-stage-codegen'd -- no UDFs.
     """
     w = Window.partitionBy(conv_col).orderBy(idx_col)
+    # NULL role/text coalesce to sentinels BEFORE signing (concat_ws
+    # would silently DROP a null part, collapsing distinct turns into
+    # one signature): two NULL-text turns compare equal -- identical
+    # absent content is a repeat -- and a NULL-text turn never equals a
+    # real one.  The q57 oracle applies the same coalesce.
     keyed = turns.select(
         F.col(conv_col).alias("conv_id"),
         F.col(idx_col).alias("turn_idx"),
-        F.concat_ws("|", F.col(role_col), F.md5(F.col(text_col))).alias("sig"),
+        F.concat(
+            F.coalesce(F.col(role_col), F.lit("<norole>")),
+            F.lit("|"),
+            F.coalesce(F.md5(F.col(text_col)), F.lit("<notext>")),
+        ).alias("sig"),
     )
     marked = keyed.withColumn(
         "is_repeat", (F.col("sig") == F.lag("sig").over(w)).cast("long")

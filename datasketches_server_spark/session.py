@@ -42,8 +42,13 @@ def get_spark(
             "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp",
         )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        # catalog tables (write_bucketed) land in tmp, not the repo cwd
-        .config("spark.sql.warehouse.dir", "/tmp/spark-warehouse")
+        # catalog tables (write_bucketed) land in tmp, not the repo cwd;
+        # per-uid-and-pid path so concurrent runs (bench + pytest, two CI
+        # jobs) can't overwrite each other's saveAsTable data
+        .config(
+            "spark.sql.warehouse.dir",
+            f"/tmp/spark-warehouse-{os.getuid()}-{os.getpid()}",
+        )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

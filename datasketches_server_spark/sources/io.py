@@ -110,7 +110,11 @@ def read_transcripts_jsonl(
     die).  Rows missing either key field (conv_id, turn_idx) count as
     bad too -- they cannot participate in stable turn ordering.  When
     ``quarantine`` is given, bad raw lines are appended there for
-    offline triage.  (Deliberately NOT the PERMISSIVE reader's
+    offline triage -- NOTE this runs the quarantine pass EAGERLY at
+    call time (one full scan), and consuming the returned clean frame
+    scans again; callers that cannot afford two ingest scans should
+    write the parsed frame once partitioned by a bad-row flag and read
+    the clean partition back.  (Deliberately NOT the PERMISSIVE reader's
     ``_corrupt_record`` column: Spark disallows filtering on the
     internal corrupt column without caching the whole scan first --
     the text+from_json form keeps both branches streaming.)

@@ -269,3 +269,27 @@ def test_temperature_mix_allocation(spark):
         .count()
     )
     assert got["big"]["n_sampled"] == replay
+
+
+def test_agent_loop_scores_null_turns(spark):
+    """NULL role/text coalesce to sentinels: consecutive NULL-text
+    same-role turns ARE a repeat run; a NULL-text turn never matches a
+    real one; concat never silently drops a part."""
+    from datasketches_server_spark.operators.curation import agent_loop_scores
+
+    rows = [
+        ("n1", 0, "assistant", None),
+        ("n1", 1, "assistant", None),
+        ("n1", 2, "assistant", None),
+        ("n2", 0, "assistant", None),
+        ("n2", 1, "assistant", "real text"),
+        ("n2", 2, "assistant", None),
+        ("n3", 0, None, "x"),
+        ("n3", 1, None, "x"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string")
+    got = {r["conv_id"]: r.asDict() for r in agent_loop_scores(df).collect()}
+    assert got["n1"]["max_run"] == 3 and got["n1"]["loop_flag"]
+    assert got["n1"]["n_repeat_turns"] == 2
+    assert got["n2"]["max_run"] == 1 and got["n2"]["n_repeat_turns"] == 0
+    assert got["n3"]["max_run"] == 2 and got["n3"]["n_repeat_turns"] == 1

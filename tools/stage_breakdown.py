@@ -109,18 +109,9 @@ def parse_log(log_dir: str) -> dict:
 
     done = [s for s in stages.values() if "sub" in s]
     done.sort(key=lambda s: s["sub"])
-    # merge overlapping stage windows, then gaps = app time not covered
-    windows = []
-    for s in done:
-        if windows and s["sub"] <= windows[-1][1]:
-            windows[-1][1] = max(windows[-1][1], s["comp"])
-        else:
-            windows.append([s["sub"], s["comp"]])
-    covered = sum(b - a for a, b in windows)
-    total = (app_end - app_start) if app_start and app_end else None
-    # name the biggest serial holes: gap intervals between merged stage
-    # windows, labeled by the stage that preceded and followed them --
-    # this is where the driver_gap_ms actually lives
+    # ONE labeled merge of overlapping stage windows serves both the
+    # coverage total and the gap attribution (gaps = app time between
+    # merged windows = where driver_gap_ms actually lives)
     lwin = []  # [start, end, last_stage_name, first_stage_name]
     for s in done:
         if lwin and s["sub"] <= lwin[-1][1]:
@@ -128,6 +119,8 @@ def parse_log(log_dir: str) -> dict:
                 lwin[-1][1], lwin[-1][2] = s["comp"], s["name"]
         else:
             lwin.append([s["sub"], s["comp"], s["name"], s["name"]])
+    covered = sum(b - a for a, b, _, _ in lwin)
+    total = (app_end - app_start) if app_start and app_end else None
     gaps = []
     prev_end, prev_label = app_start, "app_start"
     for a, b, last, first in lwin:
