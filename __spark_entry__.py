@@ -113,6 +113,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_tool_latency": Q.q59_tool_latency,
         # temperature-based source mixing (pre-training mix allocation)
         "q60_temperature_mix": Q.q60_temperature_mix,
+        # per-cluster cohesion diagnostics (chain-link detector)
+        "q61_cluster_cohesion": Q.q61_cluster_cohesion,
     }
 
 
@@ -1339,5 +1341,51 @@ def oracle_sql() -> dict[str, str]:
                CAST(coalesce(a.n_sampled, 0) AS BIGINT) AS n_sampled
         FROM rates r LEFT JOIN acc a ON r.source = a.source
         ORDER BY r.source
+    """
+    # q61: the q24 closure replayed WITH its edge scores -- per-cluster
+    # cohesion (weakest/total edge jaccard as integer e4, density).
+    oracles["q61_cluster_cohesion"] = f"""
+        WITH RECURSIVE g AS (
+            SELECT CAST(doc_id AS VARCHAR) AS id, {grams3} AS grams FROM documents
+        ), x AS (
+            SELECT id, unnest(grams) AS gram FROM g
+        ), inter AS (
+            SELECT l.id AS a, r.id AS b, count(*) AS i
+            FROM x l JOIN x r ON l.gram = r.gram AND l.id < r.id
+            GROUP BY 1, 2
+        ), sz AS (
+            SELECT id, len(grams) AS n FROM g
+        ), scored AS (
+            SELECT a, b, i / CAST(sa.n + sb.n - i AS DOUBLE) AS j
+            FROM inter
+            JOIN sz sa ON inter.a = sa.id
+            JOIN sz sb ON inter.b = sb.id
+            WHERE i / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.7
+        ), sym AS (
+            SELECT a, b FROM scored UNION ALL SELECT b AS a, a AS b FROM scored
+        ), cc(id, lbl) AS (
+            SELECT DISTINCT a, a FROM sym
+            UNION
+            SELECT s.b, cc.lbl FROM cc JOIN sym s ON cc.id = s.a
+        ), labels AS (
+            SELECT id, min(lbl) AS cluster_id FROM cc GROUP BY id
+        ), e AS (
+            SELECT l.cluster_id, CAST(round(s.j * 10000) AS BIGINT) AS j_e4
+            FROM scored s JOIN labels l ON s.a = l.id
+        ), per_edge AS (
+            SELECT cluster_id, count(*) AS n_edges,
+                   min(j_e4) AS min_j_e4,
+                   CAST(sum(j_e4) AS BIGINT) AS sum_j_e4
+            FROM e GROUP BY cluster_id
+        ), sizes AS (
+            SELECT cluster_id, count(*) AS cluster_size
+            FROM labels GROUP BY cluster_id HAVING count(*) > 1
+        )
+        SELECT s.cluster_id, s.cluster_size, p.n_edges,
+               round(p.n_edges / (s.cluster_size * (s.cluster_size - 1) / 2.0), 4)
+                   AS edge_density,
+               p.min_j_e4, p.sum_j_e4
+        FROM sizes s JOIN per_edge p USING (cluster_id)
+        ORDER BY s.cluster_id
     """
     return oracles

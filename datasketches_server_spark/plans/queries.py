@@ -1307,3 +1307,51 @@ def q60_temperature_mix(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return temperature_mix(d, budget_frac=0.2, alpha=0.5).orderBy("source")
+
+
+def q61_cluster_cohesion(spark, sf_dir):
+    """Per-cluster cohesion diagnostics for the dedup clusters: size,
+    verified-edge count, edge density, and the weakest/average edge
+    jaccard (integer e4 sums so hashes cannot float-drift).  This is
+    the chain-linking detector: transitive closure happily merges A-B-C
+    where jaccard(A,C) < threshold, and a cluster whose min edge rides
+    the threshold with density << 1 is a chain, not a clique -- the
+    diagnostic a curation operator reads before trusting keeper
+    removal on a mega-cluster.  One pipeline pass; edges are labeled by
+    a broadcast join against the (conv_id, cluster_id) map and reduced
+    per cluster -- nothing corpus-scaled shuffles beyond the pipeline
+    itself."""
+    from .pipeline import dedup_pipeline
+
+    cfg = PipelineConfig(shingle=ShingleConfig(k=3))
+    t = transcripts_from_documents(spark, sf_dir)
+    res = dedup_pipeline(t, cfg)
+    lab = res.clusters.select(F.col("conv_id").alias("a"), "cluster_id")
+    e = res.edges.select("a", "b", F.round(F.col("jaccard") * 10000).cast("long").alias("j_e4"))
+    edges_labeled = e.join(F.broadcast(lab), "a")
+    per_edge = edges_labeled.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("n_edges"),
+        F.min("j_e4").alias("min_j_e4"),
+        F.sum("j_e4").alias("sum_j_e4"),
+    )
+    sizes = (
+        res.clusters.groupBy("cluster_id")
+        .agg(F.count("*").cast("long").alias("cluster_size"))
+        .where(F.col("cluster_size") > 1)
+    )
+    return (
+        sizes.join(per_edge, "cluster_id")
+        .select(
+            "cluster_id",
+            "cluster_size",
+            "n_edges",
+            F.round(
+                F.col("n_edges")
+                / (F.col("cluster_size") * (F.col("cluster_size") - 1) / 2.0),
+                4,
+            ).alias("edge_density"),
+            "min_j_e4",
+            "sum_j_e4",
+        )
+        .orderBy("cluster_id")
+    )
