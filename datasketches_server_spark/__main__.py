@@ -45,18 +45,65 @@ def load_config(path: str | None) -> PipelineConfig:
     )
 
 
-def main(argv: list[str] | None = None) -> int:
+def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> int:
+    # spark: pass an existing session (tests, notebooks) and main() will
+    # neither create nor stop one; spark-submit owns its own session.
     ap = argparse.ArgumentParser(prog="datasketches_server_spark")
     ap.add_argument("--input", help="transcripts parquet dir or table name")
     ap.add_argument("--workdir", required=True, help="checkpoint/lineage root")
     ap.add_argument("--config", help="engine config JSON")
     ap.add_argument("--synth-convs", type=int, help="generate a planted corpus instead of --input")
     ap.add_argument("--metrics", action="store_true", help="also emit sketch metric tables")
+    ap.add_argument(
+        "--batch-input",
+        help="NEW-batch transcripts parquet: absorb incrementally against the "
+        "completed runs named by --base-fps (daily-ingest mode; per-batch "
+        "work scales with the batch via the persisted band index)",
+    )
+    ap.add_argument(
+        "--base-fps",
+        help="comma-separated input fingerprints of the completed base runs, "
+        "oldest first (a full run prints its input_fp in the summary)",
+    )
+    ap.add_argument(
+        "--batch-fp",
+        help="fingerprint recorded for this batch (default: snapshot of --batch-input)",
+    )
     args = ap.parse_args(argv)
 
-    spark = SparkSession.builder.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    owns_session = spark is None
+    if owns_session:
+        spark = SparkSession.builder.getOrCreate()
+        spark.sparkContext.setLogLevel("WARN")
     cfg = load_config(args.config)
+
+    if args.batch_input:
+        if not args.base_fps:
+            ap.error("--batch-input requires --base-fps")
+        io = TableIO(spark, root="/")
+        batch = spark.read.parquet(args.batch_input)
+        batch_fp = args.batch_fp or io.snapshot_fingerprint(args.batch_input)
+        runner = LineageRunner(spark, args.workdir, cfg)
+        out, stats = runner.run_incremental(
+            batch, input_fp=batch_fp, base_fps=args.base_fps.split(",")
+        )
+        print(
+            json.dumps(
+                {
+                    "mode": "incremental",
+                    "config_hash": cfg.config_hash(),
+                    "input_fp": batch_fp,
+                    "computed": stats.computed,
+                    "skipped": stats.skipped,
+                    "n_batch_convs": batch.select("conv_id").distinct().count(),
+                    "n_convs_total": out["conv_state"].count(),
+                    "n_clusters": out["clusters"].select("cluster_id").distinct().count(),
+                }
+            )
+        )
+        if owns_session:
+            spark.stop()
+        return 0
 
     if args.synth_convs:
         transcripts = synth_transcripts(spark, n_convs=args.synth_convs, seed=cfg.minhash.seed)
@@ -76,6 +123,7 @@ def main(argv: list[str] | None = None) -> int:
     out, stats = runner.run(transcripts, input_fp=input_fp)
     summary = {
         "config_hash": cfg.config_hash(),
+        "input_fp": input_fp,  # pass as --base-fps to later --batch-input runs
         "computed": stats.computed,
         "skipped": stats.skipped,
         # skew observability (no-silent-caps): star_buckets fell back to
@@ -98,7 +146,8 @@ def main(argv: list[str] | None = None) -> int:
             "approx_clusters": int(row["approx_clusters"]),
         }
     print(json.dumps(summary))
-    spark.stop()
+    if owns_session:
+        spark.stop()
     return 0
 
 

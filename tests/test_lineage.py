@@ -277,3 +277,43 @@ def test_reset_stage(spark, workdir):
     runner.reset_stage("clusters")
     _, s = runner.run(t)
     assert s.computed == {"signatures": 0, "edges": 0, "labels": 0, "clusters": 1}
+
+
+def test_cli_full_then_incremental_batch(spark, tmp_path):
+    """__main__.main drives full-run + --batch-input incremental absorb
+    end-to-end: the batch summary reports batch-scaled conv counts and
+    the composed labeling covers the whole corpus."""
+    import json
+    from contextlib import redirect_stdout
+    from io import StringIO
+
+    from datasketches_server_spark.__main__ import main
+    from datasketches_server_spark.sources.synth import synth_transcripts
+
+    base = synth_transcripts(spark, n_convs=120, seed=5)
+    batch = synth_transcripts(spark, n_convs=30, seed=99)
+    base_p, batch_p = str(tmp_path / "base"), str(tmp_path / "batch")
+    base.write.parquet(base_p)
+    # distinct conv ids so the batch is genuinely new
+    batch.selectExpr(
+        "concat('nb-', conv_id) conv_id", "turn_idx", "role", "text", "tool", "ts"
+    ).write.parquet(batch_p)
+    wd = str(tmp_path / "wd")
+
+    def run(argv):
+        buf = StringIO()
+        with redirect_stdout(buf):
+            assert main(argv, spark=spark) == 0
+        return json.loads(buf.getvalue().strip().splitlines()[-1])
+
+    full = run(["--input", base_p, "--workdir", wd])
+    inc = run(
+        ["--batch-input", batch_p, "--workdir", wd,
+         "--base-fps", full["input_fp"], "--batch-fp", "day1"]
+    )
+    assert inc["mode"] == "incremental"
+    assert inc["n_batch_convs"] == 30
+    assert inc["n_convs_total"] == 150       # composed state covers all
+    # the new batch's signature stage computed units (batch was banded)
+    assert any(k.startswith("sig") and v > 0 for k, v in inc["computed"].items()), inc
+    assert inc["n_clusters"] >= full["n_clusters"]  # labeling covers all
