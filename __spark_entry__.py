@@ -115,6 +115,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_temperature_mix": Q.q60_temperature_mix,
         # per-cluster cohesion diagnostics (chain-link detector)
         "q61_cluster_cohesion": Q.q61_cluster_cohesion,
+        # temporal near-dup leakage (dedup-window policy evidence)
+        "q62_temporal_leakage": Q.q62_temporal_leakage,
     }
 
 
@@ -1387,5 +1389,40 @@ def oracle_sql() -> dict[str, str]:
                p.min_j_e4, p.sum_j_e4
         FROM sizes s JOIN per_edge p USING (cluster_id)
         ORDER BY s.cluster_id
+    """
+    # q62: the exact pair set + conv start days (min ts per conv from
+    # the same transcript derivation), bucketed by day distance.
+    oracles["q62_temporal_leakage"] = f"""
+        WITH tr AS ({transcripts_from_documents_sql()}),
+        days AS (
+            SELECT conv_id, CAST(min(ts) AS DATE) AS day FROM tr GROUP BY conv_id
+        ), g AS (
+            SELECT CAST(doc_id AS VARCHAR) AS id, {grams3} AS grams FROM documents
+        ), x AS (
+            SELECT id, unnest(grams) AS gram FROM g
+        ), inter AS (
+            SELECT l.id AS a, r.id AS b, count(*) AS i
+            FROM x l JOIN x r ON l.gram = r.gram AND l.id < r.id
+            GROUP BY 1, 2
+        ), sz AS (
+            SELECT id, len(grams) AS n FROM g
+        ), scored AS (
+            SELECT a, b FROM inter
+            JOIN sz sa ON inter.a = sa.id
+            JOIN sz sb ON inter.b = sb.id
+            WHERE i / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.7
+        ), e AS (
+            SELECT abs(date_diff('day', db.day, da.day)) AS day_diff
+            FROM scored s
+            JOIN days da ON s.a = da.conv_id
+            JOIN days db ON s.b = db.conv_id
+        )
+        SELECT CASE WHEN day_diff = 0 THEN 'same_day'
+                    WHEN day_diff <= 7 THEN 'within_week'
+                    ELSE 'later' END AS window,
+               count(*) AS n_pairs,
+               CAST(sum(day_diff) AS BIGINT) AS sum_day_diff,
+               CAST(max(day_diff) AS BIGINT) AS max_day_diff
+        FROM e GROUP BY 1 ORDER BY 1
     """
     return oracles

@@ -1355,3 +1355,46 @@ def q61_cluster_cohesion(spark, sf_dir):
         )
         .orderBy("cluster_id")
     )
+
+
+def q62_temporal_leakage(spark, sf_dir):
+    """Temporal near-dup leakage: verified >=0.7-jaccard pairs bucketed
+    by the day distance between the two conversations' start timestamps
+    (same_day = retry/duplicate ingest; within_week = recrawl;
+    later = long-range template reuse).  The ts policy question a
+    dedup-window operator answers before deciding how much history each
+    incremental batch must be banded against.  Conv start days reduce
+    to a narrow (conv_id, day) dim broadcast onto the pair list; integer
+    day-diff sums keep the hash float-free."""
+    from .pipeline import dedup_pipeline
+
+    cfg = PipelineConfig(shingle=ShingleConfig(k=3))
+    t = transcripts_from_documents(spark, sf_dir)
+    res = dedup_pipeline(t, cfg)
+    days = t.groupBy("conv_id").agg(F.to_date(F.min("ts")).alias("day"))
+    e = (
+        res.edges.select("a", "b")
+        .join(
+            F.broadcast(days.select(F.col("conv_id").alias("a"), F.col("day").alias("day_a"))),
+            "a",
+        )
+        .join(
+            F.broadcast(days.select(F.col("conv_id").alias("b"), F.col("day").alias("day_b"))),
+            "b",
+        )
+        .withColumn("day_diff", F.abs(F.datediff("day_a", "day_b")).cast("long"))
+    )
+    bucket = (
+        F.when(F.col("day_diff") == 0, "same_day")
+        .when(F.col("day_diff") <= 7, "within_week")
+        .otherwise("later")
+    )
+    return (
+        e.groupBy(bucket.alias("window"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("day_diff").alias("sum_day_diff"),
+            F.max("day_diff").alias("max_day_diff"),
+        )
+        .orderBy("window")
+    )
