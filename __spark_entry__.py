@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_kll_cdf_pmf_contract": Q.q34_kll_cdf_pmf_contract,
         "q35_theta_jaccard_segments": Q.q35_theta_jaccard_segments,
         "q36_theta_jaccard_contract": Q.q36_theta_jaccard_contract,
+        "q63_theta_setops_contract": Q.q63_theta_setops_contract,
         "q17_reservoir_sample": Q.q17_reservoir_sample,
         "q18_varopt_sample": Q.q18_varopt_sample,
         "q19_cms_heavy_hitters": Q.q19_cms_heavy_hitters,
@@ -79,6 +80,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "q30_cosine_topk": Q.q30_cosine_topk,
         "q31_ann_lsh_cosine": Q.q31_ann_lsh_cosine,
+        "q64_ivf_recall_contract": Q.q64_ivf_recall_contract,
+        "q65_lsh_band_planner": Q.q65_lsh_band_planner,
         "q32_bow_cosine_near_dups": Q.q32_bow_cosine_near_dups,
         "q33_embedding_lsh_near_dups": Q.q33_embedding_lsh_near_dups,
         # curation family (operators/curation.py)
@@ -374,6 +377,22 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN inter i ON pr.pa = i.pa AND pr.pb = i.pb
             ORDER BY 1, 2
         """,
+        "q63_theta_setops_contract": """
+            WITH s AS (
+                SELECT DISTINCT o_orderpriority AS p, o_custkey AS c
+                FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+            )
+            SELECT count(*) FILTER (p = '1-URGENT') AS n_urgent,
+                   count(*) FILTER (p = '5-LOW') AS n_low,
+                   count(*) - count(DISTINCT c) AS n_both,
+                   count(DISTINCT c) AS n_union,
+                   count(*) FILTER (p = '1-URGENT')
+                     - (count(*) - count(DISTINCT c)) AS n_urgent_only,
+                   TRUE AS union_ok,
+                   TRUE AS both_ok,
+                   TRUE AS diff_ok
+            FROM s
+        """,
         "q14_exact_percentiles": """
             SELECT event_type,
                    round(quantile_cont(value, 0.5), 4) AS p50,
@@ -573,6 +592,43 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(embedding::DOUBLE[], qe), 4) AS cosine
             FROM embeddings, q WHERE vec_id <> 0
             ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
+        "q64_ivf_recall_contract": """
+            SELECT count(*) AS n_queries, 10 AS k,
+                   TRUE AS mean_recall_ok, TRUE AS min_recall_ok
+            FROM embeddings WHERE vec_id % 25 = 0
+        """,
+        "q65_lsh_band_planner": """
+            WITH f(bands, nrows) AS (VALUES (128,1),(64,2),(32,4),(16,8),
+                                            (8,16),(4,32),(2,64),(1,128)),
+            t(threshold) AS (VALUES (0.5),(0.6),(0.7),(0.8),(0.9)),
+            g AS (
+                SELECT bands, nrows, threshold,
+                       pow(1.0/bands, 1.0/nrows) AS s50,
+                       1.0 - pow(1.0 - pow(threshold, nrows), bands) AS p_catch
+                FROM f CROSS JOIN t
+            ),
+            bal AS (
+                SELECT threshold, CAST(bands AS BIGINT) AS bal_bands,
+                       CAST(nrows AS BIGINT) AS bal_rows,
+                       CAST(round(s50*10000) AS BIGINT) AS bal_s50_e4
+                FROM (SELECT *, row_number() OVER (PARTITION BY threshold
+                          ORDER BY abs(s50-threshold), nrows) AS rn FROM g)
+                WHERE rn = 1
+            ),
+            rec AS (
+                SELECT threshold, CAST(bands AS BIGINT) AS rec_bands,
+                       CAST(nrows AS BIGINT) AS rec_rows,
+                       CAST(round(p_catch*10000) AS BIGINT) AS rec_catch_e4
+                FROM (SELECT *, row_number() OVER (PARTITION BY threshold
+                          ORDER BY nrows DESC) AS rn FROM g WHERE p_catch >= 0.99)
+                WHERE rn = 1
+            )
+            SELECT CAST(round(bal.threshold*100) AS BIGINT) AS threshold_e2,
+                   bal_bands, bal_rows, bal_s50_e4,
+                   rec_bands, rec_rows, rec_catch_e4
+            FROM bal JOIN rec USING (threshold)
+            ORDER BY threshold_e2
         """,
         "q31_ann_lsh_cosine": f"""
             WITH {ann_codes},
@@ -1274,7 +1330,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE (CAST(conv_id AS BIGINT) * 31 + turn_idx) % 13 <> 0
         ), m AS (
             SELECT conv_id, turn_idx,
-                   CASE WHEN trim(text) = '' THEN 1 ELSE 0 END AS is_empty,
+                   CASE WHEN trim(coalesce(text, '')) = '' THEN 1 ELSE 0 END AS is_empty,
                    CASE WHEN lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) = role
                         THEN 1 ELSE 0 END AS same_role
             FROM p

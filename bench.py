@@ -62,12 +62,17 @@ def _quick_ceiling() -> tuple[float, float]:
       re-measured 24.3 s on the same corpus that its round-3 record
       shows at 15.4 s while every ceiling probe read quiet.  Cross-round
       comparisons must normalize by this marker or A/B both codes in
-      the same epoch."""
-    from tools.cpu_ceiling import probe as cpu_probe
+      the same epoch.
 
-    r = cpu_probe(levels=(2, 8), secs_per_rep=1.0, repeats=2)
-    abs_wall = r["levels"][2]["mean_proc_wall"] / r["reps"] * 1000.0
-    return r["efficiency_ceiling_2to8"], round(abs_wall, 4)
+    Round-5: probe_median (3 s kernels, median process wall, ratios from
+    time-adjacent level pairs) replaces the single/mean-sample probe --
+    the old estimator read 0.65-1.46 back-to-back on an IDLE box (one
+    scheduler-stalled process among k=2's two samples swings the mean
+    25%), which failed certification in genuinely quiet epochs."""
+    from tools.cpu_ceiling import probe_median as cpu_probe
+
+    r = cpu_probe(levels=(2, 8), secs_per_rep=3.0, repeats=3)
+    return r["efficiency_ceiling_2to8"], r["abs_wall_per_krep"]
 
 
 def main() -> None:

@@ -27,7 +27,7 @@ from pyspark.sql import SparkSession
 from datasketches_server_spark.config import LshConfig, MinHashConfig, PipelineConfig, ShingleConfig, SketchConfig
 from datasketches_server_spark.plans.lineage import LineageRunner
 from datasketches_server_spark.plans.metrics import cluster_metrics, global_rollup, shingle_metrics, simscore_metrics
-from datasketches_server_spark.sources.io import TableIO
+from datasketches_server_spark.sources.io import path_fingerprint
 from datasketches_server_spark.sources.synth import synth_transcripts
 
 
@@ -52,6 +52,14 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     ap.add_argument("--input", help="transcripts parquet dir or table name")
     ap.add_argument("--workdir", required=True, help="checkpoint/lineage root")
     ap.add_argument("--config", help="engine config JSON")
+    ap.add_argument(
+        "--threshold", type=float,
+        help="target Jaccard threshold: derives (bands, rows) via the "
+        "recall-floor rule (functions/lsh_planner.py, catch probability "
+        ">= 0.99 at the threshold) instead of the shipped default -- "
+        "equivalent to hand-writing the planned lsh block in --config, "
+        "and rejected if --config also sets lsh (one source of truth)",
+    )
     ap.add_argument("--synth-convs", type=int, help="generate a planted corpus instead of --input")
     ap.add_argument("--metrics", action="store_true", help="also emit sketch metric tables")
     ap.add_argument(
@@ -69,6 +77,44 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         "--batch-fp",
         help="fingerprint recorded for this batch (default: snapshot of --batch-input)",
     )
+    ap.add_argument(
+        "--compact",
+        action="store_true",
+        help="maintenance mode: fold the incremental chain named by "
+        "--base-fps (oldest first) into ONE consolidated snapshot named "
+        "--compact-fp; later --batch-input runs pass --base-fps "
+        "<compact-fp> and read one stage per store instead of the chain. "
+        "Periodic, heavyweight (rewrites O(corpus) once), idempotent.",
+    )
+    ap.add_argument(
+        "--compact-fp",
+        default="compacted_1",
+        help="snapshot name the compacted chain is written under (must be "
+        "a FRESH name, not a member of --base-fps; rotate compacted_1 -> "
+        "compacted_2 -> ... on later compactions)",
+    )
+    ap.add_argument(
+        "--compact-windows",
+        action="store_true",
+        help="maintenance mode: fold the ExactSubstr window-index delta "
+        "chain (--base-fps, oldest first; 'base' for the bootstrap) under "
+        "--workdir into one snapshot named --compact-fp "
+        "(plans/window_index.compact_window_chain)",
+    )
+    ap.add_argument(
+        "--window", type=int, default=8,
+        help="token window size of the index being compacted",
+    )
+    ap.add_argument(
+        "--compact-metrics",
+        help="maintenance mode: fold the sketch-metrics append log at this "
+        "path through --through-epoch into one base row per key "
+        "(streaming/incremental.compact_metrics)",
+    )
+    ap.add_argument(
+        "--through-epoch", type=int,
+        help="highest epoch folded by --compact-metrics",
+    )
     args = ap.parse_args(argv)
 
     owns_session = spark is None
@@ -76,13 +122,74 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         spark = SparkSession.builder.getOrCreate()
         spark.sparkContext.setLogLevel("WARN")
     cfg = load_config(args.config)
+    if args.threshold is not None:
+        import dataclasses
+
+        from datasketches_server_spark.functions.lsh_planner import planned_lsh_config
+
+        if args.config:
+            with open(args.config) as f:
+                if "lsh" in json.load(f):
+                    ap.error("--threshold and a --config lsh block both set "
+                             "the band plan; pick one")
+        cfg = dataclasses.replace(cfg, lsh=planned_lsh_config(args.threshold))
+
+    if args.compact_windows:
+        if not args.base_fps:
+            ap.error("--compact-windows requires --base-fps (the chain to fold)")
+        from datasketches_server_spark.plans.window_index import compact_window_chain
+
+        fps = args.base_fps.split(",")
+        if args.compact_fp in fps:
+            ap.error("--compact-fp must be a fresh snapshot name, not a chain member")
+        out_fp = compact_window_chain(
+            spark, args.workdir, window=args.window, chain=fps, out_fp=args.compact_fp
+        )
+        print(json.dumps({"mode": "compact-windows", "chain": fps, "input_fp": out_fp}))
+        if owns_session:
+            spark.stop()
+        return 0
+
+    if args.compact_metrics:
+        if args.through_epoch is None:
+            ap.error("--compact-metrics requires --through-epoch")
+        from datasketches_server_spark.streaming.incremental import compact_metrics
+
+        stats = compact_metrics(spark, args.compact_metrics, args.through_epoch)
+        print(json.dumps({"mode": "compact-metrics", **stats}))
+        if owns_session:
+            spark.stop()
+        return 0
+
+    if args.compact:
+        if not args.base_fps:
+            ap.error("--compact requires --base-fps (the chain to fold)")
+        fps = args.base_fps.split(",")
+        if args.compact_fp in fps:
+            ap.error("--compact-fp must be a fresh snapshot name, not a chain member")
+        runner = LineageRunner(spark, args.workdir, cfg)
+        counts = runner.compact_chain(fps, args.compact_fp)
+        print(
+            json.dumps(
+                {
+                    "mode": "compact",
+                    "config_hash": cfg.config_hash(),
+                    "chain": fps,
+                    # pass as --base-fps to later --batch-input runs
+                    "input_fp": args.compact_fp,
+                    "counts": counts,
+                }
+            )
+        )
+        if owns_session:
+            spark.stop()
+        return 0
 
     if args.batch_input:
         if not args.base_fps:
             ap.error("--batch-input requires --base-fps")
-        io = TableIO(spark, root="/")
         batch = spark.read.parquet(args.batch_input)
-        batch_fp = args.batch_fp or io.snapshot_fingerprint(args.batch_input)
+        batch_fp = args.batch_fp or path_fingerprint(args.batch_input)
         runner = LineageRunner(spark, args.workdir, cfg)
         out, stats = runner.run_incremental(
             batch, input_fp=batch_fp, base_fps=args.base_fps.split(",")
@@ -109,13 +216,16 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         transcripts = synth_transcripts(spark, n_convs=args.synth_convs, seed=cfg.minhash.seed)
         input_fp = f"synth:{args.synth_convs}:{cfg.minhash.seed}"
     elif args.input:
-        io = TableIO(spark, root="/")
         transcripts = (
             spark.read.table(args.input)
             if "." in args.input and not args.input.startswith("/")
             else spark.read.parquet(args.input)
         )
-        input_fp = io.snapshot_fingerprint(args.input) if args.input.startswith("/") else args.input
+        input_fp = (
+            path_fingerprint(args.input)
+            if not ("." in args.input and not args.input.startswith("/"))
+            else args.input
+        )
     else:
         ap.error("--input or --synth-convs required")
 

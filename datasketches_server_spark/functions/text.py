@@ -86,9 +86,13 @@ def quality_score(col: Column) -> Column:
 
 
 def lang_id(col: Column) -> Column:
-    """Tiny n-gram-free language heuristic: 'en' if the English stopword
-    ratio clears 8%, 'und' otherwise.  (Real models are out of scope for
-    this container; the interface point is what matters.)"""
+    """ENGLISH-LIKELIHOOD GATE, not a true language classifier: 'en' if
+    the English stopword ratio clears 8%, 'und' otherwise.  A real
+    multi-language LID (fastText / CLD3 class) needs trained models --
+    external data this environment excludes -- so this is a documented
+    substitution (README substitution table): the curation-pipeline
+    interface point (q23 thresholds on it) with exact DuckDB
+    replayability, honest about what it measures."""
     return F.when(stopword_ratio(col) >= 0.08, F.lit("en")).otherwise(F.lit("und"))
 
 

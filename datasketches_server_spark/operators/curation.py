@@ -351,7 +351,12 @@ def structure_audit(
         F.col(conv_col).alias("conv_id"),
         F.col(idx_col).alias("turn_idx"),
         F.col(role_col).alias("role"),
-        (F.trim(F.col(text_col)) == "").cast("long").alias("is_empty"),
+        # coalesce first: NULL text is exactly the malformed input this
+        # gate exists to catch, and (trim(NULL) == '') is NULL, which a
+        # bare cast would count as 0 instead of empty
+        (F.trim(F.coalesce(F.col(text_col), F.lit(""))) == "")
+        .cast("long")
+        .alias("is_empty"),
     ).withColumn("same_role", (F.col("role") == F.lag("role").over(w)).cast("long"))
     return m.groupBy("conv_id").agg(
         F.count("*").cast("long").alias("n_turns"),

@@ -56,12 +56,28 @@ __all__ = [
 
 
 def _turn_hashes(transcripts: DataFrame) -> DataFrame:
-    """(conv_id, turn_idx, ph) with the position baked into the hash."""
+    """(conv_id, pos, ph) with the NORMALIZED position baked into the hash.
+
+    ``pos = row_number() over (conv_id order by turn_idx) - 1``: the
+    prefix relation is about ordered slices, so positions are rank under
+    the stable (conv_id, turn_idx) ordering, not raw turn_idx values --
+    conversations with gapped or non-zero-based indices (exactly what
+    structure_audit flags) compare by their k-th turns, matching the
+    documented semantics.  For contiguous 0-based corpora pos == turn_idx
+    and results are unchanged.
+    """
+    pos = F.row_number().over(
+        Window.partitionBy("conv_id").orderBy("turn_idx")
+    ) - F.lit(1)
     return transcripts.select(
         "conv_id",
-        "turn_idx",
+        pos.alias("pos"),
+        "text",
+    ).select(
+        "conv_id",
+        "pos",
         md5_long60(
-            F.concat_ws(":", F.col("turn_idx").cast("string"), F.col("text"))
+            F.concat_ws(":", F.col("pos").cast("string"), F.col("text"))
         ).alias("ph"),
     )
 
@@ -75,33 +91,33 @@ def turn_prefix_candidates(transcripts: DataFrame) -> DataFrame:
     """
     h = _turn_hashes(transcripts)
     conv = Window.partitionBy("conv_id")
-    ordered = conv.orderBy("turn_idx").rowsBetween(
+    ordered = conv.orderBy("pos").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     rows = h.select(
         "conv_id",
-        "turn_idx",
+        "pos",
         F.expr("bit_xor(ph)").over(ordered).alias("cum"),
-        F.min(F.when(F.col("turn_idx") == 0, F.col("ph"))).over(conv).alias("h0"),
+        F.min(F.when(F.col("pos") == 0, F.col("ph"))).over(conv).alias("h0"),
         F.count("*").over(conv).alias("n_turns"),
     )
     # whole-conv summaries = the last running-hash row of each conv
-    summaries = rows.where(F.col("turn_idx") == F.col("n_turns") - 1).select(
+    summaries = rows.where(F.col("pos") == F.col("n_turns") - 1).select(
         F.col("conv_id").alias("prefix_conv_id"),
         F.col("n_turns").alias("prefix_turns"),
         F.col("h0"),
         F.col("cum"),
-        (F.col("n_turns") - 1).alias("turn_idx"),
+        (F.col("n_turns") - 1).alias("pos"),
     )
     supers = rows.select(
         F.col("conv_id").alias("super_conv_id"),
         F.col("n_turns").alias("super_turns"),
         "h0",
         "cum",
-        "turn_idx",
+        "pos",
     )
     return (
-        summaries.join(supers, ["h0", "cum", "turn_idx"])
+        summaries.join(supers, ["h0", "cum", "pos"])
         .where(
             (F.col("prefix_conv_id") != F.col("super_conv_id"))
             & (
@@ -127,26 +143,30 @@ def turn_prefix_candidates(transcripts: DataFrame) -> DataFrame:
 def verify_prefix_pairs(candidates: DataFrame, transcripts: DataFrame) -> DataFrame:
     """Exact text verification of candidate pairs.
 
-    Joins the prefix conv's turns against the super conv's same-index
-    turns and keeps a pair only when every one of the ``prefix_turns``
-    positions matches exactly -- cost is candidates x prefix length
-    (LSH-verify shape), and the turn join is an equi-join on
-    (conv_id, turn_idx) so text never fans out.
+    Joins the prefix conv's turns against the super conv's same-POSITION
+    turns (rank under the stable (conv_id, turn_idx) ordering, matching
+    the candidate hashes) and keeps a pair only when every one of the
+    ``prefix_turns`` positions matches exactly -- cost is candidates x
+    prefix length (LSH-verify shape), and the turn join is an equi-join
+    on (conv_id, pos) so text never fans out.
     """
-    t = transcripts.select("conv_id", "turn_idx", "text")
+    pos = F.row_number().over(
+        Window.partitionBy("conv_id").orderBy("turn_idx")
+    ) - F.lit(1)
+    t = transcripts.select("conv_id", pos.alias("pos"), "text")
     a = t.select(
         F.col("conv_id").alias("prefix_conv_id"),
-        "turn_idx",
+        "pos",
         F.col("text").alias("text_a"),
     )
     b = t.select(
         F.col("conv_id").alias("super_conv_id"),
-        "turn_idx",
+        "pos",
         F.col("text").alias("text_b"),
     )
     matched = (
         candidates.join(a, "prefix_conv_id")
-        .join(b, ["super_conv_id", "turn_idx"])
+        .join(b, ["super_conv_id", "pos"])
         .groupBy(
             "prefix_conv_id",
             "super_conv_id",

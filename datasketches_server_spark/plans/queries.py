@@ -33,6 +33,72 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# ------------------------------------------------ dedup-pipeline memo
+# Seven registered queries (q24/q37/q38/q55/q56/q61/q62) are diagnostics
+# over the SAME signatures->LSH->verify->CC pass at the same config; each
+# rebuilding it made a correctness sweep (or a real diagnostic session)
+# pay the pipeline ~7x.  The memo is session-scoped -- keyed by Spark
+# applicationId + corpus dir + subset + config hash -- and bounded: stale
+# applications are dropped, and past _DEDUP_MEMO_MAX entries the oldest
+# DedupResult is explicitly unpersisted before eviction.  Per query the
+# plan is unchanged (the first caller builds exactly what it always
+# built); only repeat invocations in one session are free.
+
+_DEDUP_MEMO: dict = {}
+_DEDUP_MEMO_BUILDS: int = 0  # pipeline executions; asserted by tests
+_DEDUP_MEMO_MAX = 4
+
+
+def documents_dedup_result(spark: SparkSession, sf_dir: str, subset: str | None = None):
+    """Memoized full LSH+CC dedup over documents-as-transcripts.
+
+    subset=None: the whole corpus (q24 family).  subset='old80': the
+    ~80% conv-id-hash split q37 bootstraps its incremental batch against.
+    """
+    global _DEDUP_MEMO_BUILDS
+    from .pipeline import dedup_pipeline
+
+    cfg = PipelineConfig(shingle=ShingleConfig(k=3))
+    import os
+
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        subset,
+        cfg.config_hash(),
+    )
+    res = _DEDUP_MEMO.get(key)
+    if res is not None:
+        return res
+    t = transcripts_from_documents(spark, sf_dir)
+    if subset == "old80":
+        t = t.where(~(F.pmod(F.xxhash64("conv_id"), F.lit(5)) == 0))
+    elif subset is not None:
+        raise ValueError(f"unknown subset {subset!r}")
+    res = dedup_pipeline(t, cfg)
+    _DEDUP_MEMO_BUILDS += 1
+    for k in [k for k in _DEDUP_MEMO if k[0] != key[0]]:
+        _DEDUP_MEMO.pop(k)  # dead session: its persisted blocks are gone
+    while len(_DEDUP_MEMO) >= _DEDUP_MEMO_MAX:
+        oldest = next(iter(_DEDUP_MEMO))
+        try:
+            _DEDUP_MEMO.pop(oldest).unpersist()
+        except Exception:
+            pass
+    _DEDUP_MEMO[key] = res
+    return res
+
+
+def clear_dedup_memo() -> None:
+    """Unpersist and drop every memoized DedupResult (sweep teardown)."""
+    for res in _DEDUP_MEMO.values():
+        try:
+            res.unpersist()
+        except Exception:
+            pass
+    _DEDUP_MEMO.clear()
+
+
 # --------------------------------------------------------------- relational
 
 def q01_pricing_summary(spark, sf_dir):
@@ -393,6 +459,70 @@ def q36_theta_jaccard_contract(spark, sf_dir):
     )
 
 
+def q63_theta_setops_contract(spark, sf_dir):
+    """Round-5 (verdict r4 #5): q12's theta intersection/difference as a
+    WITHIN-BOUNDS CONTRACT that survives the estimation regime.  q12's
+    oracle is exact only while both priority segments stay sub-nominal
+    (< 2^12); scaling the fixture past that would silently break it.
+    Following the q36 pattern, Spark emits the exact set algebra
+    (replayable by DuckDB) plus booleans asserting each sketch estimate
+    -- union, intersection, AND difference -- lands within 3 sigma.
+
+    Bound: theta intersection/difference estimates err relative to the
+    UNION cardinality (their retained samples are drawn at the union's
+    theta), RSE <= 1/sqrt(2^lg_k - 1); +-2 absolute slack covers
+    exact-regime rounding.  lg_k=12 so the contract genuinely exercises
+    estimation mode once a segment passes 4096 distinct customers."""
+    import math
+
+    lg_k = 12
+    tol = 3.0 / math.sqrt(2**lg_k - 1)
+    o = _t(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderpriority") == "1-URGENT").agg(
+        F.theta_sketch_agg("o_custkey", lg_k).alias("s")
+    )
+    b = o.where(F.col("o_orderpriority") == "5-LOW").agg(
+        F.theta_sketch_agg("o_custkey", lg_k).alias("s2")
+    )
+    est = a.crossJoin(b).select(
+        # pass lg_k or theta_union silently downsamples to 4096 nominal
+        F.theta_sketch_estimate(F.theta_union("s", "s2", lg_k)).alias("union_est"),
+        F.theta_sketch_estimate(F.theta_intersection("s", "s2")).alias("both_est"),
+        F.theta_sketch_estimate(F.theta_difference("s", "s2")).alias("diff_est"),
+    )
+    # exact set algebra, all native narrow (priority, custkey) rows
+    s = (
+        o.where(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(F.col("o_orderpriority").alias("p"), F.col("o_custkey").alias("c"))
+        .distinct()
+    )
+    exact = s.agg(
+        F.countDistinct(F.when(F.col("p") == "1-URGENT", F.col("c"))).alias("n_urgent"),
+        F.countDistinct(F.when(F.col("p") == "5-LOW", F.col("c"))).alias("n_low"),
+        (F.count("*") - F.countDistinct("c")).cast("long").alias("n_both"),
+        F.countDistinct("c").cast("long").alias("n_union"),
+    ).select(
+        "n_urgent",
+        "n_low",
+        "n_both",
+        "n_union",
+        (F.col("n_urgent") - F.col("n_both")).cast("long").alias("n_urgent_only"),
+    )
+    return exact.crossJoin(est).select(
+        "n_urgent",
+        "n_low",
+        "n_both",
+        "n_union",
+        "n_urgent_only",
+        (F.abs(F.col("union_est") - F.col("n_union")) <= F.col("n_union") * tol + 2)
+        .alias("union_ok"),
+        (F.abs(F.col("both_est") - F.col("n_both")) <= F.col("n_union") * tol + 2)
+        .alias("both_ok"),
+        (F.abs(F.col("diff_est") - F.col("n_urgent_only")) <= F.col("n_union") * tol + 2)
+        .alias("diff_ok"),
+    )
+
+
 def q17_reservoir_sample(spark, sf_dir):
     """op #7+#13: uniform sample with occurrence semantics (row key =
     event_id).  Oracle-able: the sample key is portable md5 arithmetic
@@ -523,11 +653,9 @@ def q23_lang_quality(spark, sf_dir):
 def q24_dedup_clusters_documents(spark, sf_dir):
     """Full LSH+CC dedup over documents-as-transcripts (rows-only: LSH
     banding + iterative connected components are not one-shot SQL)."""
-    from .pipeline import cluster_summary, dedup_pipeline
+    from .pipeline import cluster_summary
 
-    cfg = PipelineConfig(shingle=ShingleConfig(k=3))
-    t = transcripts_from_documents(spark, sf_dir)
-    res = dedup_pipeline(t, cfg)
+    res = documents_dedup_result(spark, sf_dir)
     return cluster_summary(res.clusters).where(F.col("cluster_size") > 1)
 
 
@@ -541,12 +669,12 @@ def q37_incremental_dedup_documents(spark, sf_dir):
     closure of the WHOLE corpus -- proving incremental == full == exact
     transitive closure on driver data, not just on pytest fixtures."""
     from ..operators.lsh import band_buckets
-    from .pipeline import cluster_summary, dedup_pipeline, incremental_dedup
+    from .pipeline import cluster_summary, incremental_dedup
 
     cfg = PipelineConfig(shingle=ShingleConfig(k=3))
     t = transcripts_from_documents(spark, sf_dir)
     is_new = F.pmod(F.xxhash64("conv_id"), F.lit(5)) == 0
-    old = dedup_pipeline(t.where(~is_new), cfg)
+    old = documents_dedup_result(spark, sf_dir, subset="old80")
     inc = incremental_dedup(
         old.conv_state,
         old.edges,
@@ -567,11 +695,7 @@ def q38_cluster_keeper_policy(spark, sf_dir):
     the ROUNDED quality so Spark and the oracle can never diverge on a
     1e-17 float tie; the oracle replays q24's exact closure + q23's
     quality formula + the same argmax."""
-    from .pipeline import dedup_pipeline
-
-    cfg = PipelineConfig(shingle=ShingleConfig(k=3))
-    t = transcripts_from_documents(spark, sf_dir)
-    res = dedup_pipeline(t, cfg)
+    res = documents_dedup_result(spark, sf_dir)
     d = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("conv_id"),
         F.round(TXT.quality_score(F.col("text")), 4).alias("quality"),
@@ -625,12 +749,8 @@ def q26_dup_spans(spark, sf_dir):
     pair list itself is the LSH pipeline's, proven exact by q24."""
     from ..operators.suffixarray import attach_dup_spans
     from ..functions.text import assemble_conversations
-    from .pipeline import dedup_pipeline
-
-    cfg = PipelineConfig(shingle=ShingleConfig(k=3))
-    t = transcripts_from_documents(spark, sf_dir)
-    res = dedup_pipeline(t, cfg)
-    convs = assemble_conversations(t)
+    res = documents_dedup_result(spark, sf_dir)
+    convs = assemble_conversations(transcripts_from_documents(spark, sf_dir))
     return (
         attach_dup_spans(res.edges.select("a", "b", "jaccard"), convs, unit="token")
         .select("a", "b", F.round("jaccard", 4).alias("jaccard"), "span_len",
@@ -753,6 +873,123 @@ def q31_ann_lsh_cosine(spark, sf_dir):
         e.where(F.col("vec_id") != 0), q, k=10,
         n_tables=24, n_bits=6, bucket_cap=128, probe_radius=1,
     ).select("query_id", "vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+def q64_ivf_recall_contract(spark, sf_dir):
+    """IVF ANN tier (r5) as a RECALL CONTRACT: queries = vec_id % 25 == 0,
+    IVF top-10 (16 lists, nprobe 12, 2 Lloyd iterations, hash-seeded
+    deterministic centroids) vs the exact cosine top-10, per-query recall
+    aggregated.  IVF assignments are float-argmax-dependent and so not
+    SQL-replayable; the oracle replays the exact counting (n_queries,
+    k) and asserts the recall booleans TRUE -- same contract style as
+    q36/q63.
+
+    Parameter honesty: the synthetic embeddings are ~ISOTROPIC
+    (within-label cosine 0.0016 vs 0.0003 across -- measured), the
+    coarse-quantizer worst case, so recall ~= nprobe/n_lists and the
+    contract must probe 12 of 16 lists to clear 0.85 mean (measured on
+    this implementation: mean 0.94, min 0.7 at sf0.01).  On clustered
+    real-corpus embeddings (the 100 TB case IVF exists for) nprobe <<
+    n_lists; both knobs are exposed and the LSH tier (q31) remains the
+    isotropic-data scale path."""
+    from ..operators.similarity import cosine_topk, ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 25 == 0)
+    exact = cosine_topk(e, q, k=10).select("query_id", "vec_id")
+    approx = ivf_topk(e, q, k=10, n_lists=16, nprobe=12, n_iters=2).select(
+        "query_id", F.col("vec_id").alias("vec_id_a")
+    )
+    per_q = (
+        exact.join(
+            approx,
+            (exact["query_id"] == approx["query_id"])
+            & (exact["vec_id"] == approx["vec_id_a"]),
+            "left",
+        )
+        .groupBy(exact["query_id"])
+        .agg(
+            F.count("*").alias("k"),
+            F.count("vec_id_a").alias("hits"),
+        )
+    )
+    return per_q.agg(
+        F.count("*").alias("n_queries"),
+        F.min("k").cast("long").alias("k"),
+        (F.avg(F.col("hits") / F.col("k")) >= 0.85).alias("mean_recall_ok"),
+        (F.min(F.col("hits") / F.col("k")) >= 0.5).alias("min_recall_ok"),
+    )
+
+
+def q65_lsh_band_planner(spark, sf_dir):
+    """LSH band-plan selection (r5, functions/lsh_planner.py): for each
+    target Jaccard threshold, choose (bands, rows) among the (b, r)
+    factorizations of the 128-perm signature under BOTH published rules
+    -- balanced (S-curve midpoint s50=(1/b)^(1/r) closest to the
+    threshold) and recall-first (largest rows whose catch probability
+    1-(1-t^r)^b still clears 0.99; fewest candidates = cheapest verify).
+    Closed-form S-curve arithmetic (MMDS ch.3), computed declaratively
+    over a literal 8x5 factorization x threshold grid, so the DuckDB
+    oracle replays it exactly.  At threshold 0.7 the recall rule derives
+    (32, 4) -- the engine's shipped default, proven optimal among the
+    128-perm factorizations rather than hand-chosen.  Planning cost is
+    independent of corpus size: only the chosen LshConfig ships to the
+    100 TB job."""
+    from ..functions.lsh_planner import factorizations
+
+    f = spark.createDataFrame(factorizations(128), "bands int, nrows int")
+    t = spark.createDataFrame(
+        [(x,) for x in (0.5, 0.6, 0.7, 0.8, 0.9)], "threshold double"
+    )
+    g = (
+        f.crossJoin(t)  # 8 x 5 literal rows: a config grid, not data
+        .withColumn(
+            "s50", F.pow(F.lit(1.0) / F.col("bands"), F.lit(1.0) / F.col("nrows"))
+        )
+        .withColumn(
+            "p_catch",
+            F.lit(1.0)
+            - F.pow(F.lit(1.0) - F.pow("threshold", F.col("nrows")), F.col("bands")),
+        )
+    )
+    w_bal = Window.partitionBy("threshold").orderBy(
+        F.abs(F.col("s50") - F.col("threshold")), "nrows"
+    )
+    bal = (
+        g.withColumn("_rn", F.row_number().over(w_bal))
+        .where(F.col("_rn") == 1)
+        .select(
+            "threshold",
+            F.col("bands").cast("long").alias("bal_bands"),
+            F.col("nrows").cast("long").alias("bal_rows"),
+            F.round(F.col("s50") * 10000).cast("long").alias("bal_s50_e4"),
+        )
+    )
+    w_rec = Window.partitionBy("threshold").orderBy(F.desc("nrows"))
+    rec = (
+        g.where(F.col("p_catch") >= 0.99)
+        .withColumn("_rn", F.row_number().over(w_rec))
+        .where(F.col("_rn") == 1)
+        .select(
+            "threshold",
+            F.col("bands").cast("long").alias("rec_bands"),
+            F.col("nrows").cast("long").alias("rec_rows"),
+            F.round(F.col("p_catch") * 10000).cast("long").alias("rec_catch_e4"),
+        )
+    )
+    return (
+        bal.join(rec, "threshold")
+        .select(
+            F.round(F.col("threshold") * 100).cast("long").alias("threshold_e2"),
+            "bal_bands",
+            "bal_rows",
+            "bal_s50_e4",
+            "rec_bands",
+            "rec_rows",
+            "rec_catch_e4",
+        )
+        .orderBy("threshold_e2")
+    )
 
 
 # ------------------------------------------------------- curation family
@@ -1046,20 +1283,28 @@ def q52_incremental_exactsubstr_coverage(spark, sf_dir):
     on driver data, not just on pytest fixtures.  (Scale tier: wkey =
     xxhash64; collision-free at any testable corpus size, and both the
     incremental and full paths share collision behavior by design.)"""
+    import shutil
     import tempfile
 
     from . import window_index as WI
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     is_new = F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(5)) == 0
+    # registry queries must be side-effect-free: build the index in a
+    # temp dir, materialize the result off it (localCheckpoint truncates
+    # the plan's parquet dependency), then remove the dir before return.
     wd = tempfile.mkdtemp(prefix="q52_windex_")
-    WI.write_window_index(docs.where(~is_new), wd)
-    WI.absorb_batch(spark, docs.where(is_new), wd, chain=["base"], batch_fp="b1")
-    return (
-        WI.read_coverage(spark, wd, chain=["base", "b1"])
-        .select(F.col("id").alias("doc_id"), "n_tokens", "dup_tokens", "dup_frac")
-        .orderBy("doc_id")
-    )
+    try:
+        WI.write_window_index(docs.where(~is_new), wd)
+        WI.absorb_batch(spark, docs.where(is_new), wd, chain=["base"], batch_fp="b1")
+        return (
+            WI.read_coverage(spark, wd, chain=["base", "b1"])
+            .select(F.col("id").alias("doc_id"), "n_tokens", "dup_tokens", "dup_frac")
+            .orderBy("doc_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
 
 
 def q53_gopher_quality(spark, sf_dir):
@@ -1147,11 +1392,7 @@ def q55_jaccard_threshold_sweep(spark, sf_dir):
     subsets), which is what lets the exact all-pairs oracle hash-match.
     sum_j_e4 accumulates round(jaccard*1e4) as an integer so the hash
     can never be flipped by float association order."""
-    from .pipeline import dedup_pipeline
-
-    cfg = PipelineConfig(shingle=ShingleConfig(k=3))
-    t = transcripts_from_documents(spark, sf_dir)
-    res = dedup_pipeline(t, cfg)
+    res = documents_dedup_result(spark, sf_dir)
     th = F.explode(F.array(*[F.lit(x) for x in SWEEP_THRESHOLDS])).alias("threshold")
     e = res.edges.select(
         F.col("a"), F.col("b"), F.col("jaccard"), th
@@ -1180,11 +1421,7 @@ def q56_cross_source_leakage(spark, sf_dir):
     edges from one pipeline pass; the (doc_id -> source) dim is tiny
     relative to the corpus and is broadcast to both sides of the pair
     join, so the only shuffle is the final 2-key agg."""
-    from .pipeline import dedup_pipeline
-
-    cfg = PipelineConfig(shingle=ShingleConfig(k=3))
-    t = transcripts_from_documents(spark, sf_dir)
-    res = dedup_pipeline(t, cfg)
+    res = documents_dedup_result(spark, sf_dir)
     src = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("id"), "source"
     )
@@ -1321,11 +1558,7 @@ def q61_cluster_cohesion(spark, sf_dir):
     a broadcast join against the (conv_id, cluster_id) map and reduced
     per cluster -- nothing corpus-scaled shuffles beyond the pipeline
     itself."""
-    from .pipeline import dedup_pipeline
-
-    cfg = PipelineConfig(shingle=ShingleConfig(k=3))
-    t = transcripts_from_documents(spark, sf_dir)
-    res = dedup_pipeline(t, cfg)
+    res = documents_dedup_result(spark, sf_dir)
     lab = res.clusters.select(F.col("conv_id").alias("a"), "cluster_id")
     e = res.edges.select("a", "b", F.round(F.col("jaccard") * 10000).cast("long").alias("j_e4"))
     edges_labeled = e.join(F.broadcast(lab), "a")
@@ -1366,11 +1599,8 @@ def q62_temporal_leakage(spark, sf_dir):
     incremental batch must be banded against.  Conv start days reduce
     to a narrow (conv_id, day) dim broadcast onto the pair list; integer
     day-diff sums keep the hash float-free."""
-    from .pipeline import dedup_pipeline
-
-    cfg = PipelineConfig(shingle=ShingleConfig(k=3))
+    res = documents_dedup_result(spark, sf_dir)
     t = transcripts_from_documents(spark, sf_dir)
-    res = dedup_pipeline(t, cfg)
     days = t.groupBy("conv_id").agg(F.to_date(F.min("ts")).alias("day"))
     e = (
         res.edges.select("a", "b")

@@ -80,16 +80,26 @@ class TableIO:
                                "ORDER BY committed_at DESC LIMIT 1").collect()
             )
             return str(row[0][0]) if row else "empty"
-        import hashlib
+        return path_fingerprint(self._path(name))
 
-        p = self._path(name)
-        if not os.path.isdir(p):
-            return "absent"
-        h = hashlib.sha256()
-        for f in sorted(os.listdir(p)):
-            st = os.stat(os.path.join(p, f))
-            h.update(f"{f}:{st.st_size}:{st.st_mtime_ns}".encode())
-        return h.hexdigest()[:16]
+
+def path_fingerprint(path: str) -> str:
+    """mtime+size digest of a parquet directory (lineage input_fp for a
+    filesystem path).  Use this for raw ``--batch-input`` paths instead of
+    routing them through ``TableIO.snapshot_fingerprint`` — a path is not a
+    catalog table name, and joining it onto a warehouse root mangles
+    relative paths (and, with Iceberg present, would issue
+    ``<path>.snapshots`` SQL against a directory)."""
+    import hashlib
+
+    p = os.path.abspath(path)
+    if not os.path.isdir(p):
+        return "absent"
+    h = hashlib.sha256()
+    for f in sorted(os.listdir(p)):
+        st = os.stat(os.path.join(p, f))
+        h.update(f"{f}:{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:16]
 
 
 TRANSCRIPT_SCHEMA = (

@@ -288,6 +288,50 @@ def make_near_dup_match_fn(
     return match_fn
 
 
+def near_dup_pairs_batch(batch: DataFrame, epoch_id: int, out_path: str) -> None:
+    """One micro-batch of candidate pairs, written EXACTLY-ONCE (verdict
+    r4 #7): same epoch-partitioned dynamic-overwrite pattern as
+    append_metrics_batch -- a Structured Streaming epoch RETRY
+    (foreachBatch is at-least-once) replaces its own partition instead
+    of appending replay duplicates.  Reader-side dropDuplicates remains
+    for the SEMANTIC duplicates (one pair surfacing from several band
+    buckets / epochs), but replay no longer inflates the log."""
+    (
+        batch.withColumn("epoch_id", F.lit(int(epoch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch_id")
+        .parquet(out_path)
+    )
+
+
+def near_dup_pairs_foreachBatch(pair_stream: DataFrame, out_path: str):
+    """writeStream.foreachBatch sink for streaming_near_dup_pairs output:
+    idempotent per epoch (see near_dup_pairs_batch)."""
+
+    def _sink(batch: DataFrame, epoch_id: int) -> None:
+        near_dup_pairs_batch(batch, epoch_id, out_path)
+
+    return pair_stream.writeStream.foreachBatch(_sink)
+
+
+def read_near_dup_pairs(spark: SparkSession, out_path: str) -> DataFrame:
+    """Query view over the pair sink: one row per (a, b) with the first
+    epoch that surfaced it and the best signature-agreement estimate.
+    Cross-epoch/cross-bucket duplicates of the SAME pair are legitimate
+    emissions (different band buckets fire independently); this is the
+    semantic dedup, distinct from the replay idempotence the epoch
+    overwrite already guarantees."""
+    return (
+        spark.read.parquet(out_path)
+        .groupBy("a", "b")
+        .agg(
+            F.max("est_jaccard").alias("est_jaccard"),
+            F.min("epoch_id").alias("first_epoch"),
+        )
+    )
+
+
 def verify_near_dup_pairs(
     pairs: DataFrame,
     conv_state: DataFrame,

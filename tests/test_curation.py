@@ -232,8 +232,12 @@ def test_structure_audit_planted(spark):
         ("dupidx", 0, "user", "a"), ("dupidx", 0, "assistant", "b"),
         ("roles", 0, "user", "a"), ("roles", 1, "user", "b"), ("roles", 2, "user", "c"),
         ("empty", 0, "user", "  "), ("empty", 1, "assistant", "x"),
+        # ADVICE r4: NULL text is malformed input too -- must count as empty
+        ("nulls", 0, "user", None), ("nulls", 1, "assistant", "y"),
     ]
-    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "role", "text"])
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
     got = {r["conv_id"]: r.asDict() for r in structure_audit(df).collect()}
     assert not got["ok"]["has_gap"] and got["ok"]["n_role_violations"] == 0
     assert got["ok"]["n_empty_turns"] == 0
@@ -241,6 +245,7 @@ def test_structure_audit_planted(spark):
     assert got["dupidx"]["has_gap"]  # duplicate turn_idx is a gap too
     assert got["roles"]["n_role_violations"] == 2 and not got["roles"]["has_gap"]
     assert got["empty"]["n_empty_turns"] == 1
+    assert got["nulls"]["n_empty_turns"] == 1  # coalesce before trim
 
 
 def test_temperature_mix_allocation(spark):

@@ -317,3 +317,104 @@ def test_cli_full_then_incremental_batch(spark, tmp_path):
     # the new batch's signature stage computed units (batch was banded)
     assert any(k.startswith("sig") and v > 0 for k, v in inc["computed"].items()), inc
     assert inc["n_clusters"] >= full["n_clusters"]  # labeling covers all
+
+
+def test_cli_compact_mode_chain_then_absorb(spark, tmp_path):
+    """Verdict r4 #4: the CLI maintenance mode.  Chain 3 snapshots via
+    the CLI (full + 2 batches), --compact them into one snapshot, absorb
+    2 MORE batches against the compacted fp -- the final composed
+    labeling must fingerprint-equal a full recompute over all 5 corpora."""
+    import json
+    from contextlib import redirect_stdout
+    from io import StringIO
+
+    from datasketches_server_spark.__main__ import main
+    from datasketches_server_spark.plans.pipeline import dedup_pipeline
+
+    cfg = PipelineConfig(num_buckets=8)
+    full_t = synth_transcripts(spark, n_convs=250, seed=31)
+    part = F.pmod(F.xxhash64("conv_id"), F.lit(5))
+    pieces = [full_t.where(part == i) for i in range(5)]
+    paths = []
+    for i, piece in enumerate(pieces):
+        p = str(tmp_path / f"piece{i}")
+        piece.write.parquet(p)
+        paths.append(p)
+    wd = str(tmp_path / "wd")
+    cfg_p = str(tmp_path / "cfg.json")
+    with open(cfg_p, "w") as f:
+        json.dump({"num_buckets": 8}, f)
+
+    def run(argv):
+        buf = StringIO()
+        with redirect_stdout(buf):
+            assert main(argv + ["--workdir", wd, "--config", cfg_p], spark=spark) == 0
+        return json.loads(buf.getvalue().strip().splitlines()[-1])
+
+    run(["--input", paths[0]])
+    fp0 = run(["--input", paths[0]])["input_fp"]  # resume no-op, same fp
+    run(["--batch-input", paths[1], "--base-fps", fp0, "--batch-fp", "d1"])
+    run(["--batch-input", paths[2], "--base-fps", f"{fp0},d1", "--batch-fp", "d2"])
+
+    cmp_out = run(["--compact", "--base-fps", f"{fp0},d1,d2"])
+    assert cmp_out["mode"] == "compact" and cmp_out["input_fp"] == "compacted_1"
+
+    run(["--batch-input", paths[3], "--base-fps", "compacted_1", "--batch-fp", "d3"])
+    inc = run(
+        ["--batch-input", paths[4], "--base-fps", "compacted_1,d3", "--batch-fp", "d4"]
+    )
+    assert inc["n_convs_total"] == full_t.select("conv_id").distinct().count()
+
+    runner = LineageRunner(spark, wd, cfg)
+    full = dedup_pipeline(full_t, cfg)
+    want = _fingerprint(full.clusters)
+    got = _fingerprint(
+        runner.read_clusters(
+            ["compacted_1", "d3", "d4"],
+            fallback=full.clusters.limit(0),
+        )
+    )
+    full.unpersist()
+    assert got == want
+
+
+def test_cli_threshold_plans_bands(spark, tmp_path):
+    """--threshold derives (bands, rows) via the recall-floor planner;
+    conflicting --config lsh blocks are rejected (one source of truth)."""
+    import json
+    from contextlib import redirect_stdout
+    from io import StringIO
+
+    from datasketches_server_spark.__main__ import main
+    from datasketches_server_spark.functions.lsh_planner import plan_bands
+
+    t = synth_transcripts(spark, n_convs=80, seed=7)
+    inp = str(tmp_path / "in")
+    t.write.parquet(inp)
+
+    buf = StringIO()
+    with redirect_stdout(buf):
+        assert main(
+            ["--input", inp, "--workdir", str(tmp_path / "wd"),
+             "--threshold", "0.9"],
+            spark=spark,
+        ) == 0
+    out = json.loads(buf.getvalue().strip().splitlines()[-1])
+    # config_hash reflects the planned band plan, not the default
+    from datasketches_server_spark.config import LshConfig, PipelineConfig
+    b, r = plan_bands(0.9, mode="recall")
+    assert (b, r) == (16, 8)  # not the (32, 4) default
+    want = PipelineConfig(
+        lsh=LshConfig(bands=b, rows_per_band=r, jaccard_threshold=0.9)
+    ).config_hash()
+    assert out["config_hash"] == want
+
+    cfg_p = str(tmp_path / "cfg.json")
+    with open(cfg_p, "w") as f:
+        json.dump({"lsh": {"bands": 32, "rows_per_band": 4}}, f)
+    with pytest.raises(SystemExit):
+        main(
+            ["--input", inp, "--workdir", str(tmp_path / "wd2"),
+             "--threshold", "0.9", "--config", cfg_p],
+            spark=spark,
+        )

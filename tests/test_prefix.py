@@ -191,3 +191,29 @@ def test_prefix_dedup_assignments_chain_and_twins(spark):
         "d": (3, "exact_dup"),
         "e": (1, "kept"),
     }
+
+
+def test_prefix_pairs_gapped_and_nonzero_turn_idx(spark):
+    """ADVICE r4: positions are rank under the stable (conv_id, turn_idx)
+    ordering, not raw turn_idx values -- a conversation logged with
+    gapped (10,20,30,40) or non-zero-based (5,6) indices still forms
+    prefix/exact pairs by its k-th turns."""
+    rows = [
+        # contiguous 0-based reference conv
+        ("long", 0, "a b c"), ("long", 1, "d e f"), ("long", 2, "g h i"),
+        # same texts, gapped indices -> exact dup of long
+        ("gappy", 10, "a b c"), ("gappy", 20, "d e f"), ("gappy", 30, "g h i"),
+        # first two texts, indices starting at 5 -> prefix of both
+        ("stub5", 5, "a b c"), ("stub5", 6, "d e f"),
+    ]
+    t = spark.createDataFrame(
+        [(c, i, "user", x, None) for c, i, x in rows],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    ).withColumn("ts", F.to_timestamp(F.lit("2024-06-01 00:00:00")))
+    got = {(r.prefix_conv_id, r.super_conv_id, r.relation)
+           for r in turn_prefix_pairs(t).collect()}
+    assert got == {
+        ("gappy", "long", "exact"),
+        ("stub5", "long", "prefix"),
+        ("stub5", "gappy", "prefix"),
+    }

@@ -149,3 +149,46 @@ def test_compaction_preserves_state_and_absorbs_continue(spark, chain_state):
         )
     )
     assert inc == full
+
+
+def test_cli_compact_windows_mode(spark, tmp_path):
+    """Verdict r4 #4: --compact-windows folds a window-index chain from
+    the CLI; coverage read from [compacted] == coverage read from the
+    chain, and a later absorb continues against the compacted fp."""
+    import json
+    from contextlib import redirect_stdout
+    from io import StringIO
+
+    from datasketches_server_spark.__main__ import main
+
+    wd = str(tmp_path / "wix")
+    base = spark.createDataFrame(BASE, "doc_id long, text string")
+    b1 = spark.createDataFrame(BATCH1, "doc_id long, text string")
+    b2 = spark.createDataFrame(BATCH2, "doc_id long, text string")
+    write_window_index(base, wd, window=W, input_fp="base")
+    absorb_batch(spark, b1, wd, window=W, chain=["base"], batch_fp="b1")
+
+    buf = StringIO()
+    with redirect_stdout(buf):
+        assert main(
+            ["--workdir", wd, "--compact-windows", "--window", str(W),
+             "--base-fps", "base,b1", "--compact-fp", "wcmp1"],
+            spark=spark,
+        ) == 0
+    out = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert out["mode"] == "compact-windows" and out["input_fp"] == "wcmp1"
+
+    want = {(r["id"], r["dup_tokens"])
+            for r in read_coverage(spark, wd, window=W, chain=["base", "b1"]).collect()}
+    got = {(r["id"], r["dup_tokens"])
+           for r in read_coverage(spark, wd, window=W, chain=["wcmp1"]).collect()}
+    assert got == want
+
+    absorb_batch(spark, b2, wd, window=W, chain=["wcmp1"], batch_fp="b2")
+    full = cross_doc_duplicate_coverage(
+        base.unionByName(b1).unionByName(b2), window=W
+    )
+    want_full = {(r["id"], r["dup_tokens"]) for r in full.collect()}
+    got_full = {(r["id"], r["dup_tokens"])
+                for r in read_coverage(spark, wd, window=W, chain=["wcmp1", "b2"]).collect()}
+    assert got_full == want_full

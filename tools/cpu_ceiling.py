@@ -101,7 +101,80 @@ def probe(levels=(1, 2, 8, 32), secs_per_rep: float = 3.0, repeats: int = 3) -> 
         out["efficiency_ceiling_2to8"] = round(
             results[2]["mean_proc_wall"] / results[8]["mean_proc_wall"], 3
         )
+    # absolute machine-speed marker: wall seconds this box needs for 1000
+    # kernel reps at the probe's lowest concurrency.  Unlike the 2-vs-8
+    # ratio (which detects a CURRENT concurrency tax), the absolute
+    # marker detects uniform epoch drift -- the whole box running slower
+    # or faster between two measurement windows -- which the ratio gate
+    # is blind to (round-4 probe15 lesson: both windows probed "quiet"
+    # but the tax had moved BETWEEN them).  bench_scaling.py divides each
+    # job wall by the surrounding markers to compare runs across drift.
+    out["abs_wall_per_krep"] = round(
+        results[levels[0]]["mean_proc_wall"] / reps * 1000.0, 4
+    )
     return out
+
+
+def probe_median(levels=(2, 8), secs_per_rep: float = 3.0, repeats: int = 3) -> dict:
+    """Drift-robust variant of :func:`probe` for the certification gate.
+
+    ``probe`` takes the best sample PER LEVEL, so the two walls entering
+    the ceiling ratio can come from different instants -- on this shared
+    VM single-sample ratios swing 0.79-1.08 back-to-back on an idle box
+    (round-5 measurement), which made the [0.9, 1.1] certified-quiet
+    gate a lottery even in genuinely quiet epochs.  Here each repeat
+    runs the two levels ADJACENT IN TIME and yields its own ratio and
+    marker; the median over repeats is reported, plus the spread so the
+    caller can reject internally-turbulent windows.
+
+    Round-5 calibration on this box (quiet epoch, load 0.08): single
+    1s samples with MEAN process walls read 0.65-1.46 back-to-back;
+    3s kernels with MEDIAN process walls read 0.898-1.015 -- the mean
+    at k=2 has only two samples, so one scheduler-stalled process
+    (observed 0.66 vs 0.97 within a pair) swings the ratio 25%.
+    """
+    import statistics
+
+    def run_level_median(k: int, reps: int) -> float:
+        q = mp.Queue()
+        procs = [mp.Process(target=_worker, args=(reps, q)) for _ in range(k)]
+        for p in procs:
+            p.start()
+        walls = [q.get() for _ in procs]
+        for p in procs:
+            p.join()
+        return statistics.median(walls)
+
+    lo, hi = levels
+    ratios, markers = [], []
+    one = kernel(50)
+    reps = max(50, int(50 * secs_per_rep / max(one, 1e-6)))
+    for _ in range(repeats):
+        w_lo = run_level_median(lo, reps)
+        w_hi = run_level_median(hi, reps)
+        ratios.append(w_lo / w_hi)
+        markers.append(w_lo / reps * 1000.0)
+
+    ratios.sort()
+    markers_sorted = sorted(markers)
+    return {
+        "metric": "median paired 2-vs-8 ceiling (drift-robust)",
+        "reps": reps,
+        "repeats": repeats,
+        "efficiency_ceiling_2to8": round(statistics.median(ratios), 3),
+        "ceiling_spread": round(ratios[-1] - ratios[0], 3),
+        # min over repeats: the least-disturbed sample converges on the
+        # box's true uncontended speed, so between-window drift of this
+        # marker reflects genuine epoch change, not sampling jitter
+        "abs_wall_per_krep": round(markers_sorted[0], 4),
+        "abs_wall_per_krep_median": round(statistics.median(markers_sorted), 4),
+        "marker_spread_rel": round(
+            (markers_sorted[-1] - markers_sorted[0])
+            / max(statistics.median(markers_sorted), 1e-9),
+            4,
+        ),
+        "ratios": [round(x, 3) for x in ratios],
+    }
 
 
 def main() -> None:
