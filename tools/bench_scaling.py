@@ -243,6 +243,10 @@ spark.stop()
             print(json.dumps(rec), flush=True)
             if cores not in best or rec["wall_sec"] < best[cores]["wall_sec"]:
                 best[cores] = rec
+            # a campaign is hours long on this box; persist evidence
+            # after every run so a kill/timeout keeps the partial record
+            with open(args.out + ".partial", "w") as f:
+                json.dump({"summary": None, "best": best, "runs": all_runs}, f, indent=2)
 
     small, large = best[args.n], best[args.n * 4]
     assert small["fingerprint"] == large["fingerprint"], "results differ across parallelism!"
