@@ -248,7 +248,26 @@ spark.stop()
             with open(args.out + ".partial", "w") as f:
                 json.dump({"summary": None, "best": best, "runs": all_runs}, f, indent=2)
 
-    small, large = best[args.n], best[args.n * 4]
+    summary, best = summarize(
+        all_runs, args.n, args.ceiling_gate, args.marker_drift
+    )
+    print(json.dumps(summary))
+    with open(args.out, "w") as f:
+        json.dump({"summary": summary, "best": best, "runs": all_runs}, f, indent=2)
+
+
+def summarize(
+    all_runs: list[dict], n: int, ceiling_gate: float, marker_drift: float
+) -> tuple[dict, dict]:
+    """Estimators + certification tiers over a run list.  Factored out
+    of main() so tools/finalize_scaling.py can turn a killed campaign's
+    .partial record into a complete artifact."""
+    best: dict[int, dict] = {}
+    for rec in all_runs:
+        cores = rec["cores_requested"]
+        if cores not in best or rec["wall_sec"] < best[cores]["wall_sec"]:
+            best[cores] = rec
+    small, large = best[n], best[n * 4]
     assert small["fingerprint"] == large["fingerprint"], "results differ across parallelism!"
 
     # three estimators of the same ratio, all reported (BASELINE.md
@@ -261,10 +280,12 @@ spark.stop()
     # same machine state".
     import statistics
 
+    repeats = 1 + max(r.get("i", 0) for r in all_runs)
+
     def walls(cores):
         return [r["wall_sec"] for r in all_runs if r["cores_requested"] == cores]
 
-    w_n, w_4n = walls(args.n), walls(args.n * 4)
+    w_n, w_4n = walls(n), walls(n * 4)
     eff_min = (min(w_n) / min(w_4n)) / 4.0
     eff_median = (statistics.median(w_n) / statistics.median(w_4n)) / 4.0
     # marker-normalized tier (round-5 gate extension): the ratio-ceiling
@@ -280,9 +301,9 @@ spark.stop()
     # (the window was internally stable, so the marker is trustworthy).
     pair_effs, certified_effs, marker_effs = [], [], []
     pair_detail = []
-    for i in range(args.repeats):
-        a = [r for r in all_runs if r["i"] == i and r["cores_requested"] == args.n]
-        b = [r for r in all_runs if r["i"] == i and r["cores_requested"] == args.n * 4]
+    for i in range(repeats):
+        a = [r for r in all_runs if r["i"] == i and r["cores_requested"] == n]
+        b = [r for r in all_runs if r["i"] == i and r["cores_requested"] == n * 4]
         if a and b:
             a, b = a[0], b[0]
             eff = round((a["wall_sec"] / b["wall_sec"]) / 4.0, 3)
@@ -298,8 +319,8 @@ spark.stop()
                     3,
                 )
                 stable = (
-                    a.get("marker_drift", 1) <= args.marker_drift
-                    and b.get("marker_drift", 1) <= args.marker_drift
+                    a.get("marker_drift", 1) <= marker_drift
+                    and b.get("marker_drift", 1) <= marker_drift
                 )
                 det.update(
                     eff_marker_norm=effm,
@@ -326,7 +347,7 @@ spark.stop()
         "estimator": (
             (
                 "best certified same-iteration pair (quiet gate: cpu_ceiling "
-                f"probe >= {args.ceiling_gate} before AND after both runs; "
+                f"probe >= {ceiling_gate} before AND after both runs; "
                 "marker tier additionally cancels between-window speed drift)"
             )
             if certified_pool
@@ -339,21 +360,19 @@ spark.stop()
         "certified_quiet_pairs": certified_effs,
         "marker_certified_pairs": marker_effs,
         "pair_detail": pair_detail,
-        "ceiling_gate": args.ceiling_gate,
-        "marker_drift_gate": args.marker_drift,
-        "n_cores": args.n,
-        "4n_cores": args.n * 4,
+        "ceiling_gate": ceiling_gate,
+        "marker_drift_gate": marker_drift,
+        "n_cores": n,
+        "4n_cores": n * 4,
         "throughput_n": round(small["n_turns"] / statistics.median(w_n), 1),
         "throughput_4n": round(small["n_turns"] / statistics.median(w_4n), 1),
         "walls_n": w_n,
         "walls_4n": w_4n,
         "n_turns": small["n_turns"],
-        "repeats": args.repeats,
+        "repeats": repeats,
         "identical_output": True,
     }
-    print(json.dumps(summary))
-    with open(args.out, "w") as f:
-        json.dump({"summary": summary, "best": best, "runs": all_runs}, f, indent=2)
+    return summary, best
 
 
 if __name__ == "__main__":
