@@ -31,7 +31,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # campaign provenance: which round produced each artifact (the files
 # themselves don't say; commit history does)
 ROUND_OF = {
-    "BENCH_scaling.json": 3,  # the r3 certified artifact (0.822 / 0.814)
+    "BENCH_scaling.json": 5,  # the controlling artifact == r5c (0.837 certified)
+    "BENCH_scaling_r3.json": 3,  # the r3 certified artifact (0.822 / 0.814)
     "BENCH_scaling_r5a.json": 5,
     "BENCH_scaling_r5b.json": 5,
     "BENCH_scaling_r5c.json": 5,
@@ -45,6 +46,8 @@ def campaign_round(name: str) -> int:
         return 4
     if "_r5" in name:
         return 5
+    if "_r3" in name:
+        return 3
     return 0
 
 
@@ -123,6 +126,10 @@ def main() -> None:
     for path in sorted(glob.glob(os.path.join(REPO, "BENCH_scaling*.json"))):
         name = os.path.basename(path)
         if name.endswith(".partial"):
+            continue
+        if name == "BENCH_scaling.json":
+            # the controlling artifact is a copy of the best campaign's
+            # file; counting it twice would double its pairs
             continue
         with open(path) as f:
             doc = json.load(f)
