@@ -120,6 +120,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q61_cluster_cohesion": Q.q61_cluster_cohesion,
         # temporal near-dup leakage (dedup-window policy evidence)
         "q62_temporal_leakage": Q.q62_temporal_leakage,
+        # leakage-safe split: near-dup clusters are atomic split units
+        "q66_cluster_safe_split": Q.q66_cluster_safe_split,
+        # asymmetric containment (near-superset) dedup
+        "q67_containment_dedup": Q.q67_containment_dedup,
+        # quality-greedy selection under a global token budget
+        "q68_token_budget_select": Q.q68_token_budget_select,
+        # overlapping fixed-token chunking (embedding/RAG prep)
+        "q69_chunk_documents": Q.q69_chunk_documents,
     }
 
 
@@ -1480,5 +1488,123 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(day_diff) AS BIGINT) AS sum_day_diff,
                CAST(max(day_diff) AS BIGINT) AS max_day_diff
         FROM e GROUP BY 1 ORDER BY 1
+    """
+    # q66: the q24 exact closure gives cluster labels; every doc's split
+    # unit is its cluster (own id when unlabeled), and the split draw is
+    # the portable u01 of the unit -- identical arithmetic to the Spark
+    # plan, so assignments hash-match bit-for-bit.
+    _split_u01 = u01_sql("split_unit", salt="split|")
+    oracles["q66_cluster_safe_split"] = f"""
+        WITH RECURSIVE g AS (
+            SELECT CAST(doc_id AS VARCHAR) AS id, {grams3} AS grams FROM documents
+        ), x AS (
+            SELECT id, unnest(grams) AS gram FROM g
+        ), inter AS (
+            SELECT l.id AS a, r.id AS b, count(*) AS i
+            FROM x l JOIN x r ON l.gram = r.gram AND l.id < r.id
+            GROUP BY 1, 2
+        ), sz AS (
+            SELECT id, len(grams) AS n FROM g
+        ), edges AS (
+            SELECT a, b FROM inter
+            JOIN sz sa ON inter.a = sa.id
+            JOIN sz sb ON inter.b = sb.id
+            WHERE i / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.7
+        ), sym AS (
+            SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges
+        ), cc(id, lbl) AS (
+            SELECT DISTINCT a, a FROM sym
+            UNION
+            SELECT s.b, cc.lbl FROM cc JOIN sym s ON cc.id = s.a
+        ), labels AS (
+            SELECT id, min(lbl) AS cluster_id FROM cc GROUP BY id
+        ), u AS (
+            SELECT CAST(d.doc_id AS VARCHAR) AS conv_id,
+                   coalesce(l.cluster_id, CAST(d.doc_id AS VARCHAR)) AS split_unit
+            FROM documents d
+            LEFT JOIN labels l ON CAST(d.doc_id AS VARCHAR) = l.id
+        )
+        SELECT conv_id, split_unit,
+               CASE WHEN {_split_u01} <= 0.1 THEN 'eval' ELSE 'train' END AS split
+        FROM u ORDER BY conv_id
+    """
+    # q67: the identical container plant (doc_id % 23 == 0 concatenated
+    # with the next doc's text, shadow id + 10^6), then exact containment
+    # over distinct word 3-grams via the same inverted-index join.
+    oracles["q67_containment_dedup"] = f"""
+        WITH planted AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT a.doc_id + 1000000 AS doc_id, a.text || ' ' || b.text AS text
+            FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+            WHERE a.doc_id % 23 = 0
+        ), g AS (
+            SELECT CAST(doc_id AS VARCHAR) AS id, {grams3} AS grams FROM planted
+        ), x AS (
+            SELECT id, unnest(grams) AS gram FROM g
+        ), inter AS (
+            SELECT l.id AS a, r.id AS b, count(*) AS i
+            FROM x l JOIN x r ON l.gram = r.gram AND l.id < r.id
+            GROUP BY 1, 2
+        ), sz AS (
+            SELECT id, len(grams) AS n FROM g
+        ), scored AS (
+            SELECT CASE WHEN sb.n < sa.n THEN b ELSE a END AS contained,
+                   CASE WHEN sb.n < sa.n THEN a ELSE b END AS container,
+                   CAST(i AS BIGINT) AS n_inter,
+                   round(i / CAST(least(sa.n, sb.n) AS DOUBLE), 4) AS containment,
+                   round(i / CAST(sa.n + sb.n - i AS DOUBLE), 4) AS jaccard
+            FROM inter
+            JOIN sz sa ON inter.a = sa.id
+            JOIN sz sb ON inter.b = sb.id
+        )
+        SELECT * FROM scored WHERE containment >= 0.9
+        ORDER BY contained, container
+    """
+    # q68: the naive formulation -- ONE global-order running sum (fine
+    # in DuckDB at oracle scale); the Spark plan's bucket decomposition
+    # must match it doc for doc.
+    _qual4 = f"""round((CASE WHEN len({_NORM_TOKS}) BETWEEN 10 AND 5000 THEN 1.0
+                             WHEN len({_NORM_TOKS}) < 10 THEN len({_NORM_TOKS}) / 10.0
+                             ELSE 5000.0 / len({_NORM_TOKS}) END
+                        + CASE WHEN length(text) / greatest(len({_NORM_TOKS}), 1)::DOUBLE BETWEEN 3 AND 12
+                               THEN 1.0 ELSE 0.5 END
+                        + 1.0 - least(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g'))
+                                      / greatest(length(text), 1)::DOUBLE * 4, 1.0)
+                       ) / 3, 4)"""
+    oracles["q68_token_budget_select"] = f"""
+        WITH t AS (
+            SELECT doc_id, {_qual4} AS quality,
+                   CAST(len({_NORM_TOKS}) AS BIGINT) AS n_tok
+            FROM documents
+        ), b AS (
+            SELECT CAST(floor(sum(n_tok) * 0.25) AS BIGINT) AS budget FROM t
+        ), c AS (
+            SELECT doc_id, quality, n_tok,
+                   sum(n_tok) OVER (ORDER BY quality DESC, doc_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cum
+            FROM t
+        )
+        SELECT doc_id, quality, n_tok FROM c, b WHERE cum <= budget
+        ORDER BY quality DESC, doc_id
+    """
+    # q69: identical stride arithmetic and 1-based inclusive list slice.
+    oracles["q69_chunk_documents"] = f"""
+        WITH t AS (
+            SELECT doc_id, {_NORM_TOKS} AS toks FROM documents
+        ), k AS (
+            SELECT doc_id, toks, len(toks) AS n,
+                   (greatest(len(toks) - 64, 0) + 47) // 48 AS klast
+            FROM t
+        ), e AS (
+            SELECT doc_id, toks, n, unnest(range(0, klast + 1)) AS i FROM k
+        )
+        SELECT doc_id,
+               CAST(i AS BIGINT) AS chunk_idx,
+               CAST(i * 48 AS BIGINT) AS start_tok,
+               CAST(least(64, n - i * 48) AS BIGINT) AS chunk_len,
+               array_to_string(toks[i*48+1 : i*48+64], ' ') AS chunk_text
+        FROM e ORDER BY doc_id, chunk_idx
     """
     return oracles

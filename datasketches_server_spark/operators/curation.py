@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.portable import u01, word_grams, word_grams_all
-from ..functions.text import token_count, tokens
+from ..functions.text import quality_score, token_count, tokens
 
 
 def decontaminate(
@@ -425,5 +425,170 @@ def temperature_mix(
             "n_docs",
             "rate",
             F.coalesce("n_sampled", F.lit(0)).cast("long").alias("n_sampled"),
+        )
+    )
+
+
+def cluster_safe_split(
+    docs: DataFrame,
+    clusters: DataFrame,
+    eval_frac: float = 0.1,
+    id_col: str = "doc_id",
+    salt: str = "split|",
+) -> DataFrame:
+    """Leakage-safe train/eval split: near-dup clusters are ATOMIC.
+
+    Splitting a corpus doc-by-doc after dedup still leaks -- two
+    members of one near-dup cluster can land on opposite sides of the
+    split, which is train/eval contamination by construction.  The
+    split unit here is the cluster: every doc draws its split from
+    u01(cluster_id) (portable md5 hash, replayable in the DuckDB
+    oracle), so all members of a cluster land together and NO verified
+    dup edge can cross the boundary (asserted in tests).  Docs absent
+    from ``clusters`` are their own unit.
+
+    Expected eval mass is eval_frac of UNITS, not docs -- a mega-cluster
+    drags its whole membership to one side; that is the correctness
+    property, not a bug (the doc-weighted alternative is exactly the
+    leak this operator exists to prevent).
+
+    Scale: ``clusters`` is (conv_id, cluster_id) -- narrow, one row per
+    doc.  The join hashes on the near-unique doc id (no skew; the skew
+    in cluster SIZE never enters an exchange because the u01 draw is a
+    per-row expression after the join).  One shuffle total.
+    """
+    ids = docs.select(F.col(id_col).cast("string").alias("conv_id"))
+    lab = clusters.select("conv_id", "cluster_id")
+    return (
+        ids.join(lab, "conv_id", "left")
+        .select(
+            "conv_id",
+            F.coalesce("cluster_id", "conv_id").alias("split_unit"),
+        )
+        .withColumn(
+            "split",
+            F.when(
+                u01(F.col("split_unit"), salt=salt) <= F.lit(eval_frac), F.lit("eval")
+            ).otherwise(F.lit("train")),
+        )
+    )
+
+
+def token_budget_select(
+    docs: DataFrame,
+    budget_frac: float = 0.25,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Quality-greedy corpus selection under a global token budget.
+
+    Selects documents in (quality DESC, id ASC) order until the running
+    token total reaches ``budget_frac`` of the corpus's tokens -- the
+    "best N tokens" step after dedup/gating when the training run has a
+    fixed budget.  Selection rule: a doc is in iff its cumulative token
+    count (itself included) is <= budget.
+
+    NOT a global-order window at scale: quality is rounded to 4dp, so
+    the plan aggregates per quality BUCKET first (<= ~10^4 narrow rows
+    regardless of corpus size), prefix-sums bucket totals in one tiny
+    window, admits every fully-under-budget bucket wholesale, and runs
+    the per-doc running sum ONLY inside the single boundary bucket
+    (window partitioned by that bucket's key).  Equivalent, doc for
+    doc, to the naive global window the DuckDB oracle runs.
+    """
+    q = F.round(quality_score(F.col(text_col)), 4)
+    t = docs.select(
+        F.col(id_col).alias("doc_id"),
+        q.alias("quality"),
+        token_count(F.col(text_col)).alias("n_tok"),
+    )
+    total = t.agg(F.sum("n_tok").alias("tot")).select(
+        F.floor(F.col("tot") * budget_frac).cast("long").alias("budget")
+    )
+    buckets = t.groupBy("quality").agg(F.sum("n_tok").alias("bucket_tok"))
+    wb = Window.orderBy(F.col("quality").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    buckets = (
+        buckets.withColumn("cum_bucket", F.sum("bucket_tok").over(wb))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "quality",
+            (F.col("cum_bucket") - F.col("bucket_tok")).alias("tok_before"),
+            "cum_bucket",
+            "budget",
+        )
+    )
+    joined = t.join(F.broadcast(buckets), "quality")
+    whole = joined.where(F.col("cum_bucket") <= F.col("budget"))
+    wd = Window.partitionBy("quality").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    boundary = (
+        joined.where(
+            (F.col("cum_bucket") > F.col("budget"))
+            # <= (not <): a zero-token doc whose bucket starts EXACTLY
+            # at the budget still satisfies cum <= budget in the naive
+            # global-order rule and must be admitted
+            & (F.col("tok_before") <= F.col("budget"))
+        )
+        .withColumn("cum_in_bucket", F.sum("n_tok").over(wd))
+        .where(F.col("tok_before") + F.col("cum_in_bucket") <= F.col("budget"))
+        .drop("cum_in_bucket")
+    )
+    return whole.unionByName(boundary).select(
+        "doc_id", "quality", "n_tok"
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping fixed-token chunking (embedding / RAG prep).
+
+    Every document becomes ceil-strided windows of ``chunk_tokens``
+    normalized tokens starting every ``stride`` tokens (overlap =
+    chunk_tokens - stride); the final window is the first one covering
+    the tail, so every token lands in >= 1 chunk and no start index
+    passes the end.  chunk_idx, 0-based start offset, actual token
+    count, and the reassembled chunk text are emitted.
+
+    Per-row explode -- no shuffle at all until a consumer aggregates;
+    amplification is n_tok/stride rows per doc carrying only the chunk
+    text (bounded by chunk_tokens words), the shape an embedding UDF
+    downstream wants.
+    """
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # last start index: ceil(max(n - chunk, 0) / stride), integer-exact
+    k_last = F.floor(
+        (F.greatest(n - chunk_tokens, F.lit(0)) + stride - 1) / stride
+    ).cast("int")
+    t = docs.select(
+        F.col(id_col).alias("doc_id"), toks.alias("toks"), n.alias("n_tok"), k_last.alias("k")
+    )
+    return (
+        t.select(
+            "doc_id",
+            "n_tok",
+            F.posexplode(F.sequence(F.lit(0), F.col("k"))).alias("chunk_idx", "i"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            (F.col("i") * stride).cast("long").alias("start_tok"),
+            F.least(F.lit(chunk_tokens), F.col("n_tok") - F.col("i") * stride)
+            .cast("long")
+            .alias("chunk_len"),
+            F.concat_ws(
+                " ", F.slice("toks", F.col("i") * stride + 1, chunk_tokens)
+            ).alias("chunk_text"),
         )
     )

@@ -161,6 +161,79 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.9,
+    jaccard_below: float | None = None,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Asymmetric near-SUPERSET pairs the symmetric jaccard gate misses.
+
+    Containment C = |grams(A) ∩ grams(B)| / min(|A|, |B|): a short doc
+    pasted verbatim inside a longer one scores C ≈ 1 while its jaccard
+    is tiny (|A|/|B|), so LSH-over-jaccard never pairs them.  Emits
+    (contained, container, n_inter, containment, jaccard) with
+    containment >= threshold; ``jaccard_below`` keeps only pairs BELOW
+    the symmetric threshold, i.e. exactly the dups the q24 pipeline
+    cannot see.
+
+    Shape, not a cartesian: one inverted-index self-join on the gram
+    (the same join the exact-closure oracle runs), then a (a, b) agg.
+    The shuffle is O(sum of per-gram df^2); ``df_cap`` is the skew
+    guard -- grams seen in more than df_cap docs (boilerplate shingles:
+    greetings, headers) are dropped from the index before the join,
+    a standard prefix-filter whose effect is observable (a dropped
+    gram can only LOWER recall, never create a false pair, because the
+    survivors still verify on true intersection counts over the kept
+    grams).  At 100 TB run this after LSH dedup on the deduped
+    survivors, or bound it per-source; df_cap keeps the hot-gram
+    buckets from quadratic blowup either way."""
+    toks = tokens(F.col(text_col))
+    g = df.select(
+        F.col(id_col).cast("string").alias("id"),
+        word_grams(toks, n).alias("grams"),
+    )
+    sizes = g.select("id", F.size("grams").cast("long").alias("n_grams"))
+    x = g.select("id", F.explode("grams").alias("gram"))
+    if df_cap is not None:
+        hot = (
+            x.groupBy("gram")
+            .agg(F.count("*").alias("gram_df"))
+            .where(F.col("gram_df") > df_cap)
+            .select("gram")
+        )
+        x = x.join(F.broadcast(hot), "gram", "left_anti")
+    inter = (
+        x.select(F.col("id").alias("a"), "gram")
+        .join(x.select(F.col("id").alias("b"), "gram"), "gram")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("n_inter"))
+    )
+    scored = (
+        inter.join(sizes.select(F.col("id").alias("a"), F.col("n_grams").alias("na")), "a")
+        .join(sizes.select(F.col("id").alias("b"), F.col("n_grams").alias("nb")), "b")
+        .select(
+            # contained = the smaller gram set (ties: smaller id, which
+            # is already the "a" side under a < b)
+            F.when(F.col("nb") < F.col("na"), F.col("b")).otherwise(F.col("a")).alias("contained"),
+            F.when(F.col("nb") < F.col("na"), F.col("a")).otherwise(F.col("b")).alias("container"),
+            "n_inter",
+            F.round(F.col("n_inter") / F.least("na", "nb"), 4).alias("containment"),
+            F.round(F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 4).alias(
+                "jaccard"
+            ),
+        )
+        .where(F.col("containment") >= threshold)
+    )
+    if jaccard_below is not None:
+        scored = scored.where(F.col("jaccard") < jaccard_below)
+    return scored
+
+
 def hashed_bow_near_dup_pairs(
     docs: DataFrame,
     dim: int = 64,

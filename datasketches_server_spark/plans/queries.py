@@ -1628,3 +1628,80 @@ def q62_temporal_leakage(spark, sf_dir):
         )
         .orderBy("window")
     )
+
+
+def q66_cluster_safe_split(spark, sf_dir):
+    """Leakage-safe train/eval split (operators/curation.
+    cluster_safe_split): near-dup clusters are the atomic split unit, so
+    no verified dup pair can straddle train and eval -- the q39/q56
+    contamination this split makes impossible by construction.  The
+    split draw is the portable u01 hash of the cluster label (the same
+    label q24 hash-proves against the exact closure), so the DuckDB
+    oracle replays the assignment bit-identically.  One pipeline pass
+    (memoized) + one doc-id join."""
+    from ..operators.curation import cluster_safe_split
+
+    res = documents_dedup_result(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents")
+    return cluster_safe_split(d, res.clusters, eval_frac=0.1).orderBy("conv_id")
+
+
+def q67_containment_dedup(spark, sf_dir):
+    """Asymmetric near-superset detection (operators/dedup.
+    containment_pairs): containment |A∩B| / min(|A|,|B|) >= 0.9 over
+    distinct word 3-grams catches a short doc pasted inside a longer
+    one, which jaccard-LSH structurally misses (jaccard ~ |A|/|B|).
+    Containers are planted deterministically from the table itself --
+    every doc_id % 23 == 0 gets a shadow doc (id + 10^6) whose text is
+    its own text concatenated with the NEXT doc's text, the identical
+    plant the oracle replays -- so the query proves the operator finds
+    exactly the planted containments plus the corpus's own near-dup
+    families.  Inverted-index join, not a cartesian; df_cap is the
+    at-scale skew guard (exercised in tests, off here so the oracle is
+    exact)."""
+    from ..operators.dedup import containment_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    nxt = d.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("next_text")
+    )
+    containers = (
+        d.where(F.col("doc_id") % 23 == 0)
+        .join(nxt, "doc_id")
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat_ws(" ", "text", "next_text").alias("text"),
+        )
+    )
+    planted = d.unionByName(containers)
+    return containment_pairs(planted, threshold=0.9).orderBy("contained", "container")
+
+
+def q68_token_budget_select(spark, sf_dir):
+    """Quality-greedy selection under a global token budget (operators/
+    curation.token_budget_select): the "best 25% of tokens" cut a
+    fixed-budget training run makes after gating.  The plan never runs
+    a global-order window: quality rounds to 4dp, per-bucket totals
+    prefix-sum in a <=10^4-row window, whole under-budget buckets admit
+    wholesale, and only the single boundary bucket runs a per-doc
+    running sum -- doc-for-doc equal to the naive global window the
+    oracle replays."""
+    from ..operators.curation import token_budget_select
+
+    d = _t(spark, sf_dir, "documents")
+    return token_budget_select(d, budget_frac=0.25).orderBy(
+        F.col("quality").desc(), "doc_id"
+    )
+
+
+def q69_chunk_documents(spark, sf_dir):
+    """Overlapping fixed-token chunking for embedding/RAG prep
+    (operators/curation.chunk_documents): 64-token windows every 48
+    tokens, final window covers the tail, chunk text reassembled from
+    the normalized tokens.  Pure per-row explode -- zero shuffle until
+    a consumer aggregates; the oracle replays the identical stride
+    arithmetic and list slicing."""
+    from ..operators.curation import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(d, chunk_tokens=64, stride=48).orderBy("doc_id", "chunk_idx")

@@ -298,3 +298,124 @@ def test_agent_loop_scores_null_turns(spark):
     assert got["n1"]["n_repeat_turns"] == 2
     assert got["n2"]["max_run"] == 1 and got["n2"]["n_repeat_turns"] == 0
     assert got["n3"]["max_run"] == 2 and got["n3"]["n_repeat_turns"] == 1
+
+
+def test_cluster_safe_split_atomic_and_deterministic(spark):
+    """Every member of a cluster lands on the same side; unlabeled docs
+    are their own unit; assignment replays the u01 hash exactly."""
+    from datasketches_server_spark.operators.curation import cluster_safe_split
+
+    docs = spark.range(0, 200).select(F.col("id").alias("doc_id"))
+    # two clusters: {0..9} -> "0", {10..14} -> "10"; rest unlabeled
+    clusters = spark.createDataFrame(
+        [(str(i), "0") for i in range(10)] + [(str(i), "10") for i in range(10, 15)],
+        "conv_id string, cluster_id string",
+    )
+    out = cluster_safe_split(docs, clusters, eval_frac=0.25).collect()
+    by_id = {r["conv_id"]: r for r in out}
+    assert len(by_id) == 200
+    s0 = {by_id[str(i)]["split"] for i in range(10)}
+    s1 = {by_id[str(i)]["split"] for i in range(10, 15)}
+    assert len(s0) == 1 and len(s1) == 1, "cluster members split apart"
+    assert all(by_id[str(i)]["split_unit"] == "0" for i in range(10))
+    assert by_id["42"]["split_unit"] == "42"
+    # replay: split == eval iff u01('split|' + unit) <= frac
+    for cid in ("0", "10", "42", "199"):
+        want = "eval" if _u01_py("split|" + by_id[cid]["split_unit"]) <= 0.25 else "train"
+        assert by_id[cid]["split"] == want
+    # unlabeled ids draw independently: both sides populated at n=185
+    splits = {by_id[str(i)]["split"] for i in range(15, 200)}
+    assert splits == {"train", "eval"}
+
+
+def _u01_py(s: str) -> float:
+    import hashlib
+
+    h = int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % 2147483648
+    return (h + 1) / 2147483648.0
+
+
+def test_cluster_safe_split_no_edge_crosses(spark, sf_dir):
+    """The leakage property on real driver data: no verified dup edge
+    crosses the train/eval boundary."""
+    from datasketches_server_spark.operators.curation import cluster_safe_split
+    from datasketches_server_spark.plans.queries import (
+        _t,
+        documents_dedup_result,
+    )
+
+    res = documents_dedup_result(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents")
+    assign = cluster_safe_split(d, res.clusters, eval_frac=0.3)
+    e = (
+        res.edges.select("a", "b")
+        .join(assign.select(F.col("conv_id").alias("a"), F.col("split").alias("sa")), "a")
+        .join(assign.select(F.col("conv_id").alias("b"), F.col("split").alias("sb")), "b")
+    )
+    assert e.where(F.col("sa") != F.col("sb")).count() == 0
+    n_eval = assign.where(F.col("split") == "eval").count()
+    assert 0 < n_eval < assign.count()
+
+
+def test_token_budget_select_matches_naive(spark):
+    """Bucket-decomposed selection == naive global (quality DESC, id)
+    running sum, including zero-token docs and a split boundary bucket."""
+    from datasketches_server_spark.operators.curation import token_budget_select
+
+    texts = {
+        1: "aaaa bbbb cccc dddd " * 10,          # 40 tok, decent quality
+        2: "aaaa bbbb cccc dddd " * 10,          # same bucket as 1
+        3: "word " * 25,                          # 25 tok
+        4: "",                                    # 0 tok
+        5: "!!! ??? ;;; ::: " * 12,               # punct-heavy, low quality
+        6: "mixed bag of several words here now " * 6,
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in token_budget_select(df, budget_frac=0.5).collect()
+    }
+    # naive replay on the operator's own (quality, n_tok) scoring
+    from datasketches_server_spark.functions.text import quality_score, token_count
+    from pyspark.sql import functions as F2
+
+    scored = df.select(
+        "doc_id",
+        F2.round(quality_score(F2.col("text")), 4).alias("q"),
+        token_count(F2.col("text")).alias("n"),
+    ).collect()
+    budget = int(sum(r["n"] for r in scored) * 0.5)
+    cum, want = 0, set()
+    for r in sorted(scored, key=lambda r: (-r["q"], r["doc_id"])):
+        cum += r["n"]
+        if cum <= budget:
+            want.add(r["doc_id"])
+    assert set(got) == want and want  # non-trivial selection
+
+
+def test_chunk_documents_stride_arithmetic(spark):
+    from datasketches_server_spark.operators.curation import chunk_documents
+
+    mk = lambda n: " ".join(f"t{i}" for i in range(n))
+    df = spark.createDataFrame(
+        [(1, mk(100)), (2, mk(64)), (3, mk(65)), (4, "")],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(df, chunk_tokens=64, stride=48).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["doc_id"], []).append(r)
+    for v in by.values():
+        v.sort(key=lambda r: r["chunk_idx"])
+    # 100 tok: starts 0, 48; lens 64, 52; every token covered
+    assert [(r["start_tok"], r["chunk_len"]) for r in by[1]] == [(0, 64), (48, 52)]
+    assert by[1][1]["chunk_text"].split()[-1] == "t99"
+    assert by[1][0]["chunk_text"].split() == [f"t{i}" for i in range(64)]
+    # exactly chunk-sized: one chunk
+    assert [(r["start_tok"], r["chunk_len"]) for r in by[2]] == [(0, 64)]
+    # one over: tail window
+    assert [(r["start_tok"], r["chunk_len"]) for r in by[3]] == [(0, 64), (48, 17)]
+    # empty doc: one empty chunk (consistent with the oracle's range)
+    assert [(r["start_tok"], r["chunk_len"], r["chunk_text"]) for r in by[4]] == [(0, 0, "")]

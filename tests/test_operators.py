@@ -875,3 +875,45 @@ def test_cli_compact_metrics_mode(spark, tmp_path):
     after = {r["event_type"]: (r["n_events"], r["distinct_items"])
              for r in merged_view(spark, out).collect()}
     assert after == before
+
+
+def test_containment_pairs_finds_near_supersets(spark):
+    """A short doc pasted into a long one: containment ~1, jaccard small.
+    jaccard_below returns exactly the pairs the symmetric gate misses;
+    df_cap only ever LOWERS recall (never invents a pair)."""
+    from datasketches_server_spark.operators.dedup import containment_pairs
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long = (
+        "one two three four five six seven eight nine ten eleven twelve "
+        "thirteen fourteen fifteen sixteen " + short
+    )
+    near_dup_of_long = long + " seventeen"
+    rows = [(1, short), (2, long), (3, near_dup_of_long), (4, "totally different words here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["contained"], r["container"]): r.asDict()
+        for r in containment_pairs(df, threshold=0.9).collect()
+    }
+    assert ("1", "2") in got and got[("1", "2")]["containment"] == 1.0
+    assert got[("1", "2")]["jaccard"] < 0.7
+    assert ("2", "3") in got  # the symmetric near-dup also contains
+    # the asymmetric-only view drops the jaccard>=0.7 near-dup pair
+    only_asym = {
+        (r["contained"], r["container"])
+        for r in containment_pairs(df, threshold=0.9, jaccard_below=0.7).collect()
+    }
+    assert ("1", "2") in only_asym and ("2", "3") not in only_asym
+    # df_cap: a gram present in >cap docs is dropped from the index --
+    # pairs can disappear, but survivors' counts stay true intersections
+    capped = {
+        (r["contained"], r["container"]): r["n_inter"]
+        for r in containment_pairs(df, threshold=0.5, df_cap=2).collect()
+    }
+    full = {
+        (r["contained"], r["container"]): r["n_inter"]
+        for r in containment_pairs(df, threshold=0.5).collect()
+    }
+    assert set(capped) <= set(full)
+    for k, v in capped.items():
+        assert v <= full[k]

@@ -244,3 +244,50 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_ab)
         spark.sql("DROP TABLE IF EXISTS bkt_left")
         spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
+def test_containment_plan_shape(spark):
+    """q67 family: no cartesian, no Python eval; the df_cap hot-gram
+    anti-join broadcasts its (small) hot side."""
+    from pyspark.sql import functions as F
+
+    from datasketches_server_spark.operators.dedup import containment_pairs
+
+    df = spark.range(0, 60).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", F.lit("common words"), F.col("id").cast("string")).alias("text"),
+    )
+    p = plan_str(containment_pairs(df, threshold=0.5, df_cap=10), "simple")
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" not in p
+    # the anti-join against hot grams must be the broadcast variant
+    assert "LeftAnti, BuildRight" in p or "BroadcastHashJoin" in p
+
+
+def test_token_budget_plan_no_global_doc_window(spark):
+    """The per-doc running sum must be PARTITIONED (boundary bucket
+    only); the only unpartitioned window runs over quality buckets.
+    Concretely: no Window whose child sorts by doc columns globally --
+    we assert the doc-level window carries a hash partitioning."""
+    from pyspark.sql import functions as F
+
+    from datasketches_server_spark.operators.curation import token_budget_select
+
+    df = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", *[F.concat(F.lit(f"w{j}"), (F.col("id") % 7).cast("string")) for j in range(12)]
+        ).alias("text"),
+    )
+    p = plan_str(token_budget_select(df, 0.5), "simple")
+    assert "BatchEvalPython" not in p
+    import re
+
+    wins = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", p)
+    # every Window spec string: doc-level cum sum must include a
+    # partition spec (quality), i.e. no window both orders by doc_id and
+    # lacks a partition column
+    for spec in wins:
+        if "doc_id" in spec:
+            assert "quality" in spec, f"global doc-order window found: {spec}"
