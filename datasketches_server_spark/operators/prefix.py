@@ -55,20 +55,63 @@ __all__ = [
 ]
 
 
-def _turn_hashes(transcripts: DataFrame) -> DataFrame:
+def _positions_contiguous(transcripts: DataFrame) -> bool:
+    """True iff every conv's turn_idx multiset is exactly {0..n-1}.
+
+    One narrow aggregate (conv_id + three ints, map-side combined) with
+    an early-out limit -- the metadata probe that lets the hot path skip
+    the rank normalization entirely.  min==0 and max==n-1 alone are
+    spoofable by duplicates ([0,0,3,3]), so the distinct count is
+    checked too; the three together pin the set to {0..n-1} exactly.
+    """
+    violations = (
+        transcripts.groupBy("conv_id")
+        .agg(
+            F.min("turn_idx").alias("mn"),
+            F.max("turn_idx").alias("mx"),
+            F.count("*").alias("n"),
+            F.count_distinct("turn_idx").alias("nd"),
+        )
+        .where(
+            ~(
+                (F.col("mn") == 0)
+                & (F.col("mx") == F.col("n") - 1)
+                & (F.col("nd") == F.col("n"))
+            )
+        )
+        .limit(1)
+        .count()
+    )
+    return violations == 0
+
+
+def _resolve_positions(transcripts: DataFrame, positions: str) -> str:
+    if positions == "auto":
+        return "index" if _positions_contiguous(transcripts) else "rank"
+    if positions not in ("index", "rank"):
+        raise ValueError(f"positions must be auto|index|rank, got {positions!r}")
+    return positions
+
+
+def _turn_hashes(transcripts: DataFrame, positions: str = "auto") -> DataFrame:
     """(conv_id, pos, ph) with the NORMALIZED position baked into the hash.
 
-    ``pos = row_number() over (conv_id order by turn_idx) - 1``: the
-    prefix relation is about ordered slices, so positions are rank under
-    the stable (conv_id, turn_idx) ordering, not raw turn_idx values --
-    conversations with gapped or non-zero-based indices (exactly what
-    structure_audit flags) compare by their k-th turns, matching the
-    documented semantics.  For contiguous 0-based corpora pos == turn_idx
-    and results are unchanged.
+    ``pos`` is rank under the stable (conv_id, turn_idx) ordering: the
+    prefix relation is about ordered slices, so conversations with
+    gapped or non-zero-based indices (exactly what structure_audit
+    flags) compare by their k-th turns (ADVICE r4).  Rank costs a
+    window sort over text-bearing rows, so ``positions="auto"`` first
+    runs the cheap contiguity probe and takes the narrow r4 plan
+    (pos = turn_idx, zero extra work) whenever the corpus is contiguous
+    0-based -- where the two are provably identical.  "index"/"rank"
+    force a path (callers that already probed pass the resolved mode).
     """
-    pos = F.row_number().over(
-        Window.partitionBy("conv_id").orderBy("turn_idx")
-    ) - F.lit(1)
+    if _resolve_positions(transcripts, positions) == "index":
+        pos = F.col("turn_idx")
+    else:
+        pos = F.row_number().over(
+            Window.partitionBy("conv_id").orderBy("turn_idx")
+        ) - F.lit(1)
     return transcripts.select(
         "conv_id",
         pos.alias("pos"),
@@ -82,14 +125,16 @@ def _turn_hashes(transcripts: DataFrame) -> DataFrame:
     )
 
 
-def turn_prefix_candidates(transcripts: DataFrame) -> DataFrame:
+def turn_prefix_candidates(
+    transcripts: DataFrame, positions: str = "auto"
+) -> DataFrame:
     """Hash-level candidate pairs (no text comparison yet).
 
     One shuffle to build per-conv running hashes, one narrow equi-join
     on (h0, cum, turn_idx).  Collision-true pairs (~2^-60 per candidate)
     are removed by :func:`verify_prefix_pairs`.
     """
-    h = _turn_hashes(transcripts)
+    h = _turn_hashes(transcripts, positions)
     conv = Window.partitionBy("conv_id")
     ordered = conv.orderBy("pos").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -140,7 +185,9 @@ def turn_prefix_candidates(transcripts: DataFrame) -> DataFrame:
     )
 
 
-def verify_prefix_pairs(candidates: DataFrame, transcripts: DataFrame) -> DataFrame:
+def verify_prefix_pairs(
+    candidates: DataFrame, transcripts: DataFrame, positions: str = "auto"
+) -> DataFrame:
     """Exact text verification of candidate pairs.
 
     Joins the prefix conv's turns against the super conv's same-POSITION
@@ -148,11 +195,16 @@ def verify_prefix_pairs(candidates: DataFrame, transcripts: DataFrame) -> DataFr
     the candidate hashes) and keeps a pair only when every one of the
     ``prefix_turns`` positions matches exactly -- cost is candidates x
     prefix length (LSH-verify shape), and the turn join is an equi-join
-    on (conv_id, pos) so text never fans out.
+    on (conv_id, pos) so text never fans out.  ``positions`` must
+    resolve to the same mode the candidates were hashed under (both
+    default to the same probe, so defaults always agree).
     """
-    pos = F.row_number().over(
-        Window.partitionBy("conv_id").orderBy("turn_idx")
-    ) - F.lit(1)
+    if _resolve_positions(transcripts, positions) == "index":
+        pos = F.col("turn_idx")
+    else:
+        pos = F.row_number().over(
+            Window.partitionBy("conv_id").orderBy("turn_idx")
+        ) - F.lit(1)
     t = transcripts.select("conv_id", pos.alias("pos"), "text")
     a = t.select(
         F.col("conv_id").alias("prefix_conv_id"),
@@ -185,17 +237,22 @@ def verify_prefix_pairs(candidates: DataFrame, transcripts: DataFrame) -> DataFr
     ).drop("n_match", "n_joined")
 
 
-def turn_prefix_pairs(transcripts: DataFrame, verify: bool = True) -> DataFrame:
+def turn_prefix_pairs(
+    transcripts: DataFrame, verify: bool = True, positions: str = "auto"
+) -> DataFrame:
     """Verified turn-aligned prefix/exact duplicate pairs.
 
     ``verify=False`` skips the text re-join and trusts the 60-bit
     running hashes (bench tier); the default emits exactly the pairs a
-    full text comparison would.
+    full text comparison would.  The position mode is probed ONCE here
+    and passed resolved to both stages, so ``auto`` costs a single
+    narrow metadata aggregate however many stages run.
     """
-    cands = turn_prefix_candidates(transcripts)
+    positions = _resolve_positions(transcripts, positions)
+    cands = turn_prefix_candidates(transcripts, positions)
     if not verify:
         return cands
-    return verify_prefix_pairs(cands, transcripts)
+    return verify_prefix_pairs(cands, transcripts, positions)
 
 
 def prefix_dedup_assignments(

@@ -217,3 +217,42 @@ def test_prefix_pairs_gapped_and_nonzero_turn_idx(spark):
         ("stub5", "long", "prefix"),
         ("stub5", "gappy", "prefix"),
     }
+
+
+def test_positions_auto_probe_and_mode_equivalence(spark):
+    """The contiguity probe routes auto correctly, and on a contiguous
+    0-based corpus the fast index path and the rank path emit identical
+    pairs (the property that makes auto safe)."""
+    from datasketches_server_spark.operators.prefix import _positions_contiguous
+
+    contig = spark.createDataFrame(
+        [("a", 0, "u", "x", None), ("a", 1, "u", "y", None),
+         ("b", 0, "u", "x", None), ("b", 1, "u", "y", None),
+         ("c", 0, "u", "x", None)],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    )
+    assert _positions_contiguous(contig)
+    # duplicates spoof min/max+count alone ([0,0,3,3]); the distinct
+    # count must catch them
+    dup = spark.createDataFrame(
+        [("d", 0, "u", "x", None), ("d", 0, "u", "y", None),
+         ("d", 3, "u", "z", None), ("d", 3, "u", "w", None)],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    )
+    assert not _positions_contiguous(dup)
+    gapped = spark.createDataFrame(
+        [("e", 5, "u", "x", None), ("e", 6, "u", "y", None)],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    )
+    assert not _positions_contiguous(gapped)
+
+    by_index = {(r.prefix_conv_id, r.super_conv_id, r.relation)
+                for r in turn_prefix_pairs(contig, positions="index").collect()}
+    by_rank = {(r.prefix_conv_id, r.super_conv_id, r.relation)
+               for r in turn_prefix_pairs(contig, positions="rank").collect()}
+    by_auto = {(r.prefix_conv_id, r.super_conv_id, r.relation)
+               for r in turn_prefix_pairs(contig).collect()}
+    assert (
+        by_index == by_rank == by_auto
+        == {("a", "b", "exact"), ("c", "a", "prefix"), ("c", "b", "prefix")}
+    )
