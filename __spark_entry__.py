@@ -128,6 +128,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_token_budget_select": Q.q68_token_budget_select,
         # overlapping fixed-token chunking (embedding/RAG prep)
         "q69_chunk_documents": Q.q69_chunk_documents,
+        # retraction: remove docs from accumulated dedup state
+        "q70_retract_dedup": Q.q70_retract_dedup,
     }
 
 
@@ -1606,5 +1608,41 @@ def oracle_sql() -> dict[str, str]:
                CAST(least(64, n - i * 48) AS BIGINT) AS chunk_len,
                array_to_string(toks[i*48+1 : i*48+64], ' ') AS chunk_text
         FROM e ORDER BY doc_id, chunk_idx
+    """
+    # q70: retraction == full recompute -- the exact closure over the
+    # FILTERED corpus (doc_id % 13 <> 0 survivors), every surviving doc
+    # labeled (own id when unclustered), the same >=0.7 jaccard + CC
+    # arithmetic as q24.
+    oracles["q70_retract_dedup"] = f"""
+        WITH RECURSIVE d AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 0
+        ), g AS (
+            SELECT CAST(doc_id AS VARCHAR) AS id, {grams3} AS grams FROM d
+        ), x AS (
+            SELECT id, unnest(grams) AS gram FROM g
+        ), inter AS (
+            SELECT l.id AS a, r.id AS b, count(*) AS i
+            FROM x l JOIN x r ON l.gram = r.gram AND l.id < r.id
+            GROUP BY 1, 2
+        ), sz AS (
+            SELECT id, len(grams) AS n FROM g
+        ), edges AS (
+            SELECT a, b FROM inter
+            JOIN sz sa ON inter.a = sa.id
+            JOIN sz sb ON inter.b = sb.id
+            WHERE i / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.7
+        ), sym AS (
+            SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges
+        ), cc(id, lbl) AS (
+            SELECT DISTINCT a, a FROM sym
+            UNION
+            SELECT s.b, cc.lbl FROM cc JOIN sym s ON cc.id = s.a
+        ), labels AS (
+            SELECT id, min(lbl) AS cluster_id FROM cc GROUP BY id
+        )
+        SELECT CAST(d.doc_id AS VARCHAR) AS conv_id,
+               coalesce(l.cluster_id, CAST(d.doc_id AS VARCHAR)) AS cluster_id
+        FROM d LEFT JOIN labels l ON CAST(d.doc_id AS VARCHAR) = l.id
+        ORDER BY conv_id
     """
     return oracles

@@ -106,6 +106,15 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         help="token window size of the index being compacted",
     )
     ap.add_argument(
+        "--retract-input",
+        help="maintenance mode: parquet with a conv_id column naming "
+        "conversations to REMOVE from the chain given by --base-fps; the "
+        "retracted state (signatures, edges, band index, clusters with "
+        "affected components re-solved) is folded into one snapshot named "
+        "--compact-fp.  Source-pulled / erasure path; never rewrites the "
+        "chain dirs in place (plans/retract.py)",
+    )
+    ap.add_argument(
         "--compact-metrics",
         help="maintenance mode: fold the sketch-metrics append log at this "
         "path through --through-epoch into one base row per key "
@@ -157,6 +166,31 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
 
         stats = compact_metrics(spark, args.compact_metrics, args.through_epoch)
         print(json.dumps({"mode": "compact-metrics", **stats}))
+        if owns_session:
+            spark.stop()
+        return 0
+
+    if args.retract_input:
+        if not args.base_fps:
+            ap.error("--retract-input requires --base-fps (the chain to retract from)")
+        fps = args.base_fps.split(",")
+        if args.compact_fp in fps:
+            ap.error("--compact-fp must be a fresh snapshot name, not a chain member")
+        removed = spark.read.parquet(args.retract_input).select("conv_id")
+        runner = LineageRunner(spark, args.workdir, cfg)
+        counts = runner.retract_chain(fps, removed, args.compact_fp)
+        print(
+            json.dumps(
+                {
+                    "mode": "retract",
+                    "config_hash": cfg.config_hash(),
+                    "chain": fps,
+                    # pass as --base-fps to later --batch-input runs
+                    "input_fp": args.compact_fp,
+                    "counts": counts,
+                }
+            )
+        )
         if owns_session:
             spark.stop()
         return 0

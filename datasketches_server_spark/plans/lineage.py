@@ -287,23 +287,67 @@ class LineageRunner:
         maintenance, like a table format's rewrite/expire, NOT per
         batch.  Idempotent: every write overwrites out_fp's keyspace.
         Returns row counts per store."""
+        sigs, edges, idx, full = self._read_chain_relations(fps)
+        return self._write_snapshot(sigs, edges, idx, full, out_fp)
+
+    def _read_chain_relations(self, fps: list[str]):
+        """The four dedup stores of an incremental chain, composed:
+        (signatures union, deduped verified-edge union, band-index
+        union, latest-wins full cluster labeling)."""
         from functools import reduce
 
-        from .band_index import band_index_dir, read_band_index
+        from .band_index import read_band_index
 
         if not fps:
             raise ValueError("fps must name the chain to fold")
-        B, E = self.cfg.num_buckets, self.edge_units
         donor_t = self.spark.createDataFrame(
             [], "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
         )
         empty_state = conv_signatures(donor_t, self.cfg)
-
-        # signatures: union -> the same bucket-partitioned layout stage 1 writes
         sigs = reduce(
             lambda a, b: a.unionByName(b),
             [self._stage_df("signatures", fp, fallback=empty_state) for fp in fps],
         )
+        # per-batch edge sets are disjoint (old-old pairs are never
+        # re-emitted), the dropDuplicates is crash-replay belt-and-braces
+        unit_of_bucket = F.pmod(F.col("bucket"), F.lit(self.edge_units)).cast("int")
+        empty_edges = verify_pairs(
+            candidate_pairs(
+                band_buckets(empty_state, self.cfg.lsh).withColumn("_unit", unit_of_bucket),
+                self.cfg.lsh, unit_col="_unit",
+            ),
+            empty_state, self.cfg.lsh, carry_cols=("_unit",),
+        ).drop("_unit")
+        edges = reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                self._stage_df("edges", fp, fallback=empty_edges).dropDuplicates(["a", "b"])
+                for fp in fps
+            ],
+        ).dropDuplicates(["a", "b"])
+        for fp in fps:
+            # a base that never took an incremental batch has no band
+            # dir yet; backfill is a no-op when it exists
+            self.ensure_band_index(fp)
+        idx = reduce(
+            lambda a, b: a.unionByName(b),
+            [read_band_index(self.spark, self.workdir, self.cfg, fp) for fp in fps],
+        )
+        id_type = dict(empty_edges.dtypes)["a"]
+        empty_labels = self.spark.createDataFrame(
+            [], f"conv_id {id_type}, cluster_id {id_type}"
+        )
+        full = self.read_clusters(fps, fallback=empty_labels)
+        return sigs, edges, idx, full
+
+    def _write_snapshot(self, sigs, edges, idx, clusters, out_fp: str) -> dict:
+        """Write the four stores under ONE snapshot fp in the exact
+        layouts run() produces (bucket-partitioned signatures, unit-
+        partitioned edges and band index, single full clusters stage),
+        recording manifest rows so later runs resume against it."""
+        from .band_index import band_index_dir
+
+        B, E = self.cfg.num_buckets, self.edge_units
         bucket = F.pmod(F.xxhash64("conv_id"), F.lit(B)).cast("int")
         (
             sigs.withColumn("_bucket", bucket)
@@ -321,23 +365,6 @@ class LineageRunner:
             "signatures", {i: sig_counts.get(i, 0) for i in range(B)}, out_fp
         )
 
-        # edges: union (per-batch edge sets are disjoint -- old-old pairs
-        # are never re-emitted); unit layout is just file-size bounding
-        unit_of_bucket = F.pmod(F.col("bucket"), F.lit(E)).cast("int")
-        empty_edges = verify_pairs(
-            candidate_pairs(
-                band_buckets(empty_state, self.cfg.lsh).withColumn("_unit", unit_of_bucket),
-                self.cfg.lsh, unit_col="_unit",
-            ),
-            empty_state, self.cfg.lsh, carry_cols=("_unit",),
-        ).drop("_unit")
-        edges = reduce(
-            lambda a, b: a.unionByName(b),
-            [
-                self._stage_df("edges", fp, fallback=empty_edges).dropDuplicates(["a", "b"])
-                for fp in fps
-            ],
-        ).dropDuplicates(["a", "b"])
         (
             edges.withColumn("_bucket", F.pmod(F.xxhash64("a", "b"), F.lit(E)).cast("int"))
             .write.mode("overwrite")
@@ -352,11 +379,6 @@ class LineageRunner:
         }
         self._record_bulk("edges", {i: edge_counts.get(i, 0) for i in range(E)}, out_fp)
 
-        # band index: union of the chain's per-snapshot dirs
-        idx = reduce(
-            lambda a, b: a.unionByName(b),
-            [read_band_index(self.spark, self.workdir, self.cfg, fp) for fp in fps],
-        )
         (
             idx.withColumn("_unit", F.pmod(F.col("bucket"), F.lit(8)).cast("int"))
             .write.mode("overwrite")
@@ -364,13 +386,7 @@ class LineageRunner:
             .parquet(band_index_dir(self.workdir, self.cfg, out_fp))
         )
 
-        # clusters: the composed FULL labeling becomes the new base
-        id_type = dict(empty_edges.dtypes)["a"]
-        empty_labels = self.spark.createDataFrame(
-            [], f"conv_id {id_type}, cluster_id {id_type}"
-        )
-        full = self.read_clusters(fps, fallback=empty_labels)
-        full.write.mode("overwrite").parquet(self._unit_path("clusters", 0, out_fp))
+        clusters.write.mode("overwrite").parquet(self._unit_path("clusters", 0, out_fp))
         n_clusters = self._stage_count_all("clusters", out_fp)
         self._record_bulk("clusters", {0: n_clusters}, out_fp)
 
@@ -379,6 +395,24 @@ class LineageRunner:
             "edges": int(sum(edge_counts.values())),
             "clusters": n_clusters,
         }
+
+    def retract_chain(self, fps: list[str], removed: DataFrame, out_fp: str) -> dict:
+        """Remove conversations from an incremental chain and fold the
+        result into ONE snapshot under out_fp -- compaction's delete
+        half (plans/retract.py semantics: broadcast anti-joins on the
+        stores; affected clusters re-solved from surviving edges so a
+        removed bridge conv splits its cluster exactly as a recompute
+        would).  Like compact_chain it is periodic maintenance, never
+        an in-place rewrite: a crash leaves every chain dir intact and
+        the caller flips --base-fps to [out_fp] only on success.
+        Returns row counts per store."""
+        from .retract import retract_convs
+
+        sigs, edges, idx, full = self._read_chain_relations(fps)
+        rm = removed.select("conv_id").distinct()
+        sigs2, edges2, clusters2 = retract_convs(sigs, edges, full, rm)
+        idx2 = idx.join(F.broadcast(rm), "conv_id", "left_anti")
+        return self._write_snapshot(sigs2, edges2, idx2, clusters2, out_fp)
 
     def run_incremental(
         self,

@@ -1705,3 +1705,25 @@ def q69_chunk_documents(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return chunk_documents(d, chunk_tokens=64, stride=48).orderBy("doc_id", "chunk_idx")
+
+
+def q70_retract_dedup(spark, sf_dir):
+    """Retraction (plans/retract.retract_convs): remove every doc with
+    doc_id % 13 == 0 from the ACCUMULATED dedup state -- the
+    source-pulled / GDPR-erasure ops path -- and return the surviving
+    cluster assignment.  Only clusters containing a removed doc are
+    re-solved (surviving edges of the affected subgraph; splits and
+    singleton wakes handled); every other label passes through
+    untouched.  The oracle recomputes the exact >=0.7-jaccard transitive
+    closure over the FILTERED corpus from scratch, so a hash match
+    proves retract == full recompute on driver data (the uncapped-regime
+    equality contract in plans/retract.py)."""
+    from .retract import retract_convs
+
+    res = documents_dedup_result(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents")
+    rm = d.where(F.col("doc_id") % 13 == 0).select(
+        F.col("doc_id").cast("string").alias("conv_id")
+    )
+    _, _, clusters2 = retract_convs(res.conv_state, res.edges, res.clusters, rm)
+    return clusters2.orderBy("conv_id")
