@@ -27,6 +27,15 @@ Scale shape:
   component, the stitched result is bit-identical to a full CC over all
   surviving edges.
 
+Scope note -- the ExactSubstr window index (plans/window_index.py) has
+NO incremental delete, by design: its absorb optimization stores per
+window key only (nd, singleton-doc positions iff nd == 1), discarding
+exactly the membership information deletion would need (which surviving
+doc's windows drop from duplicated to unique when a sharer is removed
+is unrecoverable once nd >= 2).  Deleting from that store is a rebuild:
+``write_window_index`` over the surviving corpus under a fresh fp --
+one O(survivor-tokens) pass, the same cost as its original bootstrap.
+
 Exactness contract: retraction preserves the VERIFIED-EDGE set
 restricted to survivors.  In uncapped regimes that equals a full
 recompute over the filtered corpus (asserted by fingerprint in tests and

@@ -291,3 +291,32 @@ def test_token_budget_plan_no_global_doc_window(spark):
     for spec in wins:
         if "doc_id" in spec:
             assert "quality" in spec, f"global doc-order window found: {spec}"
+
+
+def test_retract_plan_broadcast_anti_joins(spark):
+    """Retraction's store rewrites must be broadcast anti-joins of the
+    (small) removal set -- no shuffled anti-join of the corpus, no
+    cartesian, no Python eval.  The affected-cluster semi-joins
+    broadcast too."""
+    from pyspark.sql import functions as F
+
+    from datasketches_server_spark.plans.retract import retract_convs
+
+    n = 400
+    state = spark.range(n).select(F.col("id").cast("string").alias("conv_id"), F.lit(1).alias("sig"))
+    edges = spark.range(n - 1).select(
+        F.col("id").cast("string").alias("a"), (F.col("id") + 1).cast("string").alias("b")
+    ).where(F.col("id") % 3 == 0)
+    clusters = state.select("conv_id", F.col("conv_id").alias("cluster_id"))
+    rm = spark.range(5).select(F.col("id").cast("string").alias("conv_id"))
+    state2, edges2, _ = retract_convs(state, edges, clusters, rm)
+    for df in (state2, edges2):
+        p = plan_str(df, "simple")
+        assert "CartesianProduct" not in p
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+        assert "BroadcastHashJoin LeftAnti" in p.replace("  ", " ") or (
+            "LeftAnti, BuildRight" in p
+        ), p
+        # a shuffled (SortMerge) anti-join of the corpus would defeat
+        # the narrow-scan contract
+        assert "SortMergeJoin LeftAnti" not in p, p
