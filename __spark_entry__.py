@@ -130,6 +130,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q69_chunk_documents": Q.q69_chunk_documents,
         # retraction: remove docs from accumulated dedup state
         "q70_retract_dedup": Q.q70_retract_dedup,
+        # signature-level train/eval decontamination (near-dup, cross-corpus)
+        "q71_cross_corpus_decontam": Q.q71_cross_corpus_decontam,
     }
 
 
@@ -1644,5 +1646,35 @@ def oracle_sql() -> dict[str, str]:
                coalesce(l.cluster_id, CAST(d.doc_id AS VARCHAR)) AS cluster_id
         FROM d LEFT JOIN labels l ON CAST(d.doc_id AS VARCHAR) = l.id
         ORDER BY conv_id
+    """
+    # q71: ALL exact >=0.7-jaccard pairs BETWEEN the train side
+    # (doc_id % 17 <> 0) and the eval side (doc_id % 17 = 0) -- the
+    # cross-corpus replay of the q24 pair arithmetic.
+    oracles["q71_cross_corpus_decontam"] = f"""
+        WITH t AS (
+            SELECT CAST(doc_id AS VARCHAR) AS id, {grams3} AS grams
+            FROM documents WHERE doc_id % 17 <> 0
+        ), e AS (
+            SELECT CAST(doc_id AS VARCHAR) AS id, {grams3} AS grams
+            FROM documents WHERE doc_id % 17 = 0
+        ), xt AS (
+            SELECT id, unnest(grams) AS gram FROM t
+        ), xe AS (
+            SELECT id, unnest(grams) AS gram FROM e
+        ), inter AS (
+            SELECT xt.id AS a, xe.id AS b, count(*) AS i
+            FROM xt JOIN xe ON xt.gram = xe.gram GROUP BY 1, 2
+        ), szt AS (
+            SELECT id, len(grams) AS n FROM t
+        ), sze AS (
+            SELECT id, len(grams) AS n FROM e
+        )
+        SELECT a AS train_conv_id, b AS eval_conv_id,
+               round(i / CAST(st.n + se.n - i AS DOUBLE), 4) AS jaccard
+        FROM inter
+        JOIN szt st ON inter.a = st.id
+        JOIN sze se ON inter.b = se.id
+        WHERE i / CAST(st.n + se.n - i AS DOUBLE) >= 0.7
+        ORDER BY train_conv_id, eval_conv_id
     """
     return oracles

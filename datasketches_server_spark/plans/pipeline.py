@@ -345,3 +345,95 @@ def cluster_summary(clusters: DataFrame) -> DataFrame:
         .agg(F.count("*").cast("long").alias("cluster_size"))
         .orderBy(F.desc("cluster_size"), "cluster_id")
     )
+
+
+def cross_corpus_near_dups(
+    train_t: DataFrame | None,
+    eval_t: DataFrame,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    bucket_cap: int | None = None,
+    train_state: DataFrame | None = None,
+    train_buckets: DataFrame | None = None,
+    member_pushdown_threshold: int = 20_000,
+) -> DataFrame:
+    """Signature-level decontamination BETWEEN corpora: verified near-dup
+    pairs (train_conv_id, eval_conv_id, jaccard, hamming) at the
+    pipeline's threshold.
+
+    operators/curation.decontaminate catches EXACT n-gram overlap with an
+    eval set; this catches paraphrased / lightly-edited contamination the
+    same way the dedup pipeline catches near-dups -- and only CROSS-side
+    pairs, never train x train or eval x eval (the within-corpus job
+    belongs to dedup_pipeline).
+
+    Shape at 100 TB -- the eval side is small by definition, so every
+    stage is eval-scaled except one pass over the train side, and even
+    that pass disappears against an indexed corpus:
+
+    * ``train_state`` (per-conv signatures: DedupResult.conv_state or
+      the lineage signatures stage) skips the train signature UDF;
+      ``train_buckets`` (band_index.read_band_index) additionally skips
+      the band explode -- the decontam probe then reuses the SAME
+      accumulator incremental_dedup probes, and nothing about the train
+      corpus is recomputed.  With neither, ``train_t`` is signed and
+      banded once on the fly (the derived fallback).
+    * the eval side's band rows (|eval| x bands) broadcast into one
+      equi-join against train band rows -- no shuffle of the train
+      corpus, no cartesian.
+    * the verify join prunes fat state to candidate-pair members; when
+      the member set fits ``member_pushdown_threshold`` the prune ships
+      as an In() literal pushed to the parquet scan
+      (member_pushdown_state), so the fat-state READ is eval-scaled too.
+
+    ``bucket_cap`` (optional) drops buckets whose TRAIN membership
+    exceeds the cap before the join -- the boilerplate-opener guard;
+    like containment's df_cap a dropped bucket can only lower recall,
+    never create a false pair, because survivors still verify on exact
+    shingle jaccard.
+
+    Ids are namespaced internally ('t|'/'e|') so corpora sharing conv_ids
+    (an eval suite carved FROM the train corpus) never alias.
+    """
+    if train_state is not None:
+        pre_t = train_state
+    elif train_t is not None:
+        pre_t = conv_signatures(train_t, cfg)
+    else:
+        raise ValueError("need train_t or train_state")
+    pre_t = pre_t.withColumn("conv_id", F.concat(F.lit("t|"), "conv_id"))
+    pre_e = conv_signatures(eval_t, cfg).withColumn(
+        "conv_id", F.concat(F.lit("e|"), "conv_id")
+    ).persist()  # small; banded AND verified -- one UDF pass
+    if train_buckets is not None:
+        bt = train_buckets.select(
+            F.concat(F.lit("t|"), "conv_id").alias("a"), "bucket"
+        )
+    else:
+        bt = band_buckets(pre_t, cfg.lsh).select(F.col("conv_id").alias("a"), "bucket")
+    if bucket_cap is not None:
+        hot = (
+            bt.groupBy("bucket")
+            .agg(F.count("*").alias("n"))
+            .where(F.col("n") > bucket_cap)
+            .select("bucket")
+        )
+        bt = bt.join(F.broadcast(hot), "bucket", "left_anti")
+    be = band_buckets(pre_e, cfg.lsh).select(F.col("conv_id").alias("b"), "bucket")
+    cand = (
+        bt.join(F.broadcast(be), "bucket").select("a", "b").distinct().persist()
+    )
+    cand.count()  # materialize: the member probe below must hit cache
+    state = pre_t.unionByName(pre_e)
+    state_v, pushed = member_pushdown_state(cand, state, member_pushdown_threshold)
+    verified = verify_pairs(
+        cand, state_v, cfg.lsh, tier="exact", prune_members=not pushed
+    )
+    out = verified.select(
+        F.expr("substring(a, 3)").alias("train_conv_id"),
+        F.expr("substring(b, 3)").alias("eval_conv_id"),
+        "jaccard",
+        *(["hamming"] if "hamming" in verified.columns else []),
+    ).localCheckpoint(eager=True)
+    cand.unpersist()
+    pre_e.unpersist()
+    return out

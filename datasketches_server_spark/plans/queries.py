@@ -1727,3 +1727,26 @@ def q70_retract_dedup(spark, sf_dir):
     )
     _, _, clusters2 = retract_convs(res.conv_state, res.edges, res.clusters, rm)
     return clusters2.orderBy("conv_id")
+
+
+def q71_cross_corpus_decontam(spark, sf_dir):
+    """Signature-level decontamination BETWEEN corpora (plans/pipeline.
+    cross_corpus_near_dups): documents split train/eval on doc_id % 17,
+    then every verified cross-side near-dup pair at the pipeline's 0.7
+    jaccard threshold -- the paraphrase-contamination check q39's exact
+    n-gram overlap cannot make.  Train side banded once, eval band rows
+    broadcast, exact-jaccard verify; the oracle replays ALL >=0.7 pairs
+    between the two sides exactly, so a hash match proves cross-corpus
+    recall 1.0 on driver data (same banding as q24, which is
+    hash-proven recall 1.0 on this corpus)."""
+    from .pipeline import cross_corpus_near_dups
+
+    cfg = PipelineConfig(shingle=ShingleConfig(k=3))
+    t = transcripts_from_documents(spark, sf_dir)
+    is_eval = F.col("conv_id").cast("long") % 17 == 0
+    pairs = cross_corpus_near_dups(t.where(~is_eval), t.where(is_eval), cfg)
+    return pairs.select(
+        "train_conv_id",
+        "eval_conv_id",
+        F.round("jaccard", 4).alias("jaccard"),
+    ).orderBy("train_conv_id", "eval_conv_id")

@@ -1,0 +1,151 @@
+"""Cross-corpus decontamination (plans/pipeline.cross_corpus_near_dups):
+signature-level train-vs-eval near-dup pairs, judged against the exact
+brute-force cross-pair oracle at the identical shingle/signature config
+(same recall>=0.99 / zero-false-positive contract as dedup_pipeline)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datasketches_server_spark.config import DEFAULT_CONFIG
+from datasketches_server_spark.plans.pipeline import (
+    conv_signatures,
+    cross_corpus_near_dups,
+)
+from datasketches_server_spark.plans.oracle import exact_jaccard
+from datasketches_server_spark.sources.synth import synth_transcripts
+
+
+def _split(transcripts, mod=5):
+    """Carve an eval suite out of a planted corpus: every conv whose
+    numeric id is divisible by ``mod`` -- dup families span both sides."""
+    is_eval = F.pmod(F.xxhash64("conv_id"), F.lit(mod)) == 0
+    return transcripts.where(~is_eval), transcripts.where(is_eval)
+
+
+def _exact_cross_pairs(spark, train, evalt, cfg):
+    """Brute-force oracle: ALL cross-side pairs with jaccard >= threshold."""
+    st = conv_signatures(train, cfg).select(
+        F.col("conv_id").alias("a"), F.col("shingles").alias("sh_a")
+    )
+    se = conv_signatures(evalt, cfg).select(
+        F.col("conv_id").alias("b"), F.col("shingles").alias("sh_b")
+    )
+    return (
+        st.crossJoin(se)
+        .select("a", "b", exact_jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+        .where(F.col("jaccard") >= cfg.lsh.jaccard_threshold)
+    )
+
+
+def test_cross_pairs_match_exact_oracle(spark):
+    cfg = DEFAULT_CONFIG
+    transcripts = synth_transcripts(spark, n_convs=500, seed=11)
+    train, evalt = _split(transcripts)
+
+    got = cross_corpus_near_dups(train, evalt, cfg).persist()
+    want = _exact_cross_pairs(spark, train, evalt, cfg).persist()
+
+    n_want = want.count()
+    assert n_want > 0, "planted corpus produced no cross-side near-dups"
+    hit = got.join(
+        want.select(
+            F.col("a").alias("train_conv_id"), F.col("b").alias("eval_conv_id")
+        ),
+        ["train_conv_id", "eval_conv_id"],
+    ).count()
+    recall = hit / n_want
+    assert recall >= 0.99, f"cross-corpus recall {recall} < 0.99 ({hit}/{n_want})"
+
+    # exact verification tier => zero false positives
+    fp = got.join(
+        want.select(
+            F.col("a").alias("train_conv_id"), F.col("b").alias("eval_conv_id")
+        ),
+        ["train_conv_id", "eval_conv_id"],
+        "left_anti",
+    ).count()
+    assert fp == 0, f"{fp} false-positive cross pairs"
+
+
+def test_shared_conv_ids_never_alias(spark):
+    """An eval suite reusing a train corpus's conv_ids must not self-pair:
+    the internal t|/e| namespacing keeps a train conv and an UNRELATED
+    eval conv with the same id apart, while a genuine copy still pairs."""
+    cfg = DEFAULT_CONFIG
+    transcripts = synth_transcripts(spark, n_convs=200, seed=23).persist()
+    ids = [r[0] for r in transcripts.select("conv_id").distinct().orderBy("conv_id").limit(2).collect()]
+    a, b = ids
+    train = transcripts
+    # eval: conv 'a' is a verbatim copy of train conv 'a' (true leak);
+    # conv 'b' is train conv 'a' RELABELED as 'b' (same text, different id).
+    evalt = transcripts.where(F.col("conv_id") == a).unionByName(
+        transcripts.where(F.col("conv_id") == a).withColumn("conv_id", F.lit(b))
+    )
+    got = cross_corpus_near_dups(train, evalt, cfg)
+    rows = {(r["train_conv_id"], r["eval_conv_id"]) for r in got.collect()}
+    # both eval convs are exact copies of train 'a' => both pairs found,
+    # with sides preserved (no 'a'=='a' suppression, no id collision)
+    assert (a, a) in rows, rows
+    assert (a, b) in rows, rows
+
+
+def test_indexed_train_side_equals_derived(spark, tmp_path):
+    """Decontam against a persisted corpus (signatures stage + band
+    index -- the accumulator incremental_dedup probes) must equal the
+    derived path bit-for-bit: nothing about the train side recomputes."""
+    from datasketches_server_spark.plans.band_index import (
+        read_band_index,
+        write_band_index,
+    )
+
+    cfg = DEFAULT_CONFIG
+    transcripts = synth_transcripts(spark, n_convs=300, seed=17)
+    train, evalt = _split(transcripts)
+
+    derived = {
+        tuple(r) for r in cross_corpus_near_dups(train, evalt, cfg).collect()
+    }
+
+    # persist the train corpus the way a completed run would
+    state = conv_signatures(train, cfg)
+    sig_path = str(tmp_path / "sigs")
+    state.write.parquet(sig_path)
+    write_band_index(state, str(tmp_path), cfg, input_fp="base")
+
+    stored_state = spark.read.parquet(sig_path)
+    stored_buckets = read_band_index(spark, str(tmp_path), cfg, input_fp="base")
+    indexed = {
+        tuple(r)
+        for r in cross_corpus_near_dups(
+            None,
+            evalt,
+            cfg,
+            train_state=stored_state,
+            train_buckets=stored_buckets,
+        ).collect()
+    }
+    assert derived, "no cross pairs planted"
+    assert indexed == derived
+
+
+def test_bucket_cap_only_lowers_recall(spark):
+    """A hot-bucket cap may drop pairs but never invent them, and a
+    generous cap changes nothing."""
+    cfg = DEFAULT_CONFIG
+    transcripts = synth_transcripts(spark, n_convs=300, seed=5)
+    train, evalt = _split(transcripts)
+    free = {
+        (r["train_conv_id"], r["eval_conv_id"])
+        for r in cross_corpus_near_dups(train, evalt, cfg).collect()
+    }
+    capped = {
+        (r["train_conv_id"], r["eval_conv_id"])
+        for r in cross_corpus_near_dups(train, evalt, cfg, bucket_cap=2).collect()
+    }
+    loose = {
+        (r["train_conv_id"], r["eval_conv_id"])
+        for r in cross_corpus_near_dups(train, evalt, cfg, bucket_cap=10**6).collect()
+    }
+    assert capped <= free
+    assert loose == free
