@@ -115,6 +115,15 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         "chain dirs in place (plans/retract.py)",
     )
     ap.add_argument(
+        "--decontam-input",
+        help="EVAL-suite transcripts parquet: report every near-dup pair "
+        "between the indexed corpus chain named by --base-fps (train "
+        "side) and this eval set, at the run's own shingle/signature "
+        "config.  Zero recompute of the indexed corpus (persisted "
+        "signatures + band index probed, eval band rows broadcast); "
+        "pairs are written under <workdir>/decontam/ and summarized",
+    )
+    ap.add_argument(
         "--compact-metrics",
         help="maintenance mode: fold the sketch-metrics append log at this "
         "path through --through-epoch into one base row per key "
@@ -166,6 +175,42 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
 
         stats = compact_metrics(spark, args.compact_metrics, args.through_epoch)
         print(json.dumps({"mode": "compact-metrics", **stats}))
+        if owns_session:
+            spark.stop()
+        return 0
+
+    if args.decontam_input:
+        if not args.base_fps:
+            ap.error("--decontam-input requires --base-fps (the indexed chain)")
+        import os
+
+        fps = args.base_fps.split(",")
+        eval_t = spark.read.parquet(args.decontam_input)
+        eval_fp = path_fingerprint(args.decontam_input)
+        runner = LineageRunner(spark, args.workdir, cfg)
+        pairs = runner.decontam_eval(eval_t, fps)
+        out_path = os.path.join(
+            args.workdir, "decontam", f"{cfg.config_hash()}_{eval_fp}"
+        )
+        pairs.write.mode("overwrite").parquet(out_path)
+        pairs = spark.read.parquet(out_path)
+        n_pairs = pairs.count()
+        n_eval = eval_t.select("conv_id").distinct().count()
+        n_contaminated = pairs.select("eval_conv_id").distinct().count()
+        print(
+            json.dumps(
+                {
+                    "mode": "decontam",
+                    "config_hash": cfg.config_hash(),
+                    "chain": fps,
+                    "eval_fp": eval_fp,
+                    "n_eval_convs": n_eval,
+                    "n_pairs": n_pairs,
+                    "n_contaminated_eval_convs": n_contaminated,
+                    "pairs_path": out_path,
+                }
+            )
+        )
         if owns_session:
             spark.stop()
         return 0

@@ -273,6 +273,43 @@ class LineageRunner:
         state = self.spark.read.parquet(sig_dir).drop("_bucket")
         write_band_index(state, self.workdir, self.cfg, input_fp)
 
+    def decontam_eval(self, eval_t: DataFrame, fps: list[str]) -> DataFrame:
+        """Cross-corpus decontamination against the INDEXED chain: every
+        verified near-dup pair between the chain's corpus (train side)
+        and ``eval_t`` (an eval-suite transcripts DataFrame), at the
+        run's own shingle/signature config.
+
+        Nothing about the indexed corpus recomputes: the train side is
+        the persisted signatures stages + band-index dirs (backfilled
+        once if a base predates the index convention), probed exactly
+        the way run_incremental probes them
+        (plans/pipeline.cross_corpus_near_dups indexed path -- eval band
+        rows broadcast, candidate members pushed down to the signature
+        scan)."""
+        from functools import reduce
+
+        from .band_index import read_band_index
+        from .pipeline import cross_corpus_near_dups
+
+        if not fps:
+            raise ValueError("fps must name the indexed chain to probe")
+        sigs = reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                self.spark.read.parquet(self._stage_dir("signatures", fp)).drop("_bucket")
+                for fp in fps
+            ],
+        )
+        for fp in fps:
+            self.ensure_band_index(fp)
+        idx = reduce(
+            lambda a, b: a.unionByName(b),
+            [read_band_index(self.spark, self.workdir, self.cfg, fp) for fp in fps],
+        )
+        return cross_corpus_near_dups(
+            None, eval_t, self.cfg, train_state=sigs, train_buckets=idx
+        )
+
     def compact_chain(self, fps: list[str], out_fp: str) -> dict:
         """Fold an incremental chain (a run() base + run_incremental
         batches, oldest first) into ONE consolidated snapshot under

@@ -129,6 +129,62 @@ def test_indexed_train_side_equals_derived(spark, tmp_path):
     assert indexed == derived
 
 
+def test_cli_decontam_probes_indexed_chain(spark, tmp_path):
+    """--decontam-input end-to-end: full CLI run indexes a corpus, then
+    an eval parquet containing verbatim copies of two train convs plus
+    genuinely new convs is probed -- the copies are flagged, the new
+    convs are not, and nothing needed the train transcripts again."""
+    import json
+    from contextlib import redirect_stdout
+    from io import StringIO
+
+    from datasketches_server_spark.__main__ import main
+
+    base = synth_transcripts(spark, n_convs=120, seed=5).persist()
+    leak_ids = [
+        r[0]
+        for r in base.select("conv_id").distinct().orderBy("conv_id").limit(2).collect()
+    ]
+    leaked = base.where(F.col("conv_id").isin(leak_ids)).selectExpr(
+        "concat('ev-', conv_id) conv_id", "turn_idx", "role", "text", "tool", "ts"
+    )
+    fresh = synth_transcripts(
+        spark, n_convs=10, seed=777, dup_fraction=0.0
+    ).selectExpr(
+        "concat('fresh-', conv_id) conv_id", "turn_idx", "role", "text", "tool", "ts"
+    )
+    evalt = leaked.unionByName(fresh)
+
+    base_p, eval_p = str(tmp_path / "base"), str(tmp_path / "eval")
+    base.write.parquet(base_p)
+    evalt.write.parquet(eval_p)
+    wd = str(tmp_path / "wd")
+
+    def run(argv):
+        buf = StringIO()
+        with redirect_stdout(buf):
+            assert main(argv, spark=spark) == 0
+        return json.loads(buf.getvalue().strip().splitlines()[-1])
+
+    full = run(["--input", base_p, "--workdir", wd])
+    rep = run(
+        ["--decontam-input", eval_p, "--workdir", wd, "--base-fps", full["input_fp"]]
+    )
+    assert rep["mode"] == "decontam"
+    pairs = spark.read.parquet(rep["pairs_path"])
+    flagged = {r["eval_conv_id"] for r in pairs.select("eval_conv_id").distinct().collect()}
+    # both planted copies flagged, paired with their train originals
+    for cid in leak_ids:
+        assert f"ev-{cid}" in flagged, (cid, flagged)
+    got = {(r["train_conv_id"], r["eval_conv_id"]) for r in pairs.collect()}
+    for cid in leak_ids:
+        assert (cid, f"ev-{cid}") in got, (cid, got)
+    # the genuinely-new convs stay clean
+    assert not any(c.startswith("fresh-") for c in flagged), flagged
+    assert rep["n_contaminated_eval_convs"] == len(flagged)
+    base.unpersist()
+
+
 def test_bucket_cap_only_lowers_recall(spark):
     """A hot-bucket cap may drop pairs but never invent them, and a
     generous cap changes nothing."""
