@@ -132,6 +132,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q70_retract_dedup": Q.q70_retract_dedup,
         # signature-level train/eval decontamination (near-dup, cross-corpus)
         "q71_cross_corpus_decontam": Q.q71_cross_corpus_decontam,
+        # per-source dedup impact rollup (docs/tokens kept vs dropped)
+        "q72_dedup_impact_by_source": Q.q72_dedup_impact_by_source,
+        # train docs to remove over eval contamination, with evidence
+        "q73_decontam_removal_verdict": Q.q73_decontam_removal_verdict,
+        # corpus-level boilerplate: 8-grams shared by the most documents
+        "q74_boilerplate_ngrams": Q.q74_boilerplate_ngrams,
     }
 
 
@@ -1676,5 +1682,122 @@ def oracle_sql() -> dict[str, str]:
         JOIN sze se ON inter.b = se.id
         WHERE i / CAST(st.n + se.n - i AS DOUBLE) >= 0.7
         ORDER BY train_conv_id, eval_conv_id
+    """
+    # q72: q38's exact closure + keeper argmax, rolled up per source
+    # (docs/tokens kept vs dropped).  Docs with no near-dup edge are
+    # singletons -> kept.
+    oracles["q72_dedup_impact_by_source"] = f"""
+        WITH RECURSIVE g AS (
+            SELECT CAST(doc_id AS VARCHAR) AS id, {grams3} AS grams FROM documents
+        ), x AS (
+            SELECT id, unnest(grams) AS gram FROM g
+        ), inter AS (
+            SELECT l.id AS a, r.id AS b, count(*) AS i
+            FROM x l JOIN x r ON l.gram = r.gram AND l.id < r.id
+            GROUP BY 1, 2
+        ), sz AS (
+            SELECT id, len(grams) AS n FROM g
+        ), edges AS (
+            SELECT a, b FROM inter
+            JOIN sz sa ON inter.a = sa.id
+            JOIN sz sb ON inter.b = sb.id
+            WHERE i / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.7
+        ), sym AS (
+            SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges
+        ), cc(id, lbl) AS (
+            SELECT DISTINCT a, a FROM sym
+            UNION
+            SELECT s.b, cc.lbl FROM cc JOIN sym s ON cc.id = s.a
+        ), labels AS (
+            SELECT id, min(lbl) AS cluster_id FROM cc GROUP BY id
+        ), qual AS (
+            SELECT CAST(doc_id AS VARCHAR) AS id,
+                   round((CASE WHEN len({_NORM_TOKS}) BETWEEN 10 AND 5000 THEN 1.0
+                               WHEN len({_NORM_TOKS}) < 10 THEN len({_NORM_TOKS}) / 10.0
+                               ELSE 5000.0 / len({_NORM_TOKS}) END
+                      + CASE WHEN length(text) / greatest(len({_NORM_TOKS}), 1)::DOUBLE BETWEEN 3 AND 12
+                             THEN 1.0 ELSE 0.5 END
+                      + 1.0 - least(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g'))
+                                    / greatest(length(text), 1)::DOUBLE * 4, 1.0)
+                     ) / 3, 4) AS quality
+            FROM documents
+        ), rk AS (
+            SELECT l.id,
+                   row_number() OVER (PARTITION BY l.cluster_id
+                                      ORDER BY q.quality DESC, l.id) AS rk
+            FROM labels l JOIN qual q ON l.id = q.id
+        ), verdict AS (
+            SELECT CAST(d.doc_id AS VARCHAR) AS id, d.source,
+                   CAST(len({_NORM_TOKS}) AS BIGINT) AS n_tokens,
+                   coalesce(rk.rk > 1, FALSE) AS dropped
+            FROM documents d LEFT JOIN rk ON CAST(d.doc_id AS VARCHAR) = rk.id
+        )
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+               CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+               CAST(sum(CASE WHEN dropped THEN 0 ELSE n_tokens END) AS BIGINT) AS tokens_kept,
+               round(sum(CASE WHEN dropped THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4) AS drop_rate
+        FROM verdict
+        GROUP BY source ORDER BY source
+    """
+    # q73: the per-train-doc removal verdict over q71's exact pair set --
+    # match count, strongest jaccard, and the argmax eval conv (ties by
+    # smallest eval id, mirroring Spark's min-struct argmax).
+    oracles["q73_decontam_removal_verdict"] = f"""
+        WITH t AS (
+            SELECT CAST(doc_id AS VARCHAR) AS id, {grams3} AS grams
+            FROM documents WHERE doc_id % 17 <> 0
+        ), e AS (
+            SELECT CAST(doc_id AS VARCHAR) AS id, {grams3} AS grams
+            FROM documents WHERE doc_id % 17 = 0
+        ), xt AS (
+            SELECT id, unnest(grams) AS gram FROM t
+        ), xe AS (
+            SELECT id, unnest(grams) AS gram FROM e
+        ), inter AS (
+            SELECT xt.id AS a, xe.id AS b, count(*) AS i
+            FROM xt JOIN xe ON xt.gram = xe.gram GROUP BY 1, 2
+        ), szt AS (
+            SELECT id, len(grams) AS n FROM t
+        ), sze AS (
+            SELECT id, len(grams) AS n FROM e
+        ), pairs AS (
+            SELECT a AS train_conv_id, b AS eval_conv_id,
+                   round(i / CAST(st.n + se.n - i AS DOUBLE), 4) AS jaccard
+            FROM inter
+            JOIN szt st ON inter.a = st.id
+            JOIN sze se ON inter.b = se.id
+            WHERE i / CAST(st.n + se.n - i AS DOUBLE) >= 0.7
+        ), best AS (
+            SELECT train_conv_id, eval_conv_id,
+                   row_number() OVER (PARTITION BY train_conv_id
+                                      ORDER BY jaccard DESC, eval_conv_id) AS rk
+            FROM pairs
+        )
+        SELECT p.train_conv_id,
+               count(*) AS n_eval_matches,
+               round(max(p.jaccard), 4) AS max_jaccard,
+               min(b.eval_conv_id) AS worst_eval_conv
+        FROM pairs p
+        JOIN best b ON p.train_conv_id = b.train_conv_id AND b.rk = 1
+        GROUP BY p.train_conv_id
+        ORDER BY p.train_conv_id
+    """
+    # q74: corpus boilerplate -- 8-grams by distinct-doc spread, total
+    # occurrences as the tiebreak, gram as the deterministic last key.
+    grams8_all = word_grams_all_sql(_NORM_TOKS, 8)
+    oracles["q74_boilerplate_ngrams"] = f"""
+        WITH allg AS (
+            SELECT doc_id, unnest({grams8_all}) AS gram FROM documents
+        )
+        SELECT gram,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_occurrences
+        FROM allg
+        GROUP BY gram
+        HAVING count(DISTINCT doc_id) >= 3
+        ORDER BY n_docs DESC, n_occurrences DESC, gram
+        LIMIT 20
     """
     return oracles

@@ -349,11 +349,12 @@ def cluster_summary(clusters: DataFrame) -> DataFrame:
 
 def cross_corpus_near_dups(
     train_t: DataFrame | None,
-    eval_t: DataFrame,
+    eval_t: DataFrame | None,
     cfg: PipelineConfig = DEFAULT_CONFIG,
     bucket_cap: int | None = None,
     train_state: DataFrame | None = None,
     train_buckets: DataFrame | None = None,
+    eval_state: DataFrame | None = None,
     member_pushdown_threshold: int = 20_000,
 ) -> DataFrame:
     """Signature-level decontamination BETWEEN corpora: verified near-dup
@@ -401,7 +402,13 @@ def cross_corpus_near_dups(
     else:
         raise ValueError("need train_t or train_state")
     pre_t = pre_t.withColumn("conv_id", F.concat(F.lit("t|"), "conv_id"))
-    pre_e = conv_signatures(eval_t, cfg).withColumn(
+    # eval_state: precomputed eval signatures (conv_signatures output) --
+    # the per-epoch streaming path signs the fixed eval suite ONCE, not
+    # once per micro-batch
+    if eval_state is None and eval_t is None:
+        raise ValueError("need eval_t or eval_state")
+    pre_e = (eval_state if eval_state is not None else conv_signatures(eval_t, cfg))
+    pre_e = pre_e.withColumn(
         "conv_id", F.concat(F.lit("e|"), "conv_id")
     ).persist()  # small; banded AND verified -- one UDF pass
     if train_buckets is not None:

@@ -1750,3 +1750,93 @@ def q71_cross_corpus_decontam(spark, sf_dir):
         "eval_conv_id",
         F.round("jaccard", 4).alias("jaccard"),
     ).orderBy("train_conv_id", "eval_conv_id")
+
+
+def q72_dedup_impact_by_source(spark, sf_dir):
+    """Per-source dedup impact report (the diagnostic a curation team
+    reads after q38's keeper policy): for each source, how many docs and
+    tokens the near-dup removal keeps vs drops.  Composes the memoized
+    q24 pipeline pass + q38's exact keeper rule (rounded quality argmax,
+    ties by id) + q20's token counts, then ONE map-side-combined
+    per-source agg -- at 100 TB the only added cost over q38 is that
+    final small reduce.  The oracle replays the exact closure + the same
+    keeper + the same rollup."""
+    from pyspark.sql import Window
+
+    res = documents_dedup_result(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        "source",
+        TXT.token_count(F.col("text")).alias("n_tokens"),
+        F.round(TXT.quality_score(F.col("text")), 4).alias("quality"),
+    )
+    m = res.clusters.join(d, "conv_id")
+    m = m.withColumn("sz", F.count("*").over(Window.partitionBy("cluster_id")))
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("quality"), "conv_id")
+    m = m.withColumn(
+        "dropped", (F.col("sz") > 1) & (F.row_number().over(w) > 1)
+    )
+    return (
+        m.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.col("dropped").cast("long")).cast("long").alias("n_dropped"),
+            F.sum("n_tokens").cast("long").alias("tokens_total"),
+            F.sum(F.when(~F.col("dropped"), F.col("n_tokens")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("tokens_kept"),
+        )
+        .withColumn("drop_rate", F.round(F.col("n_dropped") / F.col("n_docs"), 4))
+        .orderBy("source")
+    )
+
+
+def q73_decontam_removal_verdict(spark, sf_dir):
+    """The actionable half of q71: which TRAIN documents must be removed
+    because they near-duplicate an eval-suite document, with the
+    strongest offending eval match as evidence.  One small agg over the
+    q71 pair list (eval-scaled by construction) -- the removal join
+    against the corpus is a broadcast anti-join at 100 TB."""
+    from .pipeline import cross_corpus_near_dups
+
+    cfg = PipelineConfig(shingle=ShingleConfig(k=3))
+    t = transcripts_from_documents(spark, sf_dir)
+    is_eval = F.col("conv_id").cast("long") % 17 == 0
+    pairs = cross_corpus_near_dups(t.where(~is_eval), t.where(is_eval), cfg)
+    return (
+        pairs.groupBy("train_conv_id")
+        .agg(
+            F.count("*").cast("long").alias("n_eval_matches"),
+            F.round(F.max("jaccard"), 4).alias("max_jaccard"),
+            F.min(
+                F.struct((-F.round("jaccard", 4)).alias("nj"), "eval_conv_id")
+            )["eval_conv_id"].alias("worst_eval_conv"),
+        )
+        .orderBy("train_conv_id")
+    )
+
+
+def q74_boilerplate_ngrams(spark, sf_dir):
+    """Corpus-level boilerplate report: the 8-grams shared by the most
+    DOCUMENTS (distinct per doc, so a gram looping inside one doc can't
+    fake corpus-wide spread), with total occurrence counts as evidence.
+    The cross-doc companion to q40's intra-doc repetition gate -- this
+    is how a curation team finds the license header / chatbot preamble
+    to strip.  Shape at 100 TB: explode distinct grams (O(tokens) narrow
+    rows), ONE map-side-combined count agg, then a bounded top-k sort --
+    no window over the exploded rows, no join."""
+    from ..functions.portable import word_grams_all
+
+    d = _t(spark, sf_dir, "documents")
+    toks = TXT.tokens(F.col("text"))
+    allg = d.select("doc_id", F.explode(word_grams_all(toks, 8)).alias("gram"))
+    return (
+        allg.groupBy("gram")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= 3)
+        .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), "gram")
+        .limit(20)
+    )

@@ -363,6 +363,70 @@ def verify_near_dup_pairs(
     )
 
 
+def decontam_batch(
+    batch: DataFrame,
+    epoch_id: int,
+    eval_state: DataFrame,
+    out_clean: str,
+    out_flagged: str,
+    cfg=None,
+) -> None:
+    """Ingest-time decontamination for ONE micro-batch of transcript
+    turns: conversations that near-duplicate the fixed eval suite are
+    diverted to ``out_flagged`` (as verified pairs with jaccard
+    evidence), the rest land in ``out_clean`` -- contaminated data never
+    reaches the training corpus in the first place, the streaming
+    complement of the batch `--decontam-input` sweep.
+
+    eval_state: the eval suite's signatures, computed ONCE
+    (plans/pipeline.conv_signatures) and reused every epoch -- the per-
+    epoch cost is batch-signing + a broadcast probe of the small eval
+    band rows (plans/pipeline.cross_corpus_near_dups shape).
+
+    Both sinks use the exactly-once epoch-partitioned dynamic overwrite
+    (same pattern as append_metrics_batch): a foreachBatch epoch RETRY
+    replaces its own partition instead of appending replay duplicates.
+    """
+    from ..config import DEFAULT_CONFIG
+    from ..plans.pipeline import cross_corpus_near_dups
+
+    cfg = cfg or DEFAULT_CONFIG
+    pairs = cross_corpus_near_dups(batch, None, cfg, eval_state=eval_state)
+    flagged = pairs.select(F.col("train_conv_id").alias("conv_id")).distinct()
+    clean = batch.join(F.broadcast(flagged), "conv_id", "left_anti")
+    (
+        pairs.withColumn("epoch_id", F.lit(int(epoch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch_id")
+        .parquet(out_flagged)
+    )
+    (
+        clean.withColumn("epoch_id", F.lit(int(epoch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch_id")
+        .parquet(out_clean)
+    )
+
+
+def streaming_decontam_foreachBatch(
+    stream: DataFrame,
+    eval_state: DataFrame,
+    out_clean: str,
+    out_flagged: str,
+    cfg=None,
+):
+    """writeStream.foreachBatch wrapper over :func:`decontam_batch`:
+    ``streaming_decontam_foreachBatch(stream, eval_state, c, f).start()``.
+    """
+
+    def _sink(batch: DataFrame, epoch_id: int) -> None:
+        decontam_batch(batch, epoch_id, eval_state, out_clean, out_flagged, cfg)
+
+    return stream.writeStream.foreachBatch(_sink)
+
+
 # base (compacted) rows live in this epoch partition; real epochs are >= 0
 BASE_EPOCH = -1
 

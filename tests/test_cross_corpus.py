@@ -185,6 +185,39 @@ def test_cli_decontam_probes_indexed_chain(spark, tmp_path):
     base.unpersist()
 
 
+def test_decontam_plan_shape(spark):
+    """The 100 TB plan contract: eval band rows join by BROADCAST (never
+    a sort-merge shuffle of the train corpus), no cartesian product, no
+    row-at-a-time Python anywhere."""
+    import contextlib
+    import io
+
+    cfg = DEFAULT_CONFIG
+    transcripts = synth_transcripts(spark, n_convs=200, seed=31)
+    train, evalt = _split(transcripts)
+    # plan-only: build the candidate join exactly as the operator does,
+    # WITHOUT the eager materialization (which would hide the plan)
+    pre_t = conv_signatures(train, cfg).withColumn(
+        "conv_id", F.concat(F.lit("t|"), "conv_id")
+    )
+    pre_e = conv_signatures(evalt, cfg).withColumn(
+        "conv_id", F.concat(F.lit("e|"), "conv_id")
+    )
+    from datasketches_server_spark.operators.lsh import band_buckets
+
+    bt = band_buckets(pre_t, cfg.lsh).select(F.col("conv_id").alias("a"), "bucket")
+    be = band_buckets(pre_e, cfg.lsh).select(F.col("conv_id").alias("b"), "bucket")
+    cand = bt.join(F.broadcast(be), "bucket").select("a", "b").distinct()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        cand.explain("simple")
+    p = buf.getvalue()
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+
+
 def test_bucket_cap_only_lowers_recall(spark):
     """A hot-bucket cap may drop pairs but never invent them, and a
     generous cap changes nothing."""
@@ -205,3 +238,80 @@ def test_bucket_cap_only_lowers_recall(spark):
     }
     assert capped <= free
     assert loose == free
+
+
+def test_streaming_decontam_filters_at_ingest(spark, tmp_path):
+    """Ingest-time decontamination (streaming/incremental.decontam_batch
+    via foreachBatch): a conversation near-duplicating the eval suite is
+    diverted to the flagged sink across micro-batches; clean convs pass
+    through; an epoch replay does not duplicate either sink."""
+    from datasketches_server_spark.streaming.incremental import (
+        decontam_batch,
+        streaming_decontam_foreachBatch,
+    )
+
+    cfg = DEFAULT_CONFIG
+    corpus = synth_transcripts(spark, n_convs=60, seed=41).persist()
+    eval_ids = [
+        r[0]
+        for r in corpus.select("conv_id").distinct().orderBy("conv_id").limit(2).collect()
+    ]
+    eval_t = corpus.where(F.col("conv_id").isin(eval_ids)).selectExpr(
+        "concat('ev-', conv_id) conv_id", "turn_idx", "role", "text", "tool", "ts"
+    )
+    eval_state = conv_signatures(eval_t, cfg).persist()
+    eval_state.count()
+
+    # batch 0: one leaked conv (copy of eval_ids[0]) + clean convs
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    clean_p, flagged_p = str(tmp_path / "clean"), str(tmp_path / "flag")
+    b0 = corpus.where(F.col("conv_id") == eval_ids[0]).unionByName(
+        synth_transcripts(spark, n_convs=6, seed=71, dup_fraction=0.0).selectExpr(
+            "concat('c0-', conv_id) conv_id", "turn_idx", "role", "text", "tool", "ts"
+        )
+    )
+    b0.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(b0.schema).parquet(src)
+    q = (
+        streaming_decontam_foreachBatch(stream, eval_state, clean_p, flagged_p, cfg)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+
+    # batch 1: second leak + more clean convs
+    b1 = corpus.where(F.col("conv_id") == eval_ids[1]).unionByName(
+        synth_transcripts(spark, n_convs=5, seed=72, dup_fraction=0.0).selectExpr(
+            "concat('c1-', conv_id) conv_id", "turn_idx", "role", "text", "tool", "ts"
+        )
+    )
+    b1.coalesce(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    flagged = spark.read.parquet(flagged_p)
+    fl_convs = {r[0] for r in flagged.select("train_conv_id").distinct().collect()}
+    assert set(eval_ids) == fl_convs, fl_convs
+    clean = spark.read.parquet(clean_p)
+    cl_convs = {r[0] for r in clean.select("conv_id").distinct().collect()}
+    assert not (set(eval_ids) & cl_convs)
+    assert any(c.startswith("c0-") for c in cl_convs)
+    assert any(c.startswith("c1-") for c in cl_convs)
+    # clean sink preserves every turn of the surviving convs
+    n_clean_turns = clean.count()
+    want = (
+        b0.unionByName(b1)
+        .where(~F.col("conv_id").isin(eval_ids))
+        .count()
+    )
+    assert n_clean_turns == want
+
+    # replay: re-running an epoch overwrites its partition, no dupes
+    before_f, before_c = spark.read.parquet(flagged_p).count(), n_clean_turns
+    decontam_batch(b0, 0, eval_state, clean_p, flagged_p, cfg)
+    assert spark.read.parquet(flagged_p).count() == before_f
+    assert spark.read.parquet(clean_p).count() == before_c
+    eval_state.unpersist()
+    corpus.unpersist()
