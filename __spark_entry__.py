@@ -138,6 +138,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q73_decontam_removal_verdict": Q.q73_decontam_removal_verdict,
         # corpus-level boilerplate: 8-grams shared by the most documents
         "q74_boilerplate_ngrams": Q.q74_boilerplate_ngrams,
+        # embedding-space train/eval decontamination (semantic leaks)
+        "q75_semantic_cross_decontam": Q.q75_semantic_cross_decontam,
     }
 
 
@@ -1799,5 +1801,36 @@ def oracle_sql() -> dict[str, str]:
         HAVING count(DISTINCT doc_id) >= 3
         ORDER BY n_docs DESC, n_occurrences DESC, gram
         LIMIT 20
+    """
+    # q75: q33's exact LSH replay restricted per side -- caps rank within
+    # the TRAIN side only, probes come from the EVAL side only, pairs
+    # stay side-typed (no least/greatest).
+    oracles["q75_semantic_cross_decontam"] = f"""
+        WITH {ann_codes},
+        capped AS (
+            SELECT vec_id, tbl, code FROM (
+                SELECT vec_id, tbl, code,
+                       row_number() OVER (
+                           PARTITION BY tbl, code
+                           ORDER BY {cap_order_sql("vec_id")}, vec_id) AS rn
+                FROM codes WHERE vec_id % 7 <> 0
+            ) WHERE rn <= {ANN_CAP}
+        ), probes AS (
+            SELECT vec_id, tbl, unnest({probe_list}) AS code
+            FROM codes WHERE vec_id % 7 = 0
+        ), cands AS (
+            SELECT DISTINCT c.vec_id AS a, p.vec_id AS b
+            FROM probes p
+            JOIN capped c ON p.tbl = c.tbl AND p.code = c.code
+        )
+        SELECT cands.a AS train_vec_id, cands.b AS eval_vec_id,
+               round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                            eb.embedding::DOUBLE[]), 4) AS cosine
+        FROM cands
+        JOIN embeddings ea ON cands.a = ea.vec_id
+        JOIN embeddings eb ON cands.b = eb.vec_id
+        WHERE list_cosine_similarity(ea.embedding::DOUBLE[],
+                                     eb.embedding::DOUBLE[]) >= 0.4
+        ORDER BY train_vec_id, eval_vec_id
     """
     return oracles

@@ -220,6 +220,55 @@ def embedding_near_dup_pairs(
     )
 
 
+def cross_corpus_embedding_near_dups(
+    train: DataFrame,
+    evalq: DataFrame,
+    threshold: float = 0.95,
+    n_tables: int = 24,
+    n_bits: int = 6,
+    seed: int = 42,
+    bucket_cap: int = 128,
+    probe_radius: int = 1,
+) -> DataFrame:
+    """SEMANTIC cross-corpus decontamination: (a=train vec_id, b=eval
+    vec_id, cosine) for every cross-side embedding pair at/above the
+    cosine threshold that the sign-LSH banding surfaces -- the
+    embedding-space analog of plans/pipeline.cross_corpus_near_dups
+    (which catches lexical paraphrase; this catches re-worded semantic
+    leaks a shingle jaccard misses entirely).
+
+    Shape at 100 TB: only the TRAIN side is bucketized-and-capped (the
+    same capped tables embedding_near_dup_pairs uses, so skew costs
+    bucket_cap rows per bucket); the EVAL side's multi-probe rows --
+    |eval| x tables x (bits+1), small by definition -- broadcast into
+    one equi-join, and the eval embedding column broadcasts into the
+    rerank.  Candidates are eval-scaled, so AQE broadcasts them into
+    the train-side gather; the train corpus never shuffles.
+
+    Sides are separate columns by construction -- no least/greatest
+    normalization, no id-collision hazard when the two tables share
+    vec_ids."""
+    tb = _cap_buckets(
+        _bucketize(train, "vec_id", n_tables, n_bits, seed), "vec_id", bucket_cap
+    )
+    ep = _probe(
+        _bucketize(evalq, "vec_id", n_tables, n_bits, seed), n_bits, probe_radius
+    ).withColumnRenamed("vec_id", "b")
+    cands = (
+        tb.join(F.broadcast(ep), ["table_idx", "code"])
+        .select(F.col("vec_id").alias("a"), "b")
+        .distinct()
+    )
+    ea = train.select(F.col("vec_id").alias("a"), F.col("embedding").alias("emb_a"))
+    eb = evalq.select(F.col("vec_id").alias("b"), F.col("embedding").alias("emb_b"))
+    return (
+        cands.join(ea, "a")
+        .join(F.broadcast(eb), "b")
+        .select("a", "b", cosine(F.col("emb_a"), F.col("emb_b")).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def _train_ivf_centroids(
     data: DataFrame, n_lists: int, n_iters: int, seed: int
 ) -> np.ndarray:

@@ -1840,3 +1840,27 @@ def q74_boilerplate_ngrams(spark, sf_dir):
         .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), "gram")
         .limit(20)
     )
+
+
+def q75_semantic_cross_decontam(spark, sf_dir):
+    """Semantic (embedding-space) cross-corpus decontamination
+    (operators/similarity.cross_corpus_embedding_near_dups): embeddings
+    split train/eval on vec_id % 7, then every cross-side pair at
+    cosine >= 0.4 the sign-LSH multi-probe banding surfaces -- catches
+    re-worded leaks q71's shingle jaccard cannot.  Train side bucketized
+    + capped once, eval probes broadcast; the oracle replays planes,
+    quantization, caps, probes, and rerank bit-identically (q33's
+    scaffolding restricted per side)."""
+    from ..operators.similarity import cross_corpus_embedding_near_dups
+
+    e = _t(spark, sf_dir, "embeddings")
+    is_eval = F.col("vec_id") % 7 == 0
+    pairs = cross_corpus_embedding_near_dups(
+        e.where(~is_eval), e.where(is_eval),
+        threshold=0.4, n_tables=24, n_bits=6, bucket_cap=128, probe_radius=1,
+    )
+    return pairs.select(
+        F.col("a").alias("train_vec_id"),
+        F.col("b").alias("eval_vec_id"),
+        F.round("cosine", 4).alias("cosine"),
+    ).orderBy("train_vec_id", "eval_vec_id")

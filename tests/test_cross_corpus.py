@@ -315,3 +315,50 @@ def test_streaming_decontam_filters_at_ingest(spark, tmp_path):
     assert spark.read.parquet(clean_p).count() == before_c
     eval_state.unpersist()
     corpus.unpersist()
+
+
+def test_embedding_cross_decontam_finds_planted_vecs(spark):
+    """Semantic cross-corpus decontam: an eval vector equal (and one
+    nearly equal) to a train vector is surfaced with cosine ~1; an
+    orthogonal eval vector is not.  Only cross-side pairs appear."""
+    import math
+
+    from datasketches_server_spark.operators.similarity import (
+        cross_corpus_embedding_near_dups,
+    )
+
+    dim = 64
+
+    def unit(i):
+        # deterministic distinct unit vectors
+        v = [math.sin(0.7 * i + 0.13 * j) for j in range(dim)]
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    # i < 9 only: the sin construction repeats with period 2*pi/0.7 ~ 9,
+    # so larger ids would alias back onto these directions
+    train_rows = [(i, unit(i)) for i in range(1, 9)]
+    near = [x + (0.001 if j == 0 else 0.0) for j, x in enumerate(unit(2))]
+    # unrelated: a one-hot vector -- cosine vs any dense sin vector is
+    # that vector's single-component magnitude, far below threshold
+    onehot = [1.0 if j == 0 else 0.0 for j in range(dim)]
+    eval_rows = [
+        (100, unit(1)),           # exact copy of train vec 1
+        (101, near),              # near copy of train vec 2
+        (102, onehot),            # unrelated
+    ]
+    schema = "vec_id long, embedding array<float>"
+    train = spark.createDataFrame(train_rows, schema)
+    evalq = spark.createDataFrame(eval_rows, schema)
+
+    got = {
+        (r["a"], r["b"]): r["cosine"]
+        for r in cross_corpus_embedding_near_dups(
+            train, evalq, threshold=0.95
+        ).collect()
+    }
+    assert (1, 100) in got and got[(1, 100)] > 0.999, got
+    assert (2, 101) in got and got[(2, 101)] > 0.999, got
+    # sides are typed: a is always a train id, b always an eval id
+    assert all(a <= 8 and b >= 100 for a, b in got)
+    assert not any(b == 102 for _, b in got), got
