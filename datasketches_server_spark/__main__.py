@@ -124,6 +124,15 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         "pairs are written under <workdir>/decontam/ and summarized",
     )
     ap.add_argument(
+        "--retract-windows",
+        action="store_true",
+        help="with --retract-input: retract from the ExactSubstr window-"
+        "index chain (--base-fps, --window) instead of the dedup stores; "
+        "folds the chain minus the removed docs into --compact-fp by "
+        "rebuilding from stored token arrays (requires a chain written "
+        "with store_tokens=True; plans/window_index.retract_window_chain)",
+    )
+    ap.add_argument(
         "--compact-metrics",
         help="maintenance mode: fold the sketch-metrics append log at this "
         "path through --through-epoch into one base row per key "
@@ -208,6 +217,37 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
                     "n_pairs": n_pairs,
                     "n_contaminated_eval_convs": n_contaminated,
                     "pairs_path": out_path,
+                }
+            )
+        )
+        if owns_session:
+            spark.stop()
+        return 0
+
+    if args.retract_windows:
+        if not args.retract_input:
+            ap.error("--retract-windows requires --retract-input (ids to remove)")
+        if not args.base_fps:
+            ap.error("--retract-windows requires --base-fps (the chain to retract from)")
+        from datasketches_server_spark.plans.window_index import retract_window_chain
+
+        fps = args.base_fps.split(",")
+        if args.compact_fp in fps:
+            ap.error("--compact-fp must be a fresh snapshot name, not a chain member")
+        removed = spark.read.parquet(args.retract_input)
+        stats = retract_window_chain(
+            spark, args.workdir, removed, window=args.window,
+            chain=fps, out_fp=args.compact_fp,
+        )
+        print(
+            json.dumps(
+                {
+                    "mode": "retract-windows",
+                    "chain": fps,
+                    "window": args.window,
+                    # pass as --base-fps to later absorbs
+                    "input_fp": args.compact_fp,
+                    "window_rows": stats["window_rows"],
                 }
             )
         )

@@ -51,10 +51,30 @@ def _dir(workdir: str, stage: str, window: int, fp: str) -> str:
     return os.path.join(workdir, stage, f"w{window}_{fp}")
 
 
-def _wins(docs: DataFrame, window: int, id_col: str, text_col: str):
+def _wins(
+    docs: DataFrame,
+    window: int,
+    id_col: str,
+    text_col: str,
+    with_toks: bool = False,
+):
+    """(base, wins) as operators/dedup._token_windows produces them.
+    ``with_toks=True`` keeps the normalized token array on the base
+    relation (the deletability opt-in: retract_window_chain can then
+    rebuild the stores without the original text, at the price of
+    storing a normalized copy of the corpus in the base stage)."""
     from ..operators.dedup import _token_windows
 
-    return _token_windows(docs, window, id_col, text_col, exact=False)
+    if not with_toks:
+        return _token_windows(docs, window, id_col, text_col, exact=False)
+    from ..functions.text import tokens
+
+    base = (
+        docs.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
+        .withColumn("n_tokens", F.size("toks").cast("long"))
+        .where(F.col("n_tokens") >= window)
+    )
+    return base, _wins_of_base(base, window)
 
 
 def _chain_windex_latest(
@@ -114,10 +134,13 @@ def _chain_spans_latest(
 
 
 def _chain_base(spark: SparkSession, workdir: str, window: int, chain: list[str]) -> DataFrame:
+    # allowMissingColumns: deltas written with store_tokens=True carry a
+    # toks column older deltas lack; mixed chains read with NULL toks
+    # (retract_window_chain rejects those explicitly)
     base = None
     for fp in chain:
         b = spark.read.parquet(_dir(workdir, BASE_STAGE, window, fp))
-        base = b if base is None else base.unionByName(b)
+        base = b if base is None else base.unionByName(b, allowMissingColumns=True)
     return base
 
 
@@ -143,18 +166,36 @@ def _merge_intervals(iv: DataFrame) -> DataFrame:
     )
 
 
-def write_window_index(
-    docs: DataFrame,
+def _wins_of_base(base: DataFrame, window: int) -> DataFrame:
+    """Re-derive window rows from a stored base (id, toks, n_tokens) --
+    the same explode + xxhash64 keying _token_windows produces, so a
+    rebuild from stored token arrays is bit-identical to one from the
+    original text."""
+    win_str = lambda s: F.concat_ws(" ", F.slice("toks", s + 1, window))  # noqa: E731
+    return base.select(
+        "id",
+        "n_tokens",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n_tokens").cast("int") - window),
+                lambda s: F.xxhash64(win_str(s)),
+            )
+        ).alias("pos", "wkey"),
+    )
+
+
+def _write_stores(
+    base: DataFrame,
+    wins: DataFrame,
     workdir: str,
-    window: int = 8,
-    input_fp: str = "base",
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    units: int = 8,
+    window: int,
+    out_fp: str,
+    units: int,
 ) -> dict:
-    """Bootstrap the index from an existing corpus (one full pass --
-    the LAST full pass this corpus ever needs)."""
-    base, wins = _wins(docs, window, id_col, text_col)
+    """Derive + write all three stores (windex, spans, base) for one
+    snapshot fp from a (base, wins) pair.  Shared by the bootstrap
+    (write_window_index) and the erasure fold (retract_window_chain) so
+    the two paths can never diverge."""
     wins = wins.persist()
     nd = wins.groupBy("wkey").agg(F.count_distinct("id").alias("nd"))
     singles = (
@@ -170,19 +211,39 @@ def write_window_index(
         .withColumn("_unit", F.pmod(F.col("wkey"), F.lit(units)).cast("int"))
     )
     windex.write.mode("overwrite").partitionBy("_unit").parquet(
-        _dir(workdir, WINDEX_STAGE, window, input_fp)
+        _dir(workdir, WINDEX_STAGE, window, out_fp)
     )
     flagged = nd.where(F.col("nd") >= 2).select("wkey")
     occ = wins.join(flagged, "wkey", "leftsemi").select(
         "id", F.col("pos").alias("start"), (F.col("pos") + window).alias("end")
     )
     _merge_intervals(occ).write.mode("overwrite").parquet(
-        _dir(workdir, SPANS_STAGE, window, input_fp)
+        _dir(workdir, SPANS_STAGE, window, out_fp)
     )
-    base.write.mode("overwrite").parquet(_dir(workdir, BASE_STAGE, window, input_fp))
+    base.write.mode("overwrite").parquet(_dir(workdir, BASE_STAGE, window, out_fp))
     n_rows = wins.count()
     wins.unpersist()
     return {"window_rows": n_rows}
+
+
+def write_window_index(
+    docs: DataFrame,
+    workdir: str,
+    window: int = 8,
+    input_fp: str = "base",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    units: int = 8,
+    store_tokens: bool = False,
+) -> dict:
+    """Bootstrap the index from an existing corpus (one full pass --
+    the LAST full pass this corpus ever needs).  ``store_tokens=True``
+    keeps each doc's normalized token array in the base stage: the
+    deletability opt-in that lets retract_window_chain rebuild the
+    stores without the original text, for a normalized-corpus-sized
+    storage cost."""
+    base, wins = _wins(docs, window, id_col, text_col, with_toks=store_tokens)
+    return _write_stores(base, wins, workdir, window, input_fp, units)
 
 
 def absorb_batch(
@@ -195,6 +256,7 @@ def absorb_batch(
     id_col: str = "doc_id",
     text_col: str = "text",
     units: int = 8,
+    store_tokens: bool = False,
 ) -> dict:
     """Fold a new batch into the index.  Windows ONLY the batch; probes
     the stored index via a broadcast of the batch's window keys; writes
@@ -206,7 +268,7 @@ def absorb_batch(
     carry ids unseen in the chain (immutable corpus, the same contract
     incremental_dedup documents)."""
     chain = chain or ["base"]
-    base, bwins = _wins(new_docs, window, id_col, text_col)
+    base, bwins = _wins(new_docs, window, id_col, text_col, with_toks=store_tokens)
     bwins = bwins.persist()
     batch_window_rows = bwins.count()
 
@@ -375,3 +437,61 @@ def compact_window_chain(
         _dir(workdir, BASE_STAGE, window, out_fp)
     )
     return out_fp
+
+
+def retract_window_chain(
+    spark: SparkSession,
+    workdir: str,
+    removed: DataFrame,
+    window: int = 8,
+    chain: list[str] | None = None,
+    out_fp: str = "retracted_1",
+    units: int = 8,
+) -> dict:
+    """The ExactSubstr accumulator's delete half (source-pulled /
+    erasure path, the window-index analog of lineage.retract_chain):
+    fold the chain MINUS the removed docs into one fresh snapshot.
+
+    Deletion is NOT monotone -- removing a doc can demote a shared
+    window back to a singleton (shrinking a survivor's spans) or orphan
+    it entirely -- so the absorb path's woken-singleton arithmetic
+    cannot run in reverse over the compressed (nd, singleton) rows.
+    Instead the fold REBUILDS the stores from the chain's base stage,
+    which holds every doc's token array: anti-join the removal set,
+    re-derive windows with the identical explode + hash
+    (:func:`_wins_of_base`), and write all three stores under
+    ``out_fp`` via the same :func:`_write_stores` the bootstrap uses --
+    the result is bit-identical to indexing the surviving corpus from
+    scratch, with no access to the original text needed.
+
+    Cost: O(corpus) once, the same heavyweight-periodic contract as
+    ``compact_window_chain`` (erasure batches are rare and batchable);
+    never rewrites the chain dirs in place.  The removal set may name
+    unknown or sub-window-length ids -- both are no-ops.
+    """
+    chain = chain or ["base"]
+    if out_fp in chain:
+        raise ValueError(
+            f"out_fp {out_fp!r} is in the chain being retracted from; "
+            "rotate snapshot names (cannot overwrite a path being read)"
+        )
+    rm = removed.select(F.col(removed.columns[0]).alias("id")).distinct()
+    base = _chain_base(spark, workdir, window, chain).join(
+        F.broadcast(rm), "id", "left_anti"
+    )
+    if "toks" not in base.columns:
+        raise ValueError(
+            "chain has no stored token arrays; write it with "
+            "store_tokens=True to make the index deletable"
+        )
+    if base.where(F.col("toks").isNull()).limit(1).count() > 0:
+        raise ValueError(
+            "chain mixes store_tokens=True and =False deltas; surviving "
+            "docs without stored tokens cannot be re-windowed -- "
+            "re-bootstrap those batches with store_tokens=True"
+        )
+    stats = _write_stores(
+        base, _wins_of_base(base, window), workdir, window, out_fp, units
+    )
+    stats["out_fp"] = out_fp
+    return stats

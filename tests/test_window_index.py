@@ -53,9 +53,9 @@ def chain_state(spark):
     base = spark.createDataFrame(BASE, "doc_id long, text string")
     b1 = spark.createDataFrame(BATCH1, "doc_id long, text string")
     b2 = spark.createDataFrame(BATCH2, "doc_id long, text string")
-    s0 = write_window_index(base, wd, window=W, input_fp="base")
-    s1 = absorb_batch(spark, b1, wd, window=W, chain=["base"], batch_fp="b1")
-    s2 = absorb_batch(spark, b2, wd, window=W, chain=["base", "b1"], batch_fp="b2")
+    s0 = write_window_index(base, wd, window=W, input_fp="base", store_tokens=True)
+    s1 = absorb_batch(spark, b1, wd, window=W, chain=["base"], batch_fp="b1", store_tokens=True)
+    s2 = absorb_batch(spark, b2, wd, window=W, chain=["base", "b1"], batch_fp="b2", store_tokens=True)
     yield wd, (s0, s1, s2), base.unionByName(b1).unionByName(b2)
     shutil.rmtree(wd, ignore_errors=True)
 
@@ -117,7 +117,7 @@ def test_rerunning_a_batch_is_idempotent(spark, chain_state):
     like append_band_index."""
     wd, _, all_docs = chain_state
     b2 = spark.createDataFrame(BATCH2, "doc_id long, text string")
-    absorb_batch(spark, b2, wd, window=W, chain=["base", "b1"], batch_fp="b2")
+    absorb_batch(spark, b2, wd, window=W, chain=["base", "b1"], batch_fp="b2", store_tokens=True)
     inc = sorted(map(tuple, read_coverage(spark, wd, W, ["base", "b1", "b2"]).collect()))
     full = sorted(
         map(tuple, cross_doc_duplicate_coverage(all_docs, window=W, exact=False).collect())
@@ -192,3 +192,135 @@ def test_cli_compact_windows_mode(spark, tmp_path):
     got_full = {(r["id"], r["dup_tokens"])
                 for r in read_coverage(spark, wd, window=W, chain=["wcmp1", "b2"]).collect()}
     assert got_full == want_full
+
+
+def test_retract_window_chain_equals_rebuild_over_survivors(spark, chain_state):
+    """Erasure fold: retracting docs from the chain must equal indexing
+    the surviving corpus from scratch -- including the NON-monotone
+    effects absorb can't reverse: removing doc 10 demotes doc 1's woken
+    window back to singleton (coverage shrinks to 0), removing doc 13
+    orphans doc 12's batch-internal run."""
+    import tempfile as _tf
+
+    from datasketches_server_spark.plans.window_index import (
+        retract_window_chain,
+    )
+
+    wd, _, all_docs = chain_state
+    removed = spark.createDataFrame([(10,), (13,)], "doc_id long")
+
+    stats = retract_window_chain(
+        spark, wd, removed, window=W, chain=["base", "b1", "b2"], out_fp="ret1"
+    )
+    got_cov = {
+        tuple(r)
+        for r in read_coverage(spark, wd, window=W, chain=["ret1"]).collect()
+    }
+    got_spans = {
+        tuple(r) for r in read_spans(spark, wd, window=W, chain=["ret1"]).collect()
+    }
+
+    wd2 = _tf.mkdtemp(prefix="wix_ret_ref_")
+    try:
+        survivors = all_docs.where(~all_docs.doc_id.isin(10, 13))
+        write_window_index(survivors, wd2, window=W, input_fp="base")
+        want_cov = {
+            tuple(r)
+            for r in read_coverage(spark, wd2, window=W, chain=["base"]).collect()
+        }
+        want_spans = {
+            tuple(r)
+            for r in read_spans(spark, wd2, window=W, chain=["base"]).collect()
+        }
+    finally:
+        import shutil as _sh
+
+        _sh.rmtree(wd2, ignore_errors=True)
+
+    assert got_cov == want_cov
+    assert got_spans == want_spans
+    # the planted non-monotone effects actually fired
+    cov = {t[0]: t[2] for t in got_cov}
+    assert cov[1] == 0, cov      # doc 1's wake reversed
+    assert cov[12] == 0, cov     # doc 12's partner removed
+    assert 10 not in cov and 13 not in cov
+    # further absorbs chain off the retracted snapshot
+    b3 = spark.createDataFrame(
+        [(31, "zz quick brown fox jumps over the lazy dog yy copy")],
+        "doc_id long, text string",
+    )
+    absorb_batch(spark, b3, wd, window=W, chain=["ret1"], batch_fp="rb3")
+    cov2 = {
+        t[0]: t[2]
+        for t in (
+            tuple(r)
+            for r in read_coverage(spark, wd, window=W, chain=["ret1", "rb3"]).collect()
+        )
+    }
+    assert cov2[1] > 0 and cov2[31] > 0  # doc 1 re-woken by the new batch
+    assert stats["out_fp"] == "ret1"
+
+
+def test_retract_unknown_ids_is_noop(spark, chain_state):
+    from datasketches_server_spark.plans.window_index import (
+        retract_window_chain,
+    )
+
+    wd, _, _ = chain_state
+    removed = spark.createDataFrame([(999,)], "doc_id long")
+    retract_window_chain(
+        spark, wd, removed, window=W, chain=["base", "b1", "b2"], out_fp="ret_noop"
+    )
+    before = {
+        tuple(r)
+        for r in read_coverage(
+            spark, wd, window=W, chain=["base", "b1", "b2"]
+        ).collect()
+    }
+    after = {
+        tuple(r)
+        for r in read_coverage(spark, wd, window=W, chain=["ret_noop"]).collect()
+    }
+    assert after == before
+
+
+def test_cli_retract_windows_mode(spark, tmp_path):
+    """--retract-windows end-to-end: bootstrap + absorb via the library,
+    retract two docs via the CLI, coverage equals a scratch rebuild over
+    the survivors."""
+    import json
+    from contextlib import redirect_stdout
+    from io import StringIO
+
+    from datasketches_server_spark.__main__ import main
+
+    wd = str(tmp_path / "wd")
+    base = spark.createDataFrame(BASE, "doc_id long, text string")
+    b1 = spark.createDataFrame(BATCH1, "doc_id long, text string")
+    write_window_index(base, wd, window=W, input_fp="base", store_tokens=True)
+    absorb_batch(spark, b1, wd, window=W, chain=["base"], batch_fp="b1", store_tokens=True)
+
+    rm_p = str(tmp_path / "rm")
+    spark.createDataFrame([(10,), (13,)], "doc_id long").write.parquet(rm_p)
+
+    buf = StringIO()
+    with redirect_stdout(buf):
+        assert main(
+            ["--retract-windows", "--retract-input", rm_p, "--workdir", wd,
+             "--base-fps", "base,b1", "--window", str(W), "--compact-fp", "ret1"],
+            spark=spark,
+        ) == 0
+    rep = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert rep["mode"] == "retract-windows" and rep["input_fp"] == "ret1"
+
+    got = {
+        tuple(r) for r in read_coverage(spark, wd, window=W, chain=["ret1"]).collect()
+    }
+    wd2 = str(tmp_path / "ref")
+    survivors = base.unionByName(b1)
+    survivors = survivors.where(~survivors.doc_id.isin(10, 13))
+    write_window_index(survivors, wd2, window=W, input_fp="base")
+    want = {
+        tuple(r) for r in read_coverage(spark, wd2, window=W, chain=["base"]).collect()
+    }
+    assert got == want
