@@ -140,6 +140,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q74_boilerplate_ngrams": Q.q74_boilerplate_ngrams,
         # embedding-space train/eval decontamination (semantic leaks)
         "q75_semantic_cross_decontam": Q.q75_semantic_cross_decontam,
+        # C4 web-text cleaning rules (line keeps + page drops) per source
+        "q76_c4_filters": Q.q76_c4_filters,
     }
 
 
@@ -1832,5 +1834,66 @@ def oracle_sql() -> dict[str, str]:
         WHERE list_cosine_similarity(ea.embedding::DOUBLE[],
                                      eb.embedding::DOUBLE[]) >= 0.4
         ORDER BY train_vec_id, eval_vec_id
+    """
+    # q76: C4 cleaning rules (Raffel et al. 2020 SS2.2).  The planted
+    # page is rebuilt byte-identically (doc_id-arithmetic schedule), then
+    # every line keep (terminal punct, >= 5 words, javascript, policy
+    # phrases) and page drop (< 3 sentences, lorem ipsum, curly brace)
+    # is replayed measurement-for-measurement.  Plain string: the page
+    # plant contains literal braces.
+    oracles["q76_c4_filters"] = """
+        WITH planted AS (
+            SELECT source,
+                   'The quick brown fox jumps over the lazy dog near ' || source || '.'
+                   || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'enable javascript to view this content properly today.' ELSE '' END
+                   || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'too short line.' ELSE '' END
+                   || CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'this website uses cookies and has a privacy policy.' ELSE '' END
+                   || CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet consectetur adipiscing elit.' ELSE '' END
+                   || CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'function f() { return 1; }' ELSE '' END
+                   || CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'Here is another well formed sentence for the corpus.' ELSE '' END
+                   || CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'And a third complete sentence closes the page nicely.' ELSE '' END
+                   || chr(10) || substr(text, 1, 100) AS text
+            FROM documents
+        ), lns AS (
+            SELECT source, text,
+                   list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines
+            FROM planted
+        ), kept AS (
+            SELECT source, text, lines,
+                   list_filter(lines, l ->
+                       right(rtrim(l), 1) IN ('.', '!', '?', '"')
+                       AND len(list_filter(regexp_split_to_array(trim(lower(l)), '\\s+'), w -> w <> '')) >= 5
+                       AND NOT contains(lower(l), 'javascript')
+                       AND NOT contains(lower(l), 'terms of use')
+                       AND NOT contains(lower(l), 'privacy policy')
+                       AND NOT contains(lower(l), 'cookie policy')
+                       AND NOT contains(lower(l), 'uses cookies')
+                   ) AS keep
+            FROM lns
+        ), m AS (
+            SELECT source,
+                   len(lines) AS n_lines,
+                   len(keep) AS n_kept,
+                   round(len(keep) / greatest(len(lines), 1)::DOUBLE, 4) AS kept_line_frac,
+                   CAST(coalesce(list_sum(list_transform(keep, l ->
+                       (length(l) - length(replace(l, '.', '')))
+                       + (length(l) - length(replace(l, '!', '')))
+                       + (length(l) - length(replace(l, '?', ''))))), 0) AS BIGINT) AS n_sentences,
+                   contains(lower(text), 'lorem ipsum') AS has_lorem,
+                   contains(text, '{') AS has_brace
+            FROM kept
+        )
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(CASE WHEN n_sentences >= 3 AND NOT has_lorem AND NOT has_brace
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+               CAST(sum(CASE WHEN n_sentences < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_sentences,
+               CAST(sum(CASE WHEN has_lorem THEN 1 ELSE 0 END) AS BIGINT) AS n_lorem,
+               CAST(sum(CASE WHEN has_brace THEN 1 ELSE 0 END) AS BIGINT) AS n_brace,
+               CAST(sum(n_lines) AS BIGINT) AS sum_lines,
+               CAST(sum(n_kept) AS BIGINT) AS sum_kept_lines,
+               round(avg(kept_line_frac), 4) AS avg_kept_frac,
+               round(avg(n_sentences), 4) AS avg_sentences
+        FROM m GROUP BY source ORDER BY source
     """
     return oracles

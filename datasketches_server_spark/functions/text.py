@@ -195,6 +195,86 @@ def gopher_flags(col: Column) -> Column:
     )
 
 
+# ------------------------------------------------------------- C4 filters
+#
+# The C4 web-text cleaning rules (Raffel et al. 2020, "Exploring the
+# Limits of Transfer Learning...", the C4 corpus construction): line-level
+# keep rules (terminal punctuation, >= 5 words, no "javascript", no
+# cookie/policy boilerplate) and page-level drop rules (< 3 sentences
+# after line filtering, "lorem ipsum", curly brace).  Complements the
+# Gopher gates (gopher_flags): Gopher measures word/symbol statistics,
+# C4 prunes navigation chrome and code-ish pages.  One codegen'd
+# projection, no UDFs; every rule is exactly replayable in ANSI SQL
+# (the q76 oracle).  The blocklist-word rule of the paper is omitted:
+# the published list is external data, excluded by the build rules.
+
+C4_TERMINALS = [".", "!", "?", '"']
+C4_POLICY_PHRASES = ["terms of use", "privacy policy", "cookie policy", "uses cookies"]
+C4_MIN_LINE_WORDS = 5
+C4_MIN_SENTENCES = 3
+
+
+def _c4_line_kept(ln: Column) -> Column:
+    low = F.lower(ln)
+    words = F.filter(F.split(F.trim(low), r"\s+"), lambda w: w != "")
+    ends_terminal = F.substring(F.rtrim(ln), -1, 1).isin(*C4_TERMINALS)
+    policy_hit = F.lit(False)
+    for p in C4_POLICY_PHRASES:
+        policy_hit = policy_hit | low.contains(p)
+    return (
+        ends_terminal
+        & (F.size(words) >= C4_MIN_LINE_WORDS)
+        & ~low.contains("javascript")
+        & ~policy_hit
+    )
+
+
+def c4_flags(col: Column) -> Column:
+    """Struct of the C4 cleaning measurements + the combined page verdict.
+
+    ``n_sentences`` counts terminal marks (``.!?``) in the KEPT lines —
+    the deterministic sentence proxy both engines replay exactly (the
+    paper's sentence splitter is model-free punctuation splitting too).
+    ``passes_c4`` = >= 3 sentences after line filtering AND no
+    "lorem ipsum" AND no '{' on the raw page (page-level rules apply to
+    the raw text, line rules to each line)."""
+    lines = F.filter(F.split(col, "\n"), lambda ln: F.trim(ln) != "")
+    n_lines = F.size(lines).cast("long")
+    kept = F.filter(lines, _c4_line_kept)
+    n_kept = F.size(kept).cast("long")
+    kept_line_frac = F.round(
+        (n_kept / F.greatest(n_lines, F.lit(1)).cast("double")), 4
+    )
+    n_sentences = F.aggregate(
+        kept,
+        F.lit(0).cast("long"),
+        lambda acc, ln: acc
+        + (F.length(ln) - F.length(F.replace(ln, F.lit("."), F.lit(""))))
+        + (F.length(ln) - F.length(F.replace(ln, F.lit("!"), F.lit(""))))
+        + (F.length(ln) - F.length(F.replace(ln, F.lit("?"), F.lit("")))),
+    )
+    has_lorem = F.lower(col).contains("lorem ipsum")
+    has_brace = col.contains("{")
+    passes = (n_sentences >= C4_MIN_SENTENCES) & ~has_lorem & ~has_brace
+    return F.struct(
+        n_lines.alias("n_lines"),
+        n_kept.alias("n_kept_lines"),
+        kept_line_frac.alias("kept_line_frac"),
+        n_sentences.alias("n_sentences"),
+        has_lorem.alias("has_lorem_ipsum"),
+        has_brace.alias("has_curly_brace"),
+        passes.alias("passes_c4"),
+    )
+
+
+def c4_clean_text(col: Column) -> Column:
+    """The C4 line filter as a rewrite: the kept lines re-joined.
+    Page-level drops are a row filter on ``c4_flags(...).passes_c4`` —
+    composition stays one projection, no shuffle."""
+    lines = F.filter(F.split(col, "\n"), lambda ln: F.trim(ln) != "")
+    return F.array_join(F.filter(lines, _c4_line_kept), "\n")
+
+
 # ------------------------------------------------------------- PII scrubbing
 #
 # Regex-based PII scan + redaction over text columns.  Patterns are kept

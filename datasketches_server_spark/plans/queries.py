@@ -1864,3 +1864,53 @@ def q75_semantic_cross_decontam(spark, sf_dir):
         F.col("b").alias("eval_vec_id"),
         F.round("cosine", 4).alias("cosine"),
     ).orderBy("train_vec_id", "eval_vec_id")
+
+
+def _c4_planted_pages(d):
+    """Deterministic multi-line web-ish pages built from each document's
+    own columns (the q54 planting pattern): every C4 rule is exercised
+    on a doc_id-arithmetic schedule the DuckDB oracle rebuilds
+    byte-identically.  The raw corpus has no newlines, so planting is
+    what gives the oracle discriminative power over every rule."""
+    did = F.col("doc_id")
+    page = F.concat(
+        F.lit("The quick brown fox jumps over the lazy dog near "),
+        F.col("source"),
+        F.lit("."),
+        F.when(did % 3 == 0, F.lit("\nenable javascript to view this content properly today.")).otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.lit("\ntoo short line.")).otherwise(F.lit("")),
+        F.when(did % 7 == 0, F.lit("\nthis website uses cookies and has a privacy policy.")).otherwise(F.lit("")),
+        F.when(did % 11 == 0, F.lit("\nlorem ipsum dolor sit amet consectetur adipiscing elit.")).otherwise(F.lit("")),
+        F.when(did % 13 == 0, F.lit("\nfunction f() { return 1; }")).otherwise(F.lit("")),
+        F.when(did % 2 == 0, F.lit("\nHere is another well formed sentence for the corpus.")).otherwise(F.lit("")),
+        F.when(did % 4 == 0, F.lit("\nAnd a third complete sentence closes the page nicely.")).otherwise(F.lit("")),
+        F.lit("\n"),
+        F.substring(F.col("text"), 1, 100),
+    )
+    return d.select("doc_id", "source", page.alias("text"))
+
+
+def q76_c4_filters(spark, sf_dir):
+    """C4 web-text cleaning rules (Raffel et al. 2020 SS2.2) per source:
+    line-level keeps (terminal punctuation, >= 5 words, no javascript /
+    policy boilerplate) and page-level drops (< 3 sentences after line
+    filtering, lorem ipsum, curly brace).  One scan + one codegen'd
+    struct projection + one per-source agg -- map-side-combined at
+    100 TB, no extra shuffle.  Complements q53's Gopher gates."""
+    d = _t(spark, sf_dir, "documents")
+    g = _c4_planted_pages(d).select("source", TXT.c4_flags(F.col("text")).alias("c"))
+    return (
+        g.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("c.passes_c4").cast("long")).alias("n_pass"),
+            F.sum((F.col("c.n_sentences") < 3).cast("long")).alias("n_fail_sentences"),
+            F.sum(F.col("c.has_lorem_ipsum").cast("long")).alias("n_lorem"),
+            F.sum(F.col("c.has_curly_brace").cast("long")).alias("n_brace"),
+            F.sum("c.n_lines").alias("sum_lines"),
+            F.sum("c.n_kept_lines").alias("sum_kept_lines"),
+            F.round(F.avg("c.kept_line_frac"), 4).alias("avg_kept_frac"),
+            F.round(F.avg("c.n_sentences"), 4).alias("avg_sentences"),
+        )
+        .orderBy("source")
+    )

@@ -230,6 +230,70 @@ def test_gopher_flags_planted_gates(spark):
     assert rows["numeric"]["alpha_word_frac"] < 0.8
 
 
+def test_c4_flags_planted_rules(spark):
+    """Each C4 rule (Raffel et al. 2020 SS2.2) trips on a page built to
+    violate exactly it; a healthy multi-sentence page passes, and the
+    clean-text rewrite keeps exactly the surviving lines."""
+    from datasketches_server_spark.functions.text import c4_clean_text, c4_flags
+
+    healthy = (
+        "Here is the first complete sentence of the page.\n"
+        "Here is the second complete sentence of the page.\n"
+        "Here is the third complete sentence of the page."
+    )
+    no_terminal = "this line has plenty of words but never ends properly\n" * 4
+    short_lines = "tiny line.\n" * 6 + healthy.split("\n")[0]
+    javascripty = (
+        "Please enable javascript to continue reading this page now.\n"
+        "You must enable javascript to see the article content here.\n"
+        "Sorry but javascript is required to display these comments too."
+    )
+    policy = (
+        "This site uses cookies to improve your experience always.\n"
+        "Please read our privacy policy before continuing to browse.\n"
+        "See the terms of use for more information about your rights."
+    )
+    lorem = healthy + "\nLorem Ipsum dolor sit amet is placeholder text here."
+    bracey = healthy + "\nvar config = { mode: 1 };"
+
+    df = spark.createDataFrame(
+        [
+            ("healthy", healthy),
+            ("no_terminal", no_terminal),
+            ("short_lines", short_lines),
+            ("javascripty", javascripty),
+            ("policy", policy),
+            ("lorem", lorem),
+            ("bracey", bracey),
+        ],
+        ["name", "text"],
+    )
+    rows = {
+        r["name"]: (r["c"].asDict(), r["clean"])
+        for r in df.select(
+            "name",
+            c4_flags(F.col("text")).alias("c"),
+            c4_clean_text(F.col("text")).alias("clean"),
+        ).collect()
+    }
+    c, clean = rows["healthy"]
+    assert c["passes_c4"] and c["n_kept_lines"] == 3 and c["n_sentences"] == 3
+    assert clean == healthy  # every line survives
+    c, _ = rows["no_terminal"]
+    assert not c["passes_c4"] and c["n_kept_lines"] == 0
+    c, clean = rows["short_lines"]
+    assert c["n_kept_lines"] == 1 and clean == healthy.split("\n")[0]
+    assert not c["passes_c4"]  # one kept sentence < 3
+    c, _ = rows["javascripty"]
+    assert c["n_kept_lines"] == 0 and not c["passes_c4"]
+    c, _ = rows["policy"]
+    assert c["n_kept_lines"] == 0 and not c["passes_c4"]
+    c, _ = rows["lorem"]
+    assert c["has_lorem_ipsum"] and not c["passes_c4"] and c["n_sentences"] >= 3
+    c, _ = rows["bracey"]
+    assert c["has_curly_brace"] and not c["passes_c4"] and c["n_sentences"] >= 3
+
+
 def test_pii_scan_and_redaction(spark):
     """Counts and redaction for the three PII kinds; the redacted text
     contains no residual matches."""
