@@ -142,6 +142,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q75_semantic_cross_decontam": Q.q75_semantic_cross_decontam,
         # C4 web-text cleaning rules (line keeps + page drops) per source
         "q76_c4_filters": Q.q76_c4_filters,
+        # chunk-level dedup: 64-token chunks recurring across documents
+        "q77_duplicate_chunks": Q.q77_duplicate_chunks,
     }
 
 
@@ -1895,5 +1897,33 @@ def oracle_sql() -> dict[str, str]:
                round(avg(kept_line_frac), 4) AS avg_kept_frac,
                round(avg(n_sentences), 4) AS avg_sentences
         FROM m GROUP BY source ORDER BY source
+    """
+    # q77: chunk-level dedup.  Same chunk arithmetic as q69; the oracle
+    # groups by chunk_text itself (the engine keys on md5(chunk_text) --
+    # identical equivalence classes, narrower shuffle).
+    oracles["q77_duplicate_chunks"] = f"""
+        WITH t AS (
+            SELECT doc_id, {_NORM_TOKS} AS toks FROM documents
+        ), k AS (
+            SELECT doc_id, toks, len(toks) AS n,
+                   (greatest(len(toks) - 64, 0) + 47) // 48 AS klast
+            FROM t
+        ), e AS (
+            SELECT doc_id, toks, n, unnest(range(0, klast + 1)) AS i FROM k
+        ), chunks AS (
+            SELECT doc_id,
+                   array_to_string(toks[i*48+1 : i*48+64], ' ') AS chunk_text
+            FROM e
+        ), spread AS (
+            SELECT chunk_text, count(DISTINCT doc_id) AS nd
+            FROM chunks GROUP BY chunk_text
+        )
+        SELECT c.doc_id,
+               count(*) AS n_chunks,
+               CAST(sum(CASE WHEN s.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+               round(sum(CASE WHEN s.nd >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+                   AS dup_chunk_frac
+        FROM chunks c JOIN spread s USING (chunk_text)
+        GROUP BY c.doc_id ORDER BY c.doc_id
     """
     return oracles

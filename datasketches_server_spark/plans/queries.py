@@ -1914,3 +1914,34 @@ def q76_c4_filters(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+def q77_duplicate_chunks(spark, sf_dir):
+    """Chunk-level dedup for RAG / embedding prep: after q69's
+    overlapping 64-token chunking, which chunks recur across >= 2
+    distinct documents, rolled up per doc (n_chunks, duplicated chunks,
+    dup fraction).  The spread agg and the flag join both key on
+    md5(chunk_text) -- a narrow 32-hex key shuffles, never the 64-token
+    string -- and the join is the canonical big-big equi-join AQE
+    handles; no window over a global order anywhere.  The oracle groups
+    by chunk_text itself: identical equivalence classes, so the doc
+    rollups hash-match."""
+    from ..operators.curation import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    ch = chunk_documents(d, chunk_tokens=64, stride=48).select(
+        "doc_id", F.md5(F.col("chunk_text")).alias("fp")
+    )
+    spread = ch.groupBy("fp").agg(F.count_distinct("doc_id").alias("nd"))
+    flagged = ch.join(spread, "fp").select(
+        "doc_id", (F.col("nd") >= 2).cast("long").alias("is_dup")
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("is_dup").alias("n_dup_chunks"),
+            F.round(F.sum("is_dup") / F.count("*"), 4).alias("dup_chunk_frac"),
+        )
+        .orderBy("doc_id")
+    )

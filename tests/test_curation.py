@@ -419,3 +419,31 @@ def test_chunk_documents_stride_arithmetic(spark):
     assert [(r["start_tok"], r["chunk_len"]) for r in by[3]] == [(0, 64), (48, 17)]
     # empty doc: one empty chunk (consistent with the oracle's range)
     assert [(r["start_tok"], r["chunk_len"], r["chunk_text"]) for r in by[4]] == [(0, 0, "")]
+
+
+def test_duplicate_chunks_planted(spark, tmp_path):
+    """Exact-twin docs show 100% duplicated chunks; a unique doc shows
+    none; a third copy raises spread but not the per-doc fraction."""
+    from datasketches_server_spark.plans.queries import q77_duplicate_chunks
+
+    mk = lambda n, tag: " ".join(f"{tag}{i}" for i in range(n))
+    import os
+
+    tmp = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (1, mk(150, "a"), "en", "web"),
+            (2, mk(150, "a"), "en", "web"),   # twin of 1: every chunk dup
+            (3, mk(150, "a"), "en", "web"),   # triplet: still frac 1.0
+            (4, mk(150, "b"), "en", "web"),   # unique: frac 0.0
+            (5, mk(40, "c"), "en", "web"),    # short unique: one chunk, 0.0
+        ],
+        "doc_id long, text string, lang string, source string",
+    ).withColumn("n_chars", F.length("text")).write.parquet(
+        os.path.join(tmp, "documents.parquet")
+    )
+    got = {r["doc_id"]: r for r in q77_duplicate_chunks(spark, tmp).collect()}
+    assert got[1]["n_chunks"] == 3 and got[1]["dup_chunk_frac"] == 1.0
+    assert got[2]["dup_chunk_frac"] == 1.0 and got[3]["dup_chunk_frac"] == 1.0
+    assert got[4]["n_dup_chunks"] == 0 and got[4]["dup_chunk_frac"] == 0.0
+    assert got[5]["n_chunks"] == 1 and got[5]["n_dup_chunks"] == 0
