@@ -144,6 +144,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q76_c4_filters": Q.q76_c4_filters,
         # chunk-level dedup: 64-token chunks recurring across documents
         "q77_duplicate_chunks": Q.q77_duplicate_chunks,
+        # encoding hygiene: replacement chars + control bytes per source
+        "q78_encoding_hygiene": Q.q78_encoding_hygiene,
+        # per-source vocabulary profile (vocab size, TTR, hapax rate)
+        "q79_vocabulary_profile": Q.q79_vocabulary_profile,
     }
 
 
@@ -1925,5 +1929,61 @@ def oracle_sql() -> dict[str, str]:
                    AS dup_chunk_frac
         FROM chunks c JOIN spread s USING (chunk_text)
         GROUP BY c.doc_id ORDER BY c.doc_id
+    """
+    # q78: encoding hygiene.  Same planted corruption (chr(65533) is
+    # U+FFFD, chr(7) is BEL), same regex classes (RE2-and-Java common
+    # subset), same 4dp rounding before the gate.
+    oracles["q78_encoding_hygiene"] = """
+        WITH planted AS (
+            SELECT source,
+                   text
+                   || CASE WHEN doc_id % 9 = 0
+                           THEN chr(65533) || chr(65533) || ' broken decode ' || chr(65533)
+                           ELSE '' END
+                   || CASE WHEN doc_id % 10 = 0
+                           THEN chr(7) || chr(7) || ' raw control bytes'
+                           ELSE '' END AS text
+            FROM documents
+        ), m AS (
+            SELECT source,
+                   length(text) AS n_chars,
+                   len(regexp_extract_all(text, chr(65533))) AS n_repl,
+                   len(regexp_extract_all(text, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]')) AS n_ctrl,
+                   round(len(regexp_extract_all(text, chr(65533)))
+                         / greatest(length(text), 1)::DOUBLE, 4) AS repl_frac,
+                   round(len(regexp_extract_all(text, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]'))
+                         / greatest(length(text), 1)::DOUBLE, 4) AS ctrl_frac
+            FROM planted
+        )
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(CASE WHEN repl_frac > 0.0005 OR ctrl_frac > 0.0005
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_fail,
+               CAST(sum(n_repl) AS BIGINT) AS sum_replacement,
+               CAST(sum(n_ctrl) AS BIGINT) AS sum_control,
+               round(avg(repl_frac), 4) AS avg_repl_frac,
+               round(avg(ctrl_frac), 4) AS avg_ctrl_frac
+        FROM m GROUP BY source ORDER BY source
+    """
+    # q79: vocabulary profile.  Same normalized tokenizer as the engine
+    # ([a-z0-9]+ matches == splitting on non-alphanumeric runs).
+    oracles["q79_vocabulary_profile"] = f"""
+        WITH tok AS (
+            SELECT source, unnest({_NORM_TOKS}) AS tok FROM documents
+        ), tc AS (
+            SELECT source, tok, count(*) AS c FROM tok GROUP BY source, tok
+        ), prof AS (
+            SELECT source,
+                   CAST(sum(c) AS BIGINT) AS total_tokens,
+                   count(*) AS vocab_size,
+                   CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_count
+            FROM tc GROUP BY source
+        ), nd AS (
+            SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+        )
+        SELECT p.source, nd.n_docs, p.total_tokens, p.vocab_size, p.hapax_count,
+               round(p.vocab_size * 1.0 / p.total_tokens, 4) AS ttr,
+               round(p.hapax_count * 1.0 / p.vocab_size, 4) AS hapax_frac
+        FROM prof p JOIN nd USING (source) ORDER BY source
     """
     return oracles

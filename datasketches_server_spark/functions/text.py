@@ -300,6 +300,40 @@ def pii_counts(col: Column) -> Column:
     )
 
 
+# ------------------------------------------------------- encoding hygiene
+#
+# Mojibake / broken-decode detection: web-crawl text that survived a bad
+# charset decode carries U+FFFD replacement characters and raw C0 control
+# bytes.  Both patterns live in the Java-regex / RE2 common subset so the
+# q78 oracle replays them byte-for-byte.
+
+ENC_REPLACEMENT_PAT = "�"
+# C0 controls except tab/LF/CR (legitimate whitespace)
+ENC_CONTROL_PAT = r"[\x00-\x08\x0B\x0C\x0E-\x1F]"
+ENC_MAX_BAD_FRAC = 0.0005  # > 1 bad char per 2000 fails the gate
+
+
+def encoding_flags(col: Column) -> Column:
+    """Struct of encoding-hygiene measurements + pass verdict.  One
+    codegen'd projection; fracs 4dp-rounded before the gate compares
+    (same never-flips-between-engines contract as gopher_flags)."""
+    n_chars = F.length(col).cast("long")
+    denom = F.greatest(n_chars, F.lit(1)).cast("double")
+    n_repl = F.size(F.regexp_extract_all(col, F.lit(ENC_REPLACEMENT_PAT), F.lit(0))).cast("long")
+    n_ctrl = F.size(F.regexp_extract_all(col, F.lit(ENC_CONTROL_PAT), F.lit(0))).cast("long")
+    repl_frac = F.round((n_repl / denom), 4)
+    ctrl_frac = F.round((n_ctrl / denom), 4)
+    passes = (repl_frac <= ENC_MAX_BAD_FRAC) & (ctrl_frac <= ENC_MAX_BAD_FRAC)
+    return F.struct(
+        n_chars.alias("n_chars"),
+        n_repl.alias("n_replacement"),
+        n_ctrl.alias("n_control"),
+        repl_frac.alias("replacement_frac"),
+        ctrl_frac.alias("control_frac"),
+        passes.alias("passes_encoding"),
+    )
+
+
 def redact_pii(col: Column) -> Column:
     """Replace every PII match with a typed placeholder token.  Applied
     in declaration order so overlapping grammars (emails contain

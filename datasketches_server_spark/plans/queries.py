@@ -1945,3 +1945,66 @@ def q77_duplicate_chunks(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+def q78_encoding_hygiene(spark, sf_dir):
+    """Encoding-hygiene gate (mojibake detection): U+FFFD replacement
+    characters and stray C0 control bytes per document, rolled up per
+    source.  Bad bytes are planted deterministically (doc_id % 9 gets
+    replacement chars, % 10 a BEL control -- the oracle rebuilds the
+    same corruption), then one codegen'd struct projection + one
+    map-side-combined agg.  The gate real crawl pipelines run before
+    any tokenizer sees the bytes."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    corrupted = F.concat(
+        F.col("text"),
+        F.when(did % 9 == 0, F.lit("�� broken decode �")).otherwise(F.lit("")),
+        F.when(did % 10 == 0, F.lit("\x07\x07 raw control bytes")).otherwise(F.lit("")),
+    )
+    g = d.select("source", TXT.encoding_flags(corrupted).alias("e"))
+    return (
+        g.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((~F.col("e.passes_encoding")).cast("long")).alias("n_fail"),
+            F.sum("e.n_replacement").alias("sum_replacement"),
+            F.sum("e.n_control").alias("sum_control"),
+            F.round(F.avg("e.replacement_frac"), 4).alias("avg_repl_frac"),
+            F.round(F.avg("e.control_frac"), 4).alias("avg_ctrl_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+def q79_vocabulary_profile(spark, sf_dir):
+    """Per-source vocabulary profile (Heap's-law corpus profiling):
+    exact vocabulary size, type-token ratio, and hapax-legomena rate.
+    The (source, token) counts are ONE partial-aggregated shuffle --
+    Catalyst's two-level distinct agg -- and the per-source rollup plus
+    the 20-row docs dim are broadcast-sized.  At 100 TB the exact tier
+    is the heavy-but-canonical shape; the sketched alternative is
+    hll_sketch_agg over tokens (q15's machinery), traded here for
+    oracle-exact replay."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(TXT.tokens(F.col("text"))).alias("tok"))
+    tc = tok.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    prof = tc.groupBy("source").agg(
+        F.sum("c").alias("total_tokens"),
+        F.count("*").alias("vocab_size"),
+        F.sum((F.col("c") == 1).cast("long")).alias("hapax_count"),
+    )
+    n_docs = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    return (
+        prof.join(F.broadcast(n_docs), "source")
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "vocab_size",
+            "hapax_count",
+            F.round(F.col("vocab_size") / F.col("total_tokens"), 4).alias("ttr"),
+            F.round(F.col("hapax_count") / F.col("vocab_size"), 4).alias("hapax_frac"),
+        )
+        .orderBy("source")
+    )

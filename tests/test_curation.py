@@ -447,3 +447,28 @@ def test_duplicate_chunks_planted(spark, tmp_path):
     assert got[2]["dup_chunk_frac"] == 1.0 and got[3]["dup_chunk_frac"] == 1.0
     assert got[4]["n_dup_chunks"] == 0 and got[4]["dup_chunk_frac"] == 0.0
     assert got[5]["n_chunks"] == 1 and got[5]["n_dup_chunks"] == 0
+
+
+def test_vocabulary_profile_planted(spark, tmp_path):
+    """Exact vocab/TTR/hapax arithmetic on a corpus small enough to
+    count by hand."""
+    from datasketches_server_spark.plans.queries import q79_vocabulary_profile
+    import os
+
+    spark.createDataFrame(
+        [
+            (1, "alpha beta alpha gamma", "en", "s1"),   # s1: 4 tok
+            (2, "beta beta delta", "en", "s1"),          # s1: 3 tok
+            (3, "solo words only here", "en", "s2"),     # s2: all hapax
+        ],
+        "doc_id long, text string, lang string, source string",
+    ).withColumn("n_chars", F.length("text")).write.parquet(
+        os.path.join(str(tmp_path), "documents.parquet")
+    )
+    got = {r["source"]: r for r in q79_vocabulary_profile(spark, str(tmp_path)).collect()}
+    s1 = got["s1"]
+    # s1 tokens: alpha x2, beta x3, gamma x1, delta x1 -> 7 total, vocab 4, hapax 2
+    assert s1["total_tokens"] == 7 and s1["vocab_size"] == 4 and s1["hapax_count"] == 2
+    assert s1["ttr"] == round(4 / 7, 4) and s1["n_docs"] == 2
+    s2 = got["s2"]
+    assert s2["vocab_size"] == 4 and s2["hapax_frac"] == 1.0

@@ -319,3 +319,26 @@ def test_pii_scan_and_redaction(spark):
     assert out["a"][1] == "reach me at <EMAIL> or <PHONE> ok"
     assert out["b"][1] == "server <IPV4> then <IPV4>; <EMAIL>"
     assert out["c"][1] == "no pii here at all"
+
+
+def test_encoding_flags_planted(spark):
+    """Replacement chars and control bytes trip the gate; tab/LF/CR do
+    not; clean text passes."""
+    from datasketches_server_spark.functions.text import encoding_flags
+
+    clean = "perfectly ordinary text with a\ttab and a\nnewline and\rcr " * 20
+    mojibake = "caf� broken � decode here"
+    controlly = "bell\x07and\x00nul and\x1bescape in short text"
+
+    df = spark.createDataFrame(
+        [("clean", clean), ("mojibake", mojibake), ("controlly", controlly)],
+        ["name", "text"],
+    )
+    rows = {
+        r["name"]: r["e"].asDict()
+        for r in df.select("name", encoding_flags(F.col("text")).alias("e")).collect()
+    }
+    assert rows["clean"]["passes_encoding"]
+    assert rows["clean"]["n_replacement"] == 0 and rows["clean"]["n_control"] == 0
+    assert rows["mojibake"]["n_replacement"] == 2 and not rows["mojibake"]["passes_encoding"]
+    assert rows["controlly"]["n_control"] == 3 and not rows["controlly"]["passes_encoding"]
