@@ -148,6 +148,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q78_encoding_hygiene": Q.q78_encoding_hygiene,
         # per-source vocabulary profile (vocab size, TTR, hapax rate)
         "q79_vocabulary_profile": Q.q79_vocabulary_profile,
+        # incremental semantic dedup via the persisted embedding-LSH index
+        "q80_incremental_semantic_dedup": Q.q80_incremental_semantic_dedup,
     }
 
 
@@ -1986,4 +1988,7 @@ def oracle_sql() -> dict[str, str]:
                round(p.hapax_count * 1.0 / p.vocab_size, 4) AS hapax_frac
         FROM prof p JOIN nd USING (source) ORDER BY source
     """
+    # q80: incremental semantic dedup must equal the FULL-corpus
+    # recompute -- q45's oracle verbatim (same config, whole table).
+    oracles["q80_incremental_semantic_dedup"] = oracles["q45_semantic_dedup_clusters"]
     return oracles

@@ -2008,3 +2008,44 @@ def q79_vocabulary_profile(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+def q80_incremental_semantic_dedup(spark, sf_dir):
+    """Round-5: q45's semantic dedup computed INCREMENTALLY -- the
+    embedding-side accumulator (plans/semantic_index.py).  Embeddings
+    split ~90/10 on vec_id % 10; the 90% corpus bootstraps the persisted
+    embedding-LSH index and its labeling, then the 10% batch probes the
+    index (codes UDF on the batch only, broadcast touched buckets,
+    combined cap with the full run's exact member order, symmetric-ball
+    direction recovery) and folds its pairs in via delta connected
+    components.  Must hash-match q45's FULL-corpus oracle -- proving
+    incremental == full recompute on driver data at the q45 config
+    (sf0.01 buckets stay under cap 128, the exact-equivalence regime)."""
+    import shutil
+    import tempfile
+
+    from ..operators.components import attach_singletons, connected_components
+    from ..operators.similarity import embedding_near_dup_pairs
+    from . import semantic_index as SI
+
+    e = _t(spark, sf_dir, "embeddings")
+    is_new = F.col("vec_id") % 10 == 0
+    old, batch = e.where(~is_new), e.where(is_new)
+    params = dict(threshold=0.4, n_tables=24, n_bits=6, bucket_cap=128, probe_radius=1)
+
+    old_edges = embedding_near_dup_pairs(old, **params).select("a", "b")
+    old_labels = attach_singletons(
+        connected_components(old_edges), old.select(F.col("vec_id").alias("conv_id"))
+    )
+    wd = tempfile.mkdtemp(prefix="q80_embidx_")
+    try:
+        SI.write_embedding_index(old, wd)
+        idx = SI.read_embedding_index(spark, wd)
+        new_pairs = SI.incremental_embedding_pairs(idx, batch, e, **params)
+        return (
+            SI.incremental_semantic_dedup(old_labels, new_pairs, batch.select("vec_id"))
+            .orderBy("cluster_id", "vec_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
