@@ -150,6 +150,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q79_vocabulary_profile": Q.q79_vocabulary_profile,
         # incremental semantic dedup via the persisted embedding-LSH index
         "q80_incremental_semantic_dedup": Q.q80_incremental_semantic_dedup,
+        # semantic retraction: delete half of the embedding accumulator
+        "q81_retract_semantic_dedup": Q.q81_retract_semantic_dedup,
     }
 
 
@@ -1991,4 +1993,12 @@ def oracle_sql() -> dict[str, str]:
     # q80: incremental semantic dedup must equal the FULL-corpus
     # recompute -- q45's oracle verbatim (same config, whole table).
     oracles["q80_incremental_semantic_dedup"] = oracles["q45_semantic_dedup_clusters"]
+    # q81: semantic retraction == full recompute over survivors -- q45's
+    # oracle with the removal filter injected at the codes CTE (the
+    # rerank joins gather by candidate id, so filtering the code source
+    # filters the whole replay).
+    oracles["q81_retract_semantic_dedup"] = oracles["q45_semantic_dedup_clusters"].replace(
+        "FROM embeddings",
+        "FROM (SELECT * FROM embeddings WHERE vec_id % 13 <> 0) embeddings",
+    )
     return oracles

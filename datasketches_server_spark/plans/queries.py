@@ -2049,3 +2049,28 @@ def q80_incremental_semantic_dedup(spark, sf_dir):
         )
     finally:
         shutil.rmtree(wd, ignore_errors=True)
+
+
+def q81_retract_semantic_dedup(spark, sf_dir):
+    """The semantic accumulator's delete half under the full-recompute
+    oracle: standing state (labels + verified cosine edges over ALL
+    embeddings) retracts vec_id % 13 == 0, and the result must equal
+    q45's pipeline run over the survivors -- chain-link removals split
+    clusters exactly as a recompute would, untouched labels pass through
+    verbatim (plans/semantic_index.retract_semantic).  Blast radius at
+    100 TB: broadcast anti-joins on the edge set + CC over affected
+    clusters' surviving edges only."""
+    from ..operators.components import attach_singletons, connected_components
+    from ..operators.similarity import embedding_near_dup_pairs
+    from . import semantic_index as SI
+
+    e = _t(spark, sf_dir, "embeddings")
+    params = dict(threshold=0.4, n_tables=24, n_bits=6, bucket_cap=128, probe_radius=1)
+    edges = embedding_near_dup_pairs(e, **params)
+    labels = attach_singletons(
+        connected_components(edges.select("a", "b")),
+        e.select(F.col("vec_id").alias("conv_id")),
+    ).select(F.col("conv_id").alias("vec_id"), "cluster_id")
+    removed = e.select("vec_id").where(F.col("vec_id") % 13 == 0)
+    _, labels2 = SI.retract_semantic(labels, edges, removed)
+    return SI.clusters_view(labels2).orderBy("cluster_id", "vec_id")

@@ -234,6 +234,13 @@ def incremental_semantic_dedup(
         .unionByName(old_labels.select("conv_id"))
         .distinct(),
     ).select(F.col("conv_id").alias("vec_id"), "cluster_id")
+    return clusters_view(labels)
+
+
+def clusters_view(labels: DataFrame) -> DataFrame:
+    """(vec_id, cluster_id) full labeling -> the semantic_dedup_clusters
+    output shape: clustered rows only, with sizes and the min-id keeper
+    flag."""
     sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
     return (
         labels.join(sizes, "cluster_id")
@@ -245,3 +252,58 @@ def incremental_semantic_dedup(
             (F.col("vec_id") == F.col("cluster_id")).alias("is_keeper"),
         )
     )
+
+
+def retract_semantic(
+    labels: DataFrame, edges: DataFrame, removed: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """The accumulator's DELETE half: (edges', labels') with ``removed``
+    vec_ids gone.  Removal can SPLIT a cluster (the removed vector may be
+    the chain link), so affected clusters re-solve from their surviving
+    edges while every untouched label passes through verbatim -- this is
+    plans/retract.retract_convs' algorithm applied to the semantic
+    labeling (vec_id columns aliased onto its conv_id contract; the
+    conv_state slot carries the label ids and its anti-joined return is
+    discarded).  Same exactness contract: equals a full recompute over
+    survivors whenever the original run was uncapped; under caps the
+    retained edges are a subset and clusters are exactly their
+    components (observable-drop semantics)."""
+    from .retract import retract_convs
+
+    lab = labels.select(F.col("vec_id").alias("conv_id"), "cluster_id")
+    rm = removed.select(F.col("vec_id").alias("conv_id"))
+    _, edges2, labels2 = retract_convs(lab.select("conv_id"), edges, lab, rm)
+    return edges2, labels2.select(F.col("conv_id").alias("vec_id"), "cluster_id")
+
+
+def retract_embedding_index(
+    spark: SparkSession,
+    workdir: str,
+    removed: DataFrame,
+    new_fp: str,
+    n_tables: int = 24,
+    n_bits: int = 6,
+    seed: int = 42,
+    chain: str | list[str] = "static",
+    units: int = 8,
+) -> str:
+    """Fold an index chain minus ``removed`` vec_ids into ONE new
+    snapshot dir (plans/retract.retract_band_index's convention: a NEW
+    snapshot key, never an in-place rewrite -- a crash mid-write leaves
+    every existing chain dir intact; the caller flips its chain to
+    [new_fp] only after this returns).  One broadcast anti-join scan;
+    rows stay (vec_id, table_idx, code), so future batches probe the
+    retracted index exactly like any other snapshot."""
+    rm = removed.select("vec_id").distinct()
+    idx = read_embedding_index(spark, workdir, n_tables, n_bits, seed, chain)
+    kept = idx.join(F.broadcast(rm), "vec_id", "left_anti")
+    path = embedding_index_dir(workdir, n_tables, n_bits, seed, new_fp)
+    (
+        kept.withColumn(
+            "_unit", F.pmod(F.xxhash64("table_idx", "code"), F.lit(units)).cast("int")
+        )
+        .write.mode("overwrite")
+        .partitionBy("_unit")
+        .parquet(path)
+    )
+    return path

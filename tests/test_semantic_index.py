@@ -132,3 +132,50 @@ def test_incremental_semantic_dedup_bridges_and_singletons(spark):
     # untouched old cluster survives; singletons (50, 101) are filtered
     assert out[60]["cluster_id"] == 60 and out[61]["cluster_size"] == 2
     assert 50 not in out and 101 not in out
+
+
+def test_retract_semantic_equals_full_recompute(spark):
+    """Removing vectors (including chain links) leaves exactly the
+    labeling a full pipeline over survivors produces."""
+    e = _corpus(spark, n=100)
+    removed = e.select("vec_id").where(F.col("vec_id") % 4 == 1)  # hits cluster members
+    survivors = e.join(removed, "vec_id", "left_anti")
+
+    edges = embedding_near_dup_pairs(e, **PARAMS)
+    labels = attach_singletons(
+        connected_components(edges.select("a", "b")),
+        e.select(F.col("vec_id").alias("conv_id")),
+    ).select(F.col("conv_id").alias("vec_id"), "cluster_id")
+
+    edges2, labels2 = SI.retract_semantic(labels, edges, removed)
+    got = sorted(map(tuple, SI.clusters_view(labels2).collect()))
+    want = sorted(map(tuple, semantic_dedup_clusters(survivors, **PARAMS).collect()))
+    assert got == want and want  # non-trivial: clusters survive the cut
+    # no retained edge touches a removed id
+    rm = {r["vec_id"] for r in removed.collect()}
+    assert all(r["a"] not in rm and r["b"] not in rm for r in edges2.collect())
+
+
+def test_retract_index_then_absorb_equals_full(spark, tmp_path):
+    """Lifecycle closure: base index -> retract -> absorb a batch ->
+    probing the stitched chain equals a full recompute over
+    (survivors + batch)."""
+    e = _corpus(spark, n=120)
+    is_new = F.col("vec_id") % 10 == 0
+    old, batch = e.where(~is_new), e.where(is_new)
+    removed = old.select("vec_id").where(F.col("vec_id") % 7 == 3)
+    old2 = old.join(removed, "vec_id", "left_anti")
+
+    SI.write_embedding_index(old, str(tmp_path), input_fp="base")
+    SI.retract_embedding_index(spark, str(tmp_path), removed, "base_r1", chain="base")
+    idx = SI.read_embedding_index(spark, str(tmp_path), input_fp="base_r1")
+
+    corpus = old2.unionByName(batch)
+    new_pairs = SI.incremental_embedding_pairs(idx, batch, corpus, **PARAMS)
+    old_labels = attach_singletons(
+        connected_components(embedding_near_dup_pairs(old2, **PARAMS).select("a", "b")),
+        old2.select(F.col("vec_id").alias("conv_id")),
+    )
+    inc = SI.incremental_semantic_dedup(old_labels, new_pairs, batch.select("vec_id"))
+    want = sorted(map(tuple, semantic_dedup_clusters(corpus, **PARAMS).collect()))
+    assert sorted(map(tuple, inc.collect())) == want and want
