@@ -152,6 +152,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q80_incremental_semantic_dedup": Q.q80_incremental_semantic_dedup,
         # semantic retraction: delete half of the embedding accumulator
         "q81_retract_semantic_dedup": Q.q81_retract_semantic_dedup,
+        # Bloom-gated exact-dedup membership (seen-before, verify-exact)
+        "q82_bloom_seen_filter": Q.q82_bloom_seen_filter,
+        # cluster-drift report after a daily absorb (new/grown/merged)
+        "q83_absorb_impact_report": Q.q83_absorb_impact_report,
     }
 
 
@@ -2001,4 +2005,92 @@ def oracle_sql() -> dict[str, str]:
         "FROM embeddings",
         "FROM (SELECT * FROM embeddings WHERE vec_id % 13 <> 0) embeddings",
     )
+
+    # q82: Bloom prefilter + exact verify is EXACT by construction, so
+    # the oracle is the plain semi-join the Bloom index exists to avoid
+    # at corpus scale.  Same fp as q21 (md5 over normalized tokens);
+    # the re-crawl plant (base docs with doc_id % 10 == 1 re-arriving
+    # under fresh ids) is replayed verbatim.
+    oracles["q82_bloom_seen_filter"] = f"""
+        WITH n AS (
+            SELECT doc_id, md5(array_to_string({_NORM_TOKS}, ' ')) AS fp
+            FROM documents
+        ), base AS (
+            SELECT DISTINCT fp FROM n WHERE doc_id % 5 <> 0
+        ), batch AS (
+            SELECT doc_id, fp FROM n WHERE doc_id % 5 = 0
+            UNION ALL
+            SELECT doc_id + 1000000, fp FROM n WHERE doc_id % 10 = 1
+        )
+        SELECT doc_id, fp IN (SELECT fp FROM base) AS seen_before
+        FROM batch ORDER BY doc_id
+    """
+
+    # q83: cluster-drift after an absorb.  Final labels = q24's exact
+    # whole-corpus closure; OLD labels = the same closure restricted to
+    # both-endpoints-in-base edges (exact pair existence depends only on
+    # the two docs, so the base subgraph IS the base-only closure).
+    # Singleton old docs are their own part (label = id).
+    oracles["q83_absorb_impact_report"] = f"""
+        WITH RECURSIVE g AS (
+            SELECT CAST(doc_id AS VARCHAR) AS id, {grams3} AS grams FROM documents
+        ), x AS (
+            SELECT id, unnest(grams) AS gram FROM g
+        ), inter AS (
+            SELECT l.id AS a, r.id AS b, count(*) AS i
+            FROM x l JOIN x r ON l.gram = r.gram AND l.id < r.id
+            GROUP BY 1, 2
+        ), sz AS (
+            SELECT id, len(grams) AS n FROM g
+        ), edges AS (
+            SELECT a, b FROM inter
+            JOIN sz sa ON inter.a = sa.id
+            JOIN sz sb ON inter.b = sb.id
+            WHERE i / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.7
+        ), sym AS (
+            SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges
+        ), cc(id, lbl) AS (
+            SELECT DISTINCT a, a FROM sym
+            UNION
+            SELECT s.b, cc.lbl FROM cc JOIN sym s ON cc.id = s.a
+        ), labels AS (
+            SELECT id, min(lbl) AS cluster_id FROM cc GROUP BY id
+        ), alldocs AS (
+            SELECT CAST(doc_id AS VARCHAR) AS id, doc_id % 5 = 0 AS is_new
+            FROM documents
+        ), fin AS (
+            SELECT a.id, COALESCE(l.cluster_id, a.id) AS cluster_id, a.is_new
+            FROM alldocs a LEFT JOIN labels l ON a.id = l.id
+        ), bedges AS (
+            SELECT a, b FROM edges
+            WHERE CAST(a AS BIGINT) % 5 <> 0 AND CAST(b AS BIGINT) % 5 <> 0
+        ), bsym AS (
+            SELECT a, b FROM bedges UNION ALL SELECT b AS a, a AS b FROM bedges
+        ), bcc(id, lbl) AS (
+            SELECT DISTINCT a, a FROM bsym
+            UNION
+            SELECT s.b, bcc.lbl FROM bcc JOIN bsym s ON bcc.id = s.a
+        ), blabels AS (
+            SELECT id, min(lbl) AS old_cluster FROM bcc GROUP BY id
+        ), oldlab AS (
+            SELECT f.id, f.cluster_id, COALESCE(b.old_cluster, f.id) AS old_cluster
+            FROM fin f LEFT JOIN blabels b ON f.id = b.id
+            WHERE NOT f.is_new
+        ), szt AS (
+            SELECT cluster_id, count(*) AS n_docs,
+                   CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+            FROM fin GROUP BY 1 HAVING count(*) > 1
+        ), parts AS (
+            SELECT cluster_id, CAST(count(DISTINCT old_cluster) AS BIGINT) AS n_old_parts
+            FROM oldlab GROUP BY 1
+        )
+        SELECT s.cluster_id, s.n_docs, s.n_new,
+               COALESCE(p.n_old_parts, 0) AS n_old_parts,
+               CASE WHEN s.n_new = s.n_docs THEN 'new'
+                    WHEN COALESCE(p.n_old_parts, 0) > 1 THEN 'merged'
+                    WHEN s.n_new > 0 THEN 'grown'
+                    ELSE 'stable' END AS verdict
+        FROM szt s LEFT JOIN parts p ON s.cluster_id = p.cluster_id
+        ORDER BY s.cluster_id
+    """
     return oracles

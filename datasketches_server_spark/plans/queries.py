@@ -73,6 +73,11 @@ def documents_dedup_result(spark: SparkSession, sf_dir: str, subset: str | None 
     t = transcripts_from_documents(spark, sf_dir)
     if subset == "old80":
         t = t.where(~(F.pmod(F.xxhash64("conv_id"), F.lit(5)) == 0))
+    elif subset == "mod5base":
+        # q83's oracle-replayable split (doc_id % 5 != 0): unlike old80's
+        # hash split, DuckDB can replay this one, so the OLD labels can
+        # appear in a hashed result column.
+        t = t.where(F.pmod(F.col("conv_id").cast("long"), F.lit(5)) != 0)
     elif subset is not None:
         raise ValueError(f"unknown subset {subset!r}")
     res = dedup_pipeline(t, cfg)
@@ -2074,3 +2079,80 @@ def q81_retract_semantic_dedup(spark, sf_dir):
     removed = e.select("vec_id").where(F.col("vec_id") % 13 == 0)
     _, labels2 = SI.retract_semantic(labels, edges, removed)
     return SI.clusters_view(labels2).orderBy("cluster_id", "vec_id")
+
+
+def q82_bloom_seen_filter(spark, sf_dir):
+    """Bloom-gated exact-dedup membership: "has this exact (normalized)
+    text been ingested before?" answered for a daily batch WITHOUT
+    joining the batch against the historical fingerprint table.  Corpus
+    = documents with doc_id % 5 != 0; the batch is the % 5 == 0 docs
+    plus a deterministic re-crawl plant (base docs with doc_id % 10 == 1
+    arrive again under fresh ids -- retries/recrawls, the case this gate
+    exists for).  The per-bucket Bloom index (plans/bloom_index) is
+    built over the base once; the batch probes it cogrouped by bucket
+    and only maybe-seen survivors reach the exact verify join, so the
+    answer is EXACT (no false negatives by construction, false
+    positives killed by verify) and the oracle is a plain semi-join.
+    At 10^12 turns the index is the broadcast-sized accumulator state;
+    the per-batch cost is O(batch) hashing + a survivor-sized join."""
+    from .bloom_index import BloomConfig, build_bloom_index, seen_filter
+
+    d = _t(spark, sf_dir, "documents")
+    norm = F.concat_ws(" ", TXT.tokens(F.col("text")))
+    fps = d.select("doc_id", F.md5(norm).alias("fp"))
+    base = fps.where(F.col("doc_id") % 5 != 0)
+    batch = fps.where(F.col("doc_id") % 5 == 0).unionAll(
+        fps.where(F.col("doc_id") % 10 == 1).select(
+            (F.col("doc_id") + F.lit(1000000)).alias("doc_id"), "fp"
+        )
+    )
+    cfg = BloomConfig()
+    idx = build_bloom_index(base, "fp", cfg)
+    out = seen_filter(
+        idx, base, batch.select(F.col("doc_id").cast("string").alias("id"), "fp"), cfg=cfg
+    )
+    return out.select(
+        F.col("id").cast("long").alias("doc_id"), "seen_before"
+    ).orderBy("doc_id")
+
+
+def q83_absorb_impact_report(spark, sf_dir):
+    """Cluster-drift report after a daily absorb -- the monitoring view
+    an ops team reads after each incremental_dedup run: for every final
+    near-dup cluster (size >= 2), how many docs are new, how many OLD
+    clusters merged into it, and a verdict (new / grown / merged /
+    stable).  'merged' is the alarm: a batch doc bridged two previously
+    separate clusters, exactly the chain-link risk q61 scores.  The
+    split is doc_id % 5 (oracle-replayable); old labels come from the
+    base-only closure, final labels from the whole-corpus closure --
+    engine-side both label sets are one memoized pipeline pass each,
+    and the classification itself is a broadcast-sized label join."""
+    res = documents_dedup_result(spark, sf_dir)
+    old = documents_dedup_result(spark, sf_dir, subset="mod5base")
+    is_new = F.pmod(F.col("conv_id").cast("long"), F.lit(5)) == 0
+    members = res.clusters.withColumn("is_new", is_new)
+    sz = members.groupBy("cluster_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("is_new").cast("int")).cast("long").alias("n_new"),
+    ).where(F.col("n_docs") > 1)
+    old_parts = (
+        members.where(~F.col("is_new"))
+        .join(old.clusters.withColumnRenamed("cluster_id", "old_cluster"), "conv_id")
+        .groupBy("cluster_id")
+        .agg(F.countDistinct("old_cluster").alias("n_old_parts"))
+    )
+    return (
+        sz.join(old_parts, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            "n_docs",
+            "n_new",
+            F.coalesce("n_old_parts", F.lit(0)).alias("n_old_parts"),
+            F.when(F.col("n_new") == F.col("n_docs"), F.lit("new"))
+            .when(F.coalesce("n_old_parts", F.lit(0)) > 1, F.lit("merged"))
+            .when(F.col("n_new") > 0, F.lit("grown"))
+            .otherwise(F.lit("stable"))
+            .alias("verdict"),
+        )
+        .orderBy("cluster_id")
+    )
