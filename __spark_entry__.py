@@ -156,6 +156,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q82_bloom_seen_filter": Q.q82_bloom_seen_filter,
         # cluster-drift report after a daily absorb (new/grown/merged)
         "q83_absorb_impact_report": Q.q83_absorb_impact_report,
+        # cluster purity: exact jaccard over ALL intra-cluster pairs
+        "q84_cluster_diameter_audit": Q.q84_cluster_diameter_audit,
     }
 
 
@@ -2092,5 +2094,56 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 'stable' END AS verdict
         FROM szt s LEFT JOIN parts p ON s.cluster_id = p.cluster_id
         ORDER BY s.cluster_id
+    """
+
+    # q84: q24's exact closure, then exact 3-gram jaccard over every
+    # intra-cluster pair (clusters of size 2..64 -- the engine's
+    # DIAMETER_CAP replayed).  j_e4 integerized exactly as q55.
+    oracles["q84_cluster_diameter_audit"] = f"""
+        WITH RECURSIVE g AS (
+            SELECT CAST(doc_id AS VARCHAR) AS id, {grams3} AS grams FROM documents
+        ), x AS (
+            SELECT id, unnest(grams) AS gram FROM g
+        ), inter AS (
+            SELECT l.id AS a, r.id AS b, count(*) AS i
+            FROM x l JOIN x r ON l.gram = r.gram AND l.id < r.id
+            GROUP BY 1, 2
+        ), sz AS (
+            SELECT id, len(grams) AS n FROM g
+        ), edges AS (
+            SELECT a, b FROM inter
+            JOIN sz sa ON inter.a = sa.id
+            JOIN sz sb ON inter.b = sb.id
+            WHERE i / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.7
+        ), sym AS (
+            SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges
+        ), cc(id, lbl) AS (
+            SELECT DISTINCT a, a FROM sym
+            UNION
+            SELECT s.b, cc.lbl FROM cc JOIN sym s ON cc.id = s.a
+        ), labels AS (
+            SELECT id, min(lbl) AS cluster_id FROM cc GROUP BY id
+        ), mem AS (
+            SELECT COALESCE(l.cluster_id, g.id) AS cluster_id, g.id, g.grams
+            FROM g LEFT JOIN labels l ON g.id = l.id
+        ), sized AS (
+            SELECT cluster_id, count(*) AS n_members FROM mem
+            GROUP BY 1 HAVING count(*) BETWEEN 2 AND 64
+        ), m AS (
+            SELECT mem.*, sized.n_members FROM mem JOIN sized USING (cluster_id)
+        ), p AS (
+            SELECT xx.cluster_id, xx.n_members,
+                   CAST(round(
+                       len(list_intersect(xx.grams, yy.grams))
+                       / CAST(len(xx.grams) + len(yy.grams)
+                              - len(list_intersect(xx.grams, yy.grams)) AS DOUBLE)
+                       * 10000) AS BIGINT) AS j_e4
+            FROM m xx JOIN m yy
+              ON xx.cluster_id = yy.cluster_id AND xx.id < yy.id
+        )
+        SELECT cluster_id, CAST(n_members AS BIGINT) AS n_members,
+               count(*) AS n_pairs, min(j_e4) AS min_j_e4,
+               CAST(sum(j_e4) AS BIGINT) AS sum_j_e4
+        FROM p GROUP BY 1, 2 ORDER BY cluster_id
     """
     return oracles

@@ -142,6 +142,22 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         "--through-epoch", type=int,
         help="highest epoch folded by --compact-metrics",
     )
+    ap.add_argument(
+        "--bloom-build",
+        action="store_true",
+        help="maintenance mode: build the exact-dedup Bloom membership "
+        "index (plans/bloom_index) over --input's conversations "
+        "(fingerprint = md5 of the normalized assembled text) and persist "
+        "it plus the fingerprint table under <workdir>/bloom/; "
+        "--seen-input batches then probe it without touching the corpus",
+    )
+    ap.add_argument(
+        "--seen-input",
+        help="BATCH transcripts parquet: exact seen-before verdict per "
+        "conversation against the persisted Bloom index built by "
+        "--bloom-build (O(batch) hashing + survivors-only verify; "
+        "verdicts written under <workdir>/bloom/verdicts/)",
+    )
     args = ap.parse_args(argv)
 
     owns_session = spark is None
@@ -184,6 +200,59 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
 
         stats = compact_metrics(spark, args.compact_metrics, args.through_epoch)
         print(json.dumps({"mode": "compact-metrics", **stats}))
+        if owns_session:
+            spark.stop()
+        return 0
+
+    if args.bloom_build or args.seen_input:
+        import os
+
+        from datasketches_server_spark.functions.text import assemble_conversations, tokens
+        from datasketches_server_spark.plans.bloom_index import (
+            BloomConfig,
+            build_bloom_index,
+            read_bloom_index,
+            seen_filter,
+            write_bloom_index,
+        )
+        from pyspark.sql import functions as F
+
+        bcfg = BloomConfig()
+        idx_path = os.path.join(args.workdir, "bloom", f"{bcfg.config_hash()}_index")
+        fps_path = os.path.join(args.workdir, "bloom", f"{bcfg.config_hash()}_fps")
+
+        def _conv_fps(df):
+            conv = assemble_conversations(df)
+            return conv.select(
+                "conv_id",
+                F.md5(F.concat_ws(" ", tokens(F.col("full_text")))).alias("fp"),
+            )
+
+        if args.bloom_build:
+            if not args.input:
+                ap.error("--bloom-build requires --input (the corpus)")
+            fps = _conv_fps(spark.read.parquet(args.input))
+            fps.write.mode("overwrite").parquet(fps_path)
+            fps = spark.read.parquet(fps_path)
+            write_bloom_index(build_bloom_index(fps, "fp", bcfg), idx_path)
+            n = spark.read.parquet(idx_path).agg(F.sum("n_rows")).first()[0]
+            print(json.dumps({"mode": "bloom-build", "n_fingerprints": int(n or 0),
+                              "index_path": idx_path}))
+        else:
+            idx = read_bloom_index(spark, idx_path)
+            base_fps = spark.read.parquet(fps_path)
+            batch = _conv_fps(spark.read.parquet(args.seen_input))
+            verdicts = seen_filter(idx, base_fps, batch, "conv_id", "fp", bcfg)
+            batch_fp = path_fingerprint(args.seen_input)
+            out = os.path.join(args.workdir, "bloom", "verdicts", batch_fp)
+            verdicts.withColumnRenamed("id", "conv_id").write.mode("overwrite").parquet(out)
+            v = spark.read.parquet(out)
+            print(json.dumps({
+                "mode": "seen-filter", "batch_fp": batch_fp,
+                "n_convs": v.count(),
+                "n_seen": v.where("seen_before").count(),
+                "verdicts_path": out,
+            }))
         if owns_session:
             spark.stop()
         return 0

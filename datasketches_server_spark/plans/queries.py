@@ -2156,3 +2156,48 @@ def q83_absorb_impact_report(spark, sf_dir):
         )
         .orderBy("cluster_id")
     )
+
+
+# q84's self-join is O(size^2) per cluster; the cap bounds the worst
+# mega-cluster (drops are observable: capped clusters simply have no
+# row, and q24's summary says which clusters exceed the cap).
+DIAMETER_CAP = 64
+
+
+def q84_cluster_diameter_audit(spark, sf_dir):
+    """Cluster PURITY audit over ALL intra-cluster pairs -- q61 scores
+    only the verified LSH edges (the spanning evidence); this measures
+    the transitive drift those edges imply: exact 3-gram jaccard for
+    every member pair of every cluster (size 2..DIAMETER_CAP), so a
+    chain cluster whose endpoints share almost nothing shows up as
+    min_j_e4 near 0 even when every EDGE cleared 0.7.  The member join
+    is broadcast-sized (labels x grams); the pair explosion is bounded
+    by the size cap, which the oracle replays.  Integer j_e4 keeps the
+    hash float-drift-proof (q55's convention)."""
+    from ..functions.portable import word_grams
+
+    res = documents_dedup_result(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        word_grams(TXT.tokens(F.col("text")), 3).alias("grams"),
+    )
+    members = res.clusters.join(d, "conv_id")
+    sized = members.withColumn(
+        "sz", F.count("*").over(Window.partitionBy("cluster_id"))
+    ).where((F.col("sz") >= 2) & (F.col("sz") <= DIAMETER_CAP))
+    a = sized.select("cluster_id", F.col("conv_id").alias("a"), F.col("grams").alias("ga"), "sz")
+    b = sized.select("cluster_id", F.col("conv_id").alias("b"), F.col("grams").alias("gb"))
+    pairs = a.join(b, "cluster_id").where(F.col("a") < F.col("b"))
+    inter = F.size(F.array_intersect("ga", "gb"))
+    uni = F.size("ga") + F.size("gb") - inter
+    j_e4 = F.round(inter / uni * 10000).cast("long")
+    return (
+        pairs.select("cluster_id", F.col("sz").cast("long").alias("n_members"), j_e4.alias("j_e4"))
+        .groupBy("cluster_id", "n_members")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.min("j_e4").alias("min_j_e4"),
+            F.sum("j_e4").alias("sum_j_e4"),
+        )
+        .orderBy("cluster_id")
+    )

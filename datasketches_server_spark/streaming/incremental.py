@@ -585,3 +585,74 @@ def merged_view(spark: SparkSession, metrics_path: str, key_col: str = "event_ty
         F.theta_sketch_estimate(F.theta_union_agg("theta_items", cfg.theta_lg_k)).alias("distinct_items"),
         F.sum("n_events").alias("n_events"),
     )
+
+
+def seen_gate_batch(
+    batch: DataFrame,
+    epoch_id: int,
+    bloom_index: DataFrame,
+    base_fps: DataFrame,
+    out_fresh: str,
+    out_seen: str,
+    id_col: str = "conv_id",
+    fp_col: str = "fp",
+    bloom_cfg=None,
+) -> None:
+    """Ingest-time EXACT history dedup for ONE micro-batch: rows whose
+    fingerprint already exists in the historical corpus are diverted to
+    ``out_seen``; fresh rows land in ``out_fresh``.  The Bloom index
+    (plans/bloom_index, built ONCE from the corpus like decontam's
+    eval_state) prefilters so the per-epoch cost is batch hashing + a
+    survivors-only verify join -- the batch never joins the corpus
+    fingerprint table directly.
+
+    Scope: HISTORY dedup only.  In-day/in-stream duplicates (two
+    re-crawls arriving minutes apart) are the job of the stateful
+    streaming_exact_dedup upstream; composing the two gives exact
+    end-to-end exactly-once text identity at O(batch) per epoch.
+
+    Both sinks are exactly-once epoch-partitioned dynamic overwrites
+    (append_metrics_batch pattern): an epoch RETRY deterministically
+    rewrites its own partition -- the Bloom probe is pure in (fp, m),
+    so the retry produces byte-identical verdicts."""
+    from ..plans.bloom_index import BloomConfig, seen_filter
+
+    cfg = bloom_cfg or BloomConfig()
+    verdicts = seen_filter(bloom_index, base_fps, batch, id_col, fp_col, cfg)
+    tagged = batch.join(
+        verdicts.withColumnRenamed("id", id_col), id_col, "left"
+    ).withColumn("seen_before", F.coalesce("seen_before", F.lit(False)))
+    for df, path in (
+        (tagged.where(~F.col("seen_before")).drop("seen_before"), out_fresh),
+        (tagged.where(F.col("seen_before")).drop("seen_before"), out_seen),
+    ):
+        (
+            df.withColumn("epoch_id", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch_id")
+            .parquet(path)
+        )
+
+
+def streaming_seen_gate_foreachBatch(
+    stream: DataFrame,
+    bloom_index: DataFrame,
+    base_fps: DataFrame,
+    out_fresh: str,
+    out_seen: str,
+    id_col: str = "conv_id",
+    fp_col: str = "fp",
+    bloom_cfg=None,
+):
+    """writeStream.foreachBatch wrapper over :func:`seen_gate_batch`:
+    ``streaming_seen_gate_foreachBatch(stream, idx, fps, a, b).start()``.
+    """
+
+    def _sink(batch: DataFrame, epoch_id: int) -> None:
+        seen_gate_batch(
+            batch, epoch_id, bloom_index, base_fps, out_fresh, out_seen,
+            id_col, fp_col, bloom_cfg,
+        )
+
+    return stream.writeStream.foreachBatch(_sink)

@@ -130,3 +130,83 @@ def test_mixed_m_rejected(spark):
     b = build_bloom_index(_fps(spark, 0, 100), "fp", CFG, m=2048)
     with pytest.raises(ValueError, match="mixed m"):
         index_m(a.unionAll(b))
+
+
+def test_seen_gate_batch_diverts_and_replays_idempotently(spark, tmp_path):
+    """Streaming history-dedup gate: rows whose fp exists in the corpus
+    divert to the seen sink; a forced double-fire of an epoch leaves
+    both sinks unchanged (epoch-partitioned overwrite + the probe being
+    pure in (fp, m))."""
+    from datasketches_server_spark.streaming.incremental import seen_gate_batch
+
+    base = _fps(spark, 0, 1000)
+    idx = build_bloom_index(base, "fp", CFG)
+    fresh_p, seen_p = str(tmp_path / "fresh"), str(tmp_path / "seen")
+
+    e0 = _batch(spark, 900, 1100).withColumnRenamed("id", "conv_id")  # 100 seen
+    e1 = _batch(spark, 2000, 2050).withColumnRenamed("id", "conv_id")  # all fresh
+    seen_gate_batch(e0, 0, idx, base, fresh_p, seen_p, bloom_cfg=CFG)
+    seen_gate_batch(e1, 1, idx, base, fresh_p, seen_p, bloom_cfg=CFG)
+
+    fresh = spark.read.parquet(fresh_p)
+    seen = spark.read.parquet(seen_p)
+    assert seen.count() == 100
+    assert fresh.count() == 100 + 50
+    assert {r.conv_id for r in seen.collect()} == {str(i) for i in range(900, 1000)}
+
+    # forced double-fire of epoch 0: byte-identical verdicts, no growth
+    seen_gate_batch(e0, 0, idx, base, fresh_p, seen_p, bloom_cfg=CFG)
+    assert spark.read.parquet(seen_p).count() == 100
+    assert spark.read.parquet(fresh_p).count() == 150
+
+
+def test_cli_bloom_build_then_seen_filter(spark, tmp_path, sf_dir):
+    """Ops path: --bloom-build persists index + fps from a corpus; a
+    later --seen-input probes a batch containing one exact re-crawl and
+    one fresh conversation, and the verdicts separate them exactly."""
+    import json
+    from contextlib import redirect_stdout
+    from io import StringIO
+
+    from datasketches_server_spark.__main__ import main
+    from datasketches_server_spark.sources.synth import transcripts_from_documents
+
+    t = transcripts_from_documents(spark, sf_dir)
+    corpus_p = str(tmp_path / "corpus")
+    t.where(F.col("conv_id").cast("long") < 400).write.parquet(corpus_p)
+    # batch: conv 7 re-crawled under a fresh id + genuinely new conv 450
+    batch_p = str(tmp_path / "batch")
+    recrawl = t.where(F.col("conv_id") == "7").withColumn("conv_id", F.lit("re_7"))
+    fresh = t.where(F.col("conv_id") == "450")
+    recrawl.unionByName(fresh).write.parquet(batch_p)
+    wd = str(tmp_path / "wd")
+
+    buf = StringIO()
+    with redirect_stdout(buf):
+        assert main(["--workdir", wd, "--input", corpus_p, "--bloom-build"], spark=spark) == 0
+    built = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert built["mode"] == "bloom-build" and built["n_fingerprints"] > 0
+
+    buf = StringIO()
+    with redirect_stdout(buf):
+        assert main(["--workdir", wd, "--seen-input", batch_p], spark=spark) == 0
+    probed = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert probed["n_convs"] == 2 and probed["n_seen"] == 1
+    verdicts = {r.conv_id: r.seen_before
+                for r in spark.read.parquet(probed["verdicts_path"]).collect()}
+    assert verdicts == {"re_7": True, "450": False}
+
+
+def test_q84_diameter_invariants(spark, sf_dir):
+    """q84 structural invariants at sf0.001: complete pair coverage per
+    audited cluster (n_pairs == C(n_members, 2)) and min <= mean; every
+    audited cluster also appears in q24's >=2-member summary."""
+    from datasketches_server_spark.plans import queries as Q
+
+    rows = Q.q84_cluster_diameter_audit(spark, sf_dir).collect()
+    assert rows, "sf0.001 has multi-member clusters; audit cannot be empty"
+    for r in rows:
+        assert r.n_pairs == r.n_members * (r.n_members - 1) // 2
+        assert r.min_j_e4 * r.n_pairs <= r.sum_j_e4
+    q24 = {x.cluster_id for x in Q.q24_dedup_clusters_documents(spark, sf_dir).collect()}
+    assert {r.cluster_id for r in rows} <= q24
