@@ -158,6 +158,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q83_absorb_impact_report": Q.q83_absorb_impact_report,
         # cluster purity: exact jaccard over ALL intra-cluster pairs
         "q84_cluster_diameter_audit": Q.q84_cluster_diameter_audit,
+        # sessionization: split conversations at >30min inactivity gaps
+        "q85_sessionize": Q.q85_sessionize,
+        # role-transition matrix per source (chat vs agent-loop shapes)
+        "q86_role_transitions": Q.q86_role_transitions,
     }
 
 
@@ -2145,5 +2149,67 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n_pairs, min(j_e4) AS min_j_e4,
                CAST(sum(j_e4) AS BIGINT) AS sum_j_e4
         FROM p GROUP BY 1, 2 ORDER BY cluster_id
+    """
+
+    # q85: replay the planted 45-min pauses (cumulative shift keeps ts
+    # monotone), the 30-min boundary rule, and the per-session rollup.
+    oracles["q85_sessionize"] = f"""
+        WITH tr AS ({transcripts_from_documents_sql()}),
+        sh AS (
+            SELECT conv_id, turn_idx,
+                   epoch(ts) + 2700.0 * sum(
+                       CASE WHEN (CAST(conv_id AS BIGINT) * 17 + turn_idx) % 7 = 0
+                                 AND turn_idx > 0 THEN 1 ELSE 0 END
+                   ) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS ts2
+            FROM tr
+        ), b AS (
+            SELECT conv_id, turn_idx, ts2,
+                   CASE WHEN ts2 - lag(ts2) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                             > 1800.0 THEN 1 ELSE NULL END AS new_sess
+            FROM sh
+        ), s AS (
+            SELECT conv_id,
+                   COALESCE(sum(new_sess) OVER (PARTITION BY conv_id ORDER BY turn_idx), 0)
+                   + 1 AS session_id
+            FROM b
+        ), sess AS (
+            SELECT conv_id, session_id, count(*) AS n_turns
+            FROM s GROUP BY 1, 2
+        )
+        SELECT conv_id,
+               sum(n_turns) AS total_turns,
+               CAST(max(session_id) AS BIGINT) AS n_sessions,
+               max(n_turns) AS max_session_turns,
+               round(avg(n_turns), 4) AS avg_session_turns
+        FROM sess GROUP BY conv_id
+        ORDER BY CAST(conv_id AS BIGINT)
+    """
+
+    # q86: replay the planted tool turns, the lead() transition pairs,
+    # and the per-source share (integer e4).
+    oracles["q86_role_transitions"] = f"""
+        WITH tr AS ({transcripts_from_documents_sql()}),
+        p AS (
+            SELECT conv_id, turn_idx,
+                   CASE WHEN role = 'assistant'
+                             AND (CAST(conv_id AS BIGINT) + turn_idx) % 11 = 0
+                        THEN 'tool' ELSE role END AS from_role
+            FROM tr
+        ), steps AS (
+            SELECT p.conv_id, p.from_role,
+                   lead(p.from_role) OVER (PARTITION BY p.conv_id ORDER BY p.turn_idx)
+                   AS to_role
+            FROM p
+        ), j AS (
+            SELECT d.source, s.from_role, s.to_role
+            FROM steps s JOIN documents d ON s.conv_id = CAST(d.doc_id AS VARCHAR)
+            WHERE s.to_role IS NOT NULL
+        ), c AS (
+            SELECT source, from_role, to_role, count(*) AS n FROM j GROUP BY 1, 2, 3
+        )
+        SELECT source, from_role, to_role, n,
+               CAST(round(n / CAST(sum(n) OVER (PARTITION BY source) AS DOUBLE)
+                          * 10000) AS BIGINT) AS share_e4
+        FROM c ORDER BY source, from_role, to_role
     """
     return oracles

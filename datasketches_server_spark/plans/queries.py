@@ -2201,3 +2201,83 @@ def q84_cluster_diameter_audit(spark, sf_dir):
         )
         .orderBy("cluster_id")
     )
+
+
+def q85_sessionize(spark, sf_dir):
+    """Sessionization of agent transcripts: split each conversation into
+    sessions at inactivity gaps > 30 min -- the pre-processing step that
+    decides what a 'training example' even is for long-running agent
+    logs.  Gaps are planted deterministically (every (cid*17+idx) % 7 ==
+    0 turn past the first opens one after a 45-min pause, shifting ALL
+    later turns so ts stays monotone -- the oracle replays the shift
+    arithmetic).  One conv-partitioned window chain: cumulative shift ->
+    lag diff -> boundary flag -> running session id -> per-session
+    sizes; per conv we report n_sessions and the largest/mean session.
+    At 100 TB this is one narrow shuffle by conv_id, state bounded by
+    the longest conversation (same contract as agent_loop_scores)."""
+    t = transcripts_from_documents(spark, sf_dir)
+    cid = F.col("conv_id").cast("long")
+    idx = F.col("turn_idx")
+    is_gap = (F.pmod(cid * 17 + idx, F.lit(7)) == 0) & (idx > 0)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    shifted = t.select(
+        "conv_id", "turn_idx",
+        (
+            F.col("ts").cast("double")
+            + F.sum(is_gap.cast("int")).over(w) * F.lit(2700.0)
+        ).alias("ts2"),
+    )
+    bounded = shifted.withColumn(
+        "new_sess",
+        (F.col("ts2") - F.lag("ts2").over(w) > 1800.0).cast("int"),
+    ).withColumn(
+        "session_id", F.coalesce(F.sum("new_sess").over(w), F.lit(0)) + F.lit(1)
+    )
+    sess = bounded.groupBy("conv_id", "session_id").agg(F.count("*").alias("n_turns"))
+    return (
+        sess.groupBy("conv_id")
+        .agg(
+            F.sum("n_turns").alias("total_turns"),
+            F.max("session_id").cast("long").alias("n_sessions"),
+            F.max("n_turns").alias("max_session_turns"),
+            F.round(F.avg("n_turns"), 4).alias("avg_session_turns"),
+        )
+        .orderBy(F.col("conv_id").cast("long"))
+    )
+
+
+def q86_role_transitions(spark, sf_dir):
+    """Role-transition profile per source: the (from_role -> to_role)
+    matrix of the user/assistant/tool state machine, with share-of-
+    source as integer e4 -- the fingerprint that separates chat-shaped
+    sources from agent-loop-shaped ones before mixing.  Tool turns are
+    planted on the contract's role column deterministically (every
+    (cid+idx) % 11 == 0 assistant turn acted as a tool step; the oracle
+    replays the plant).  One lead() window + one 3-key agg; the
+    (conv -> source) dim is broadcast (q56's shape)."""
+    t = transcripts_from_documents(spark, sf_dir)
+    src = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("conv_id"), "source"
+    )
+    cid = F.col("conv_id").cast("long")
+    role3 = F.when(
+        (F.col("role") == "assistant") & (F.pmod(cid + F.col("turn_idx"), F.lit(11)) == 0),
+        F.lit("tool"),
+    ).otherwise(F.col("role"))
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    steps = (
+        t.select("conv_id", "turn_idx", role3.alias("from_role"))
+        .withColumn("to_role", F.lead("from_role").over(w))
+        .where(F.col("to_role").isNotNull())
+        .join(F.broadcast(src), "conv_id")
+    )
+    tot = Window.partitionBy("source")
+    return (
+        steps.groupBy("source", "from_role", "to_role")
+        .agg(F.count("*").alias("n"))
+        .withColumn(
+            "share_e4",
+            F.round(F.col("n") / F.sum("n").over(tot) * 10000).cast("long"),
+        )
+        .orderBy("source", "from_role", "to_role")
+    )
