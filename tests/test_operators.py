@@ -171,6 +171,75 @@ def test_frame_sample_plan(spark):
     assert rows and all(r["count"] >= 1 for r in rows)
 
 
+def test_codec_roundtrips():
+    """Real decode kernels: every uncompressed codec round-trips its
+    encoder (Y4M bit-exact in YUV space, +-2/255 through RGB from 8-bit
+    BT.601 quantization); no Spark involved."""
+    import numpy as np
+
+    from datasketches_server_spark.operators import codecs as C
+
+    img = (np.arange(5 * 7 * 3).reshape(5, 7, 3) % 256).astype(np.uint8)
+    assert np.array_equal(C.decode_ppm(C.encode_ppm(img)), img)
+    gray = (np.arange(5 * 7).reshape(5, 7) % 256).astype(np.uint8)
+    assert np.array_equal(C.decode_ppm(C.encode_ppm(gray)), gray)
+    commented = b"P6\n# c1\n7 5\n# c2\n255\n" + img.tobytes()
+    assert np.array_equal(C.decode_ppm(commented), img)
+    assert np.array_equal(C.decode_bmp(C.encode_bmp(img)), img)  # odd width -> row padding
+
+    mono = ((np.arange(1000) * 37) % 60001 - 30000).astype(np.int16)
+    got, rate = C.decode_wav(C.encode_wav(mono, 8000))
+    assert rate == 8000 and np.array_equal(got, mono)
+    stereo = np.stack([mono, -mono], axis=1).astype(np.int16)
+    got2, _ = C.decode_wav(C.encode_wav(stereo, 44100))
+    assert np.array_equal(got2, stereo)
+
+    frames = (np.arange(4 * 6 * 8 * 3).reshape(4, 6, 8, 3) % 256).astype(np.uint8)
+    enc = C.encode_y4m(frames, fps=10, space="yuv")
+    assert C.y4m_frame_count(enc) == 4
+    assert all(
+        np.array_equal(C.decode_y4m_frame(enc, i, space="yuv"), frames[i]) for i in range(4)
+    )
+    enc_rgb = C.encode_y4m(frames, fps=10, space="rgb")
+    for i in range(4):
+        delta = C.decode_y4m_frame(enc_rgb, i).astype(int) - frames[i].astype(int)
+        assert np.abs(delta).max() <= 2
+
+    assert np.array_equal(C.resize_nearest(img, 5, 7), img)
+    down = C.resize_nearest(np.arange(16).reshape(4, 4).astype(np.uint8), 2, 2)
+    assert np.array_equal(down, np.array([[5, 7], [13, 15]], dtype=np.uint8))
+    const = np.full(800, 16384, dtype=np.int16)
+    assert np.allclose(C.audio_features(const, 8), 0.5, atol=1e-4)  # RMS of constant
+
+
+def test_real_media_features(spark):
+    """The REAL decode path end-to-end: synth_real_media emits actual
+    PPM/BMP/WAV/Y4M payloads inside mapInPandas; extract_features decodes
+    them with the numpy codecs; the Spark-side feature equals a
+    driver-side decode of the same payload."""
+    import numpy as np
+
+    from datasketches_server_spark.operators.multimodal import (
+        decode_features,
+        synth_real_media,
+    )
+
+    media = synth_real_media(spark, n=48)
+    rows = media.collect()
+    assert {r["kind"] for r in rows} == {"image", "audio", "video"}
+    assert {r["mime"] for r in rows} >= {
+        "image/x-portable-pixmap",
+        "image/bmp",
+        "audio/wav",
+        "video/x-yuv4mpeg",
+    }
+    feats = {r["media_id"]: r["feature"] for r in extract_features(media, dim=16).collect()}
+    assert len(feats) == 48
+    for r in rows:
+        want = decode_features(r["kind"], r["mime"], bytes(r["payload"]), 16)
+        assert np.allclose(np.asarray(feats[r["media_id"]], dtype=np.float32), want)
+
+
 # --------------------------------------------------------------- streaming
 
 def test_streaming_windowed_sketches(spark, tmp_path):
