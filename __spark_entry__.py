@@ -162,6 +162,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q85_sessionize": Q.q85_sessionize,
         # role-transition matrix per source (chat vs agent-loop shapes)
         "q86_role_transitions": Q.q86_role_transitions,
+        # deterministic token-balanced shard export manifest
+        "q87_shard_manifest": Q.q87_shard_manifest,
     }
 
 
@@ -2211,5 +2213,27 @@ def oracle_sql() -> dict[str, str]:
                CAST(round(n / CAST(sum(n) OVER (PARTITION BY source) AS DOUBLE)
                           * 10000) AS BIGINT) AS share_e4
         FROM c ORDER BY source, from_role, to_role
+    """
+
+    # q87: the naive global-order window (the engine's bucket-decomposed
+    # two-level cumsum must equal it doc for doc), integer // division.
+    oracles["q87_shard_manifest"] = f"""
+        WITH t AS (
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CAST(len({_NORM_TOKS}) AS BIGINT) AS n_tok
+            FROM documents
+        ), c AS (
+            SELECT doc_id, n_tok,
+                   sum(n_tok) OVER (ORDER BY doc_id) - n_tok AS tok_before
+            FROM t
+        ), a AS (
+            SELECT doc_id, n_tok,
+                   CAST(tok_before // 20000 AS BIGINT) AS shard_id
+            FROM c
+        )
+        SELECT shard_id, count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM a GROUP BY shard_id ORDER BY shard_id
     """
     return oracles

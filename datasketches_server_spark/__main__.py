@@ -158,6 +158,17 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         "--bloom-build (O(batch) hashing + survivors-only verify; "
         "verdicts written under <workdir>/bloom/verdicts/)",
     )
+    ap.add_argument(
+        "--export",
+        help="documents parquet (doc_id, text, ...) to export as "
+        "deterministic token-balanced shards: partitioned parquet under "
+        "<workdir>/export/shards + per-shard manifest (the training "
+        "loader's last mile; operators/export.py)",
+    )
+    ap.add_argument(
+        "--export-target-tokens", type=int, default=1 << 20,
+        help="greedy shard cut size in normalized tokens (default 2^20)",
+    )
     args = ap.parse_args(argv)
 
     owns_session = spark is None
@@ -189,6 +200,29 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             spark, args.workdir, window=args.window, chain=fps, out_fp=args.compact_fp
         )
         print(json.dumps({"mode": "compact-windows", "chain": fps, "input_fp": out_fp}))
+        if owns_session:
+            spark.stop()
+        return 0
+
+    if args.export:
+        from datasketches_server_spark.operators.export import write_shards
+
+        docs = spark.read.parquet(args.export)
+        out = f"{args.workdir}/export"
+        manifest = write_shards(docs, out, target_tokens=args.export_target_tokens)
+        rows = manifest.collect()  # bounded: one row per shard
+        print(
+            json.dumps(
+                {
+                    "mode": "export",
+                    "out": out,
+                    "n_shards": len(rows),
+                    "n_docs": sum(r["n_docs"] for r in rows),
+                    "n_tokens": sum(r["n_tokens"] for r in rows),
+                    "target_tokens": args.export_target_tokens,
+                }
+            )
+        )
         if owns_session:
             spark.stop()
         return 0

@@ -2281,3 +2281,20 @@ def q86_role_transitions(spark, sf_dir):
         )
         .orderBy("source", "from_role", "to_role")
     )
+
+
+def q87_shard_manifest(spark, sf_dir):
+    """Training-data shard export manifest: the kept corpus laid out in
+    the canonical lexicographic doc_id order and cut greedily into
+    ~20k-token shards (a doc belongs to shard floor(tokens_before /
+    target)); per shard we report docs, tokens, and the boundary ids --
+    what a training loader consumes (operators/export.shard_assign).
+    Deterministic by construction: same input => same membership at any
+    parallelism.  At 100 TB the global running sum never becomes a
+    global window: per-id-prefix bucket totals prefix-sum in one tiny
+    window and broadcast back; per-doc cumsums run inside bucket-local
+    window partitions."""
+    from ..operators.export import shard_assign, shard_manifest
+
+    d = _t(spark, sf_dir, "documents")
+    return shard_manifest(shard_assign(d, target_tokens=20000))

@@ -472,3 +472,89 @@ def test_vocabulary_profile_planted(spark, tmp_path):
     assert s1["ttr"] == round(4 / 7, 4) and s1["n_docs"] == 2
     s2 = got["s2"]
     assert s2["vocab_size"] == 4 and s2["hapax_frac"] == 1.0
+
+
+# ------------------------------------------------------------ shard export
+
+def test_shard_assign_matches_naive_global_window(spark):
+    """The bucket-decomposed two-level cumsum equals the naive global
+    window doc for doc, including ids with mixed lengths (lexicographic
+    order: '10' < '9') and zero-token docs on a shard boundary."""
+    from pyspark.sql import Window
+
+    from datasketches_server_spark.operators.export import shard_assign
+
+    rows = [(str(i), "tok " * ((i * 7) % 13)) for i in range(200)] + [("999z", "")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {
+        r["doc_id"]: (r["tok_before"], r["shard_id"])
+        for r in shard_assign(df, target_tokens=50, prefix_len=1).collect()
+    }
+    naive = (
+        shard_assign(df, target_tokens=50, prefix_len=1)
+        .select("doc_id", "n_tok")
+        .withColumn(
+            "tok_before",
+            F.sum("n_tok").over(
+                Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        )
+        .fillna({"tok_before": 0})
+        .collect()
+    )
+    assert len(got) == 201
+    for r in naive:
+        assert got[r["doc_id"]] == (r["tok_before"], r["tok_before"] // 50)
+
+
+def test_write_shards_roundtrip(spark, tmp_path):
+    """Export writes shard-partitioned parquet + a manifest; reading a
+    single shard directory returns exactly the manifest's contiguous id
+    range, and every shard but the last holds >= target tokens."""
+    from datasketches_server_spark.operators.export import write_shards
+
+    rows = [(str(i), "w " * (5 + i % 11)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = str(tmp_path / "export")
+    manifest = write_shards(df, out, target_tokens=400).collect()
+    assert len(manifest) >= 3
+    # greedy-cut invariant: cumulative tokens through shard k cross
+    # (k+1)*target for every non-final shard (a straddling doc charges
+    # its tokens to the shard where it STARTS, so an individual shard
+    # may undershoot target by up to one doc -- but the running total
+    # can't)
+    cum = 0
+    for m in manifest[:-1]:
+        cum += m["n_tokens"]
+        assert cum >= (m["shard_id"] + 1) * 400
+    back = spark.read.parquet(f"{out}/shards")
+    assert back.count() == 300
+    one = manifest[1]
+    shard_docs = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(f"{out}/shards/shard_id={one['shard_id']}").collect()
+    )
+    assert len(shard_docs) == one["n_docs"]
+    assert shard_docs[0] == one["first_doc"] and shard_docs[-1] == one["last_doc"]
+
+
+def test_cli_export_mode(spark, tmp_path):
+    """--export writes shard-partitioned parquet + manifest through the
+    ops entry point; doc totals survive the round trip."""
+    from datasketches_server_spark.__main__ import main
+
+    rows = [(str(i), "w " * (5 + i % 7)) for i in range(120)]
+    docs_p = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id string, text string").write.parquet(docs_p)
+    wd = str(tmp_path / "wd")
+    assert (
+        main(
+            ["--workdir", wd, "--export", docs_p, "--export-target-tokens", "300"],
+            spark=spark,
+        )
+        == 0
+    )
+    back = spark.read.parquet(f"{wd}/export/shards")
+    manifest = spark.read.parquet(f"{wd}/export/_manifest")
+    assert back.count() == 120
+    assert manifest.agg(F.sum("n_docs")).collect()[0][0] == 120
