@@ -164,6 +164,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q86_role_transitions": Q.q86_role_transitions,
         # deterministic token-balanced shard export manifest
         "q87_shard_manifest": Q.q87_shard_manifest,
+        # inter-source vocabulary overlap (mixing-table companion to q56)
+        "q88_source_overlap_matrix": Q.q88_source_overlap_matrix,
+        # vocabulary-growth / novelty curve over ingest batches
+        "q89_vocab_growth": Q.q89_vocab_growth,
     }
 
 
@@ -2235,5 +2239,52 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(n_tok) AS BIGINT) AS n_tokens,
                min(doc_id) AS first_doc, max(doc_id) AS last_doc
         FROM a GROUP BY shard_id ORDER BY shard_id
+    """
+
+    # q88: exact inter-source trigram Jaccard -- same normalized-token +
+    # distinct-gram semantics as the Spark side (portable.word_grams).
+    oracles["q88_source_overlap_matrix"] = f"""
+        WITH g AS (
+            SELECT DISTINCT source, gram FROM (
+                SELECT source, unnest({grams3}) AS gram FROM documents)
+        ), sz AS (
+            SELECT source, count(*) AS n FROM g GROUP BY 1
+        ), inter AS (
+            SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+            FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+            GROUP BY 1, 2
+        )
+        SELECT src_a, src_b, n_common,
+               round(n_common / CAST(sa.n + sb.n - n_common AS DOUBLE), 4)
+                   AS jaccard
+        FROM inter
+        JOIN sz sa ON src_a = sa.source
+        JOIN sz sb ON src_b = sb.source
+        ORDER BY src_a, src_b
+    """
+
+    # q89: per-batch distinct grams + first-seen novelty; running vocab
+    # sum over the tiny per-batch aggregate.
+    oracles["q89_vocab_growth"] = f"""
+        WITH e AS (
+            SELECT DISTINCT batch, gram FROM (
+                SELECT CAST(floor(doc_id / 100) AS BIGINT) AS batch,
+                       unnest({grams3}) AS gram
+                FROM documents)
+        ), pb AS (
+            SELECT batch, count(*) AS n_grams FROM e GROUP BY 1
+        ), nw AS (
+            SELECT batch, count(*) AS n_new FROM (
+                SELECT gram, min(batch) AS batch FROM e GROUP BY 1)
+            GROUP BY 1
+        )
+        SELECT pb.batch, n_grams,
+               CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
+               CAST(sum(COALESCE(n_new, 0)) OVER (ORDER BY pb.batch)
+                    AS BIGINT) AS cum_vocab,
+               CAST(round(COALESCE(n_new, 0) / CAST(n_grams AS DOUBLE)
+                          * 10000) AS BIGINT) AS novelty_e4
+        FROM pb LEFT JOIN nw ON pb.batch = nw.batch
+        ORDER BY pb.batch
     """
     return oracles

@@ -2298,3 +2298,93 @@ def q87_shard_manifest(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return shard_manifest(shard_assign(d, target_tokens=20000))
+
+
+def q88_source_overlap_matrix(spark, sf_dir):
+    """Inter-source vocabulary-overlap matrix: exact word-trigram
+    Jaccard between every pair of sources' distinct gram sets -- the
+    mixing-table companion to q56's doc-level leakage matrix (how much
+    raw n-gram mass two corpus sources share BEFORE any dedup removes
+    it).  Plan: one distinct over narrow (source, gram) rows, then one
+    gram-keyed grouping that collects the (tiny, bounded-by-#sources)
+    source set per gram and double-explodes it into ordered pairs --
+    a gram appearing in EVERY document still contributes at most
+    S*(S-1)/2 pair rows, so hot grams cannot skew the shuffle the way
+    a doc-level self-join would.  Per-source vocabulary sizes are a
+    broadcast dim.  At 100 TB this is the same gram-keyed shuffle the
+    dedup pipeline already pays, with an O(S^2) result."""
+    from ..functions.portable import word_grams
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: t != "")
+    g = d.select(
+        F.col("source"), F.explode(word_grams(toks, 3)).alias("gram")
+    ).distinct()
+    sz = g.groupBy("source").agg(F.count("*").alias("n"))
+    pairs = (
+        g.groupBy("gram")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+        .select(F.explode("ss").alias("src_a"), F.col("ss"))
+        .select("src_a", F.explode("ss").alias("src_b"))
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sz.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
+    sb = sz.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            F.round(
+                F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 4
+            ).alias("jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+def q89_vocab_growth(spark, sf_dir):
+    """Vocabulary-growth / novelty curve over ingest batches (batch =
+    floor(doc_id / 100), the ingest-day proxy): per batch, the distinct
+    word-trigram count, how many of those grams are NEW (first seen in
+    this batch), the cumulative vocabulary, and the novelty share in
+    e4 -- the saturation signal a curation pipeline reads to decide
+    whether a source is still contributing novel text or re-crawling
+    itself (Heaps-law audit).  Plan: narrow (batch, gram) distinct +
+    min(batch)-per-gram, both served by ONE gram-keyed shuffle; the
+    rollup and the running vocabulary sum act on O(#batches) rows, so
+    the unpartitioned window is over the tiny aggregate, never the
+    corpus.  At 100 TB batch = ingest day; novelty per day is the
+    metric the band/window/Bloom accumulators' absorb reports pair
+    with."""
+    from ..functions.portable import word_grams
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: t != "")
+    e = d.select(
+        F.floor(F.col("doc_id") / 100).cast("long").alias("batch"),
+        F.explode(word_grams(toks, 3)).alias("gram"),
+    ).distinct()
+    per_batch = e.groupBy("batch").agg(F.count("*").alias("n_grams"))
+    news = (
+        e.groupBy("gram")
+        .agg(F.min("batch").alias("batch"))
+        .groupBy("batch")
+        .agg(F.count("*").alias("n_new"))
+    )
+    w = Window.orderBy("batch").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_batch.join(news, "batch", "left")
+        .withColumn("n_new", F.coalesce("n_new", F.lit(0)))
+        .withColumn("cum_vocab", F.sum("n_new").over(w))
+        .withColumn(
+            "novelty_e4",
+            F.round(F.col("n_new") / F.col("n_grams") * 10000).cast("long"),
+        )
+        .select("batch", "n_grams", "n_new", "cum_vocab", "novelty_e4")
+        .orderBy("batch")
+    )
