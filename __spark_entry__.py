@@ -168,6 +168,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q88_source_overlap_matrix": Q.q88_source_overlap_matrix,
         # vocabulary-growth / novelty curve over ingest batches
         "q89_vocab_growth": Q.q89_vocab_growth,
+        # tool-call trigram motifs per source (agent-behavior fingerprint)
+        "q90_tool_motifs": Q.q90_tool_motifs,
+        # per-source assistant token-share distribution (mixing signal)
+        "q91_dialog_balance": Q.q91_dialog_balance,
+        # detection -> keeper removal -> shard export, end to end
+        "q92_dedup_shard_manifest": Q.q92_dedup_shard_manifest,
+        # embedding-hygiene gate: dims / non-finite / zero-norm / norm quantiles
+        "q93_embedding_hygiene": Q.q93_embedding_hygiene,
     }
 
 
@@ -2286,5 +2294,125 @@ def oracle_sql() -> dict[str, str]:
                           * 10000) AS BIGINT) AS novelty_e4
         FROM pb LEFT JOIN nw ON pb.batch = nw.batch
         ORDER BY pb.batch
+    """
+
+    # q90: tool-call trigram motifs -- every assistant turn acts as one
+    # tool step (dense enough that short transcripts yield trigrams),
+    # names planted by (cid*7+idx) % 5 over the sorted name list.
+    oracles["q90_tool_motifs"] = f"""
+        WITH tr AS ({transcripts_from_documents_sql()}),
+        c AS (
+            SELECT conv_id, turn_idx,
+                   (['browser','calc','python','search','sql'])[
+                       CAST((CAST(conv_id AS BIGINT)*7 + turn_idx) % 5
+                            AS INTEGER) + 1] AS tool
+            FROM tr
+            WHERE role = 'assistant'
+        ), tri AS (
+            SELECT conv_id,
+                   tool || '>' || lead(tool, 1) OVER w || '>'
+                        || lead(tool, 2) OVER w AS motif,
+                   lead(tool, 2) OVER w AS t3
+            FROM c WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+        ), j AS (
+            SELECT d.source, t.conv_id, t.motif
+            FROM tri t JOIN documents d ON t.conv_id = CAST(d.doc_id AS VARCHAR)
+            WHERE t.t3 IS NOT NULL
+        ), g AS (
+            SELECT source, motif, count(*) AS n,
+                   count(DISTINCT conv_id) AS n_convs
+            FROM j GROUP BY 1, 2
+        )
+        SELECT source, motif, n, n_convs,
+               CAST(round(n / CAST(sum(n) OVER (PARTITION BY source) AS DOUBLE)
+                          * 10000) AS BIGINT) AS share_e4
+        FROM g ORDER BY source, motif
+    """
+
+    # q91: assistant token-share distribution per source; percentile ==
+    # quantile_cont (q59's exact-interpolation contract), whitespace
+    # token counts on BOTH sides (split(' ') == string_split(' ')).
+    oracles["q91_dialog_balance"] = f"""
+        WITH tr AS ({transcripts_from_documents_sql()}),
+        pc AS (
+            SELECT conv_id,
+                   sum(CASE WHEN role = 'assistant'
+                            THEN len(string_split(text, ' ')) ELSE 0 END)
+                       AS asst_toks,
+                   sum(len(string_split(text, ' '))) AS all_toks,
+                   count(*) AS n_turns
+            FROM tr GROUP BY conv_id
+        ), sh AS (
+            SELECT d.source,
+                   pc.asst_toks / CAST(pc.all_toks AS DOUBLE) AS asst_share,
+                   pc.n_turns
+            FROM pc JOIN documents d ON pc.conv_id = CAST(d.doc_id AS VARCHAR)
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_convs,
+               round(quantile_cont(asst_share, 0.05), 4) AS p05_asst_share,
+               round(quantile_cont(asst_share, 0.5), 4) AS p50_asst_share,
+               round(quantile_cont(asst_share, 0.95), 4) AS p95_asst_share,
+               round(avg(n_turns), 4) AS avg_turns
+        FROM sh GROUP BY source ORDER BY source
+    """
+
+    # q92: dedup-aware shard export -- the q38 oracle (exact closure +
+    # keeper argmax) feeds the q87 naive-global-window shard math over
+    # the surviving corpus only.
+    oracles["q92_dedup_shard_manifest"] = f"""
+        WITH dropped AS (
+            SELECT conv_id FROM ({oracles["q38_cluster_keeper_policy"]})
+            WHERE dropped
+        ), surv AS (
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CAST(len({_NORM_TOKS}) AS BIGINT) AS n_tok
+            FROM documents
+            WHERE CAST(doc_id AS VARCHAR) NOT IN (SELECT conv_id FROM dropped)
+        ), c AS (
+            SELECT doc_id, n_tok,
+                   sum(n_tok) OVER (ORDER BY doc_id) - n_tok AS tok_before
+            FROM surv
+        ), a AS (
+            SELECT doc_id, n_tok,
+                   CAST(tok_before // 20000 AS BIGINT) AS shard_id
+            FROM c
+        )
+        SELECT shard_id, count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM a GROUP BY shard_id ORDER BY shard_id
+    """
+
+    # q93: embedding hygiene -- list_reduce left-fold over per-element
+    # double casts mirrors Spark's F.aggregate fold exactly (0.0 + x0^2
+    # is exact, so the fold orders are bit-identical); norms round to
+    # 6dp before quantile_cont so both engines interpolate the same
+    # multiset, then 4dp on the way out (q30's cast contract).
+    oracles["q93_embedding_hygiene"] = """
+        WITH v AS (
+            SELECT label,
+                   len(embedding) AS dim,
+                   round(sqrt(list_reduce(
+                       list_transform(embedding,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                       (a, b) -> a + b)), 6) AS norm,
+                   list_bool_or(list_transform(embedding,
+                       x -> isnan(CAST(x AS DOUBLE))
+                            OR isinf(CAST(x AS DOUBLE)))) AS bad
+            FROM embeddings
+        )
+        SELECT label,
+               CAST(count(*) AS BIGINT) AS n_vecs,
+               CAST(count(DISTINCT dim) AS BIGINT) AS n_dims,
+               min(dim) AS dim_min, max(dim) AS dim_max,
+               CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_nonfinite,
+               CAST(sum(CASE WHEN norm < 1e-6 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_zero_norm,
+               round(quantile_cont(norm, 0.05), 4) AS p05_norm,
+               round(quantile_cont(norm, 0.5), 4) AS p50_norm,
+               round(quantile_cont(norm, 0.95), 4) AS p95_norm
+        FROM v GROUP BY label ORDER BY label
     """
     return oracles

@@ -2388,3 +2388,162 @@ def q89_vocab_growth(spark, sf_dir):
         .select("batch", "n_grams", "n_new", "cum_vocab", "novelty_e4")
         .orderBy("batch")
     )
+
+
+def q90_tool_motifs(spark, sf_dir):
+    """Tool-call sequence motifs per source: the frequent trigrams of
+    consecutive tool invocations inside a conversation -- the
+    agent-behavior fingerprint that tells a curation pipeline whether a
+    source's agent loops explore (diverse motifs) or thrash (one motif
+    dominating; q57's loop gate is the per-conv cousin of this corpus
+    view).  Tool steps and names are planted deterministically from the
+    rows themselves (every assistant turn acts as one tool step --
+    dense enough that short transcripts still yield trigrams -- with
+    names planted by (cid*7+idx) % 5; the oracle replays both).  Plan:
+    filter FIRST to the assistant half, then one conv-partitioned
+    lead() window over that subset, one broadcast (conv -> source)
+    dim join, one 2-key agg; motif space is bounded (5^3 per source), so
+    the final rollup is tiny at any corpus size."""
+    t = transcripts_from_documents(spark, sf_dir)
+    cid = F.col("conv_id").cast("long")
+    idx = F.col("turn_idx")
+    is_tool_step = F.col("role") == "assistant"
+    tool = F.element_at(
+        F.array(
+            F.lit("browser"), F.lit("calc"), F.lit("python"), F.lit("search"), F.lit("sql")
+        ),
+        F.pmod(cid * 7 + idx, F.lit(5)).cast("int") + 1,
+    )
+    calls = t.where(is_tool_step).select("conv_id", "turn_idx", tool.alias("tool"))
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    motifs = (
+        calls.withColumn("t2", F.lead("tool", 1).over(w))
+        .withColumn("t3", F.lead("tool", 2).over(w))
+        .where(F.col("t3").isNotNull())
+        .select("conv_id", F.concat_ws(">", "tool", "t2", "t3").alias("motif"))
+    )
+    src = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("conv_id"), "source"
+    )
+    tot = Window.partitionBy("source")
+    return (
+        motifs.join(F.broadcast(src), "conv_id")
+        .groupBy("source", "motif")
+        .agg(F.count("*").alias("n"), F.countDistinct("conv_id").alias("n_convs"))
+        .withColumn(
+            "share_e4", F.round(F.col("n") / F.sum("n").over(tot) * 10000).cast("long")
+        )
+        .orderBy("source", "motif")
+    )
+
+
+def q91_dialog_balance(spark, sf_dir):
+    """Per-source dialog balance profile: the distribution (exact
+    interpolated p05/p50/p95, same percentile == quantile_cont contract
+    as q59) of each conversation's assistant token share, plus average
+    turn count -- the mixing-table signal that separates assistant-heavy
+    sources (completions, monologues) from balanced chat before
+    temperature mixing (q60) allocates budget.  Plan: one conv-keyed agg
+    over narrow (conv, role, n_tok) rows, one broadcast source dim, one
+    per-source agg; at 100 TB both aggs map-side combine and the only
+    shuffle key is conv_id, which the transcript layout already
+    clusters."""
+    t = transcripts_from_documents(spark, sf_dir)
+    n_tok = F.size(F.split(F.col("text"), " "))
+    per_conv = (
+        t.groupBy("conv_id")
+        .agg(
+            F.sum(F.when(F.col("role") == "assistant", n_tok).otherwise(F.lit(0))).alias(
+                "asst_toks"
+            ),
+            F.sum(n_tok).alias("all_toks"),
+            F.count("*").alias("n_turns"),
+        )
+        .withColumn("asst_share", F.col("asst_toks") / F.col("all_toks"))
+    )
+    src = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("conv_id"), "source"
+    )
+    return (
+        per_conv.join(F.broadcast(src), "conv_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_convs"),
+            F.round(F.expr("percentile(asst_share, 0.05)"), 4).alias("p05_asst_share"),
+            F.round(F.expr("percentile(asst_share, 0.5)"), 4).alias("p50_asst_share"),
+            F.round(F.expr("percentile(asst_share, 0.95)"), 4).alias("p95_asst_share"),
+            F.round(F.avg("n_turns"), 4).alias("avg_turns"),
+        )
+        .orderBy("source")
+    )
+
+
+def q92_dedup_shard_manifest(spark, sf_dir):
+    """End-to-end export composition: detection (q24's memoized
+    signatures->LSH->verify->CC pass) -> removal policy (q38's
+    highest-quality-keeper argmax) -> deterministic token-balanced
+    shard layout (q87's bucket-decomposed cumsum) over the SURVIVING
+    corpus only -- the manifest a training loader actually consumes
+    after dedup, not the raw-corpus one.  The dropped set is the small
+    side (non-keepers of multi-member clusters) and broadcasts into a
+    left-anti join; everything downstream is q87's plan over fewer
+    rows.  The oracle replays the exact closure + keeper + naive
+    global-window shard math end to end."""
+    from ..operators.export import shard_assign, shard_manifest
+
+    dropped = (
+        q38_cluster_keeper_policy(spark, sf_dir)
+        .where(F.col("dropped"))
+        .select(F.col("conv_id").alias("doc_id_s"))
+    )
+    d = _t(spark, sf_dir, "documents")
+    survivors = d.join(
+        F.broadcast(dropped),
+        d["doc_id"].cast("string") == dropped["doc_id_s"],
+        "left_anti",
+    )
+    return shard_manifest(shard_assign(survivors, target_tokens=20000))
+
+
+def q93_embedding_hygiene(spark, sf_dir):
+    """Embedding-hygiene gate: the audit a pipeline runs BEFORE any
+    ANN / semantic-dedup stage trusts a vector column -- per label:
+    vector count, dimension profile (a ragged dim breaks every LSH
+    bucketer downstream), non-finite count (NaN/Inf poisons dot
+    products silently), zero-norm count (cosine undefined), and the
+    exact interpolated p05/p50/p95 of the L2 norm (collapsed or
+    exploding norms flag a bad encoder run).  All native: one
+    F.aggregate left-fold per row (no UDF), one map-side-combined agg.
+    Norms fold in double after per-element double casts and round to
+    6dp before the quantiles so Spark and the DuckDB oracle interpolate
+    the IDENTICAL multiset (q30's cast contract)."""
+    e = _t(spark, sf_dir, "embeddings")
+    sumsq = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    bad = F.exists(
+        "embedding", lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
+    )
+    v = e.select(
+        "label",
+        F.size("embedding").alias("dim"),
+        F.round(F.sqrt(sumsq), 6).alias("norm"),
+        bad.alias("bad"),
+    )
+    return (
+        v.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.countDistinct("dim").alias("n_dims"),
+            F.min("dim").alias("dim_min"),
+            F.max("dim").alias("dim_max"),
+            F.sum(F.col("bad").cast("long")).alias("n_nonfinite"),
+            F.sum((F.col("norm") < 1e-6).cast("long")).alias("n_zero_norm"),
+            F.round(F.expr("percentile(norm, 0.05)"), 4).alias("p05_norm"),
+            F.round(F.expr("percentile(norm, 0.5)"), 4).alias("p50_norm"),
+            F.round(F.expr("percentile(norm, 0.95)"), 4).alias("p95_norm"),
+        )
+        .orderBy("label")
+    )

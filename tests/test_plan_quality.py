@@ -320,3 +320,17 @@ def test_retract_plan_broadcast_anti_joins(spark):
         # a shuffled (SortMerge) anti-join of the corpus would defeat
         # the narrow-scan contract
         assert "SortMergeJoin LeftAnti" not in p, p
+
+
+def test_transcript_analytics_plans(spark, sf_dir):
+    """q90/q91 broadcast the (conv -> source) dim and stay JVM-side;
+    q92's dropped-set anti-join broadcasts the small side."""
+    for q in (Q.q90_tool_motifs, Q.q91_dialog_balance):
+        p = plan_str(q(spark, sf_dir))
+        assert "BroadcastHashJoin" in p
+        assert "CartesianProduct" not in p
+        assert "BatchEvalPython" not in p
+        assert "ArrowEvalPython" not in p  # fully native, no UDFs at all
+    p = plan_str(Q.q92_dedup_shard_manifest(spark, sf_dir))
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "CartesianProduct" not in p
