@@ -176,6 +176,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q92_dedup_shard_manifest": Q.q92_dedup_shard_manifest,
         # embedding-hygiene gate: dims / non-finite / zero-norm / norm quantiles
         "q93_embedding_hygiene": Q.q93_embedding_hygiene,
+        # per-day near-dup ingest rate (recrawl/retry-storm trend)
+        "q94_dup_rate_timeseries": Q.q94_dup_rate_timeseries,
+        # template-turn rate by relative position inside conversations
+        "q95_turn_position_dup_profile": Q.q95_turn_position_dup_profile,
+        # repeated user prompts bucketed by assistant-response consistency
+        "q96_prompt_response_divergence": Q.q96_prompt_response_divergence,
+        # verbatim 8-token-window leakage matrix between sources
+        "q97_cross_source_substr_leakage": Q.q97_cross_source_substr_leakage,
     }
 
 
@@ -2414,5 +2422,132 @@ def oracle_sql() -> dict[str, str]:
                round(quantile_cont(norm, 0.5), 4) AS p50_norm,
                round(quantile_cont(norm, 0.95), 4) AS p95_norm
         FROM v GROUP BY label ORDER BY label
+    """
+
+    # q94: per-day near-dup ingest rate.  Exact >=0.7-jaccard edges (the
+    # q24 closure's edge set); a pair's LATER side is the numerically
+    # greater conv id (ts is monotone in doc_id by construction); days
+    # with zero dups still appear via the left join; running sum over
+    # O(#days) rows.
+    oracles["q94_dup_rate_timeseries"] = f"""
+        WITH tr AS ({transcripts_from_documents_sql()}),
+        days AS (
+            SELECT conv_id, CAST(min(ts) AS DATE) AS day FROM tr GROUP BY conv_id
+        ), g AS (
+            SELECT CAST(doc_id AS VARCHAR) AS id, {grams3} AS grams FROM documents
+        ), x AS (
+            SELECT id, unnest(grams) AS gram FROM g
+        ), inter AS (
+            SELECT l.id AS a, r.id AS b, count(*) AS i
+            FROM x l JOIN x r ON l.gram = r.gram AND l.id < r.id
+            GROUP BY 1, 2
+        ), sz AS (
+            SELECT id, len(grams) AS n FROM g
+        ), edges AS (
+            SELECT a, b FROM inter
+            JOIN sz sa ON inter.a = sa.id
+            JOIN sz sb ON inter.b = sb.id
+            WHERE i / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.7
+        ), dup AS (
+            SELECT DISTINCT CAST(greatest(CAST(a AS BIGINT), CAST(b AS BIGINT))
+                                 AS VARCHAR) AS conv_id
+            FROM edges
+        ), pd AS (
+            SELECT day, count(*) AS n_convs FROM days GROUP BY 1
+        ), dd AS (
+            SELECT d.day, count(*) AS n_dup
+            FROM dup JOIN days d USING (conv_id) GROUP BY 1
+        )
+        SELECT CAST(pd.day AS VARCHAR) AS day,
+               pd.n_convs,
+               coalesce(dd.n_dup, 0) AS n_dup_ingested,
+               CAST(round(coalesce(dd.n_dup, 0) / CAST(pd.n_convs AS DOUBLE)
+                          * 10000) AS BIGINT) AS dup_rate_e4,
+               CAST(sum(coalesce(dd.n_dup, 0)) OVER (
+                    ORDER BY pd.day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_dup
+        FROM pd LEFT JOIN dd ON pd.day = dd.day
+        ORDER BY day
+    """
+
+    # q95: template-turn rate by relative position decile; md5-exact
+    # template convention shared with q50 (>= 2 distinct convs).
+    oracles["q95_turn_position_dup_profile"] = f"""
+        WITH tr AS ({transcripts_from_documents_sql()}),
+        t2 AS (
+            SELECT conv_id, turn_idx, md5(text) AS fp,
+                   count(*) OVER (PARTITION BY conv_id) AS n_turns
+            FROM tr
+        ), tpl AS (
+            SELECT fp, count(DISTINCT conv_id) AS n_convs_fp FROM t2 GROUP BY 1
+        )
+        SELECT CAST(floor(t2.turn_idx * 10 / CAST(t2.n_turns AS DOUBLE))
+                    AS BIGINT) AS pos_decile,
+               count(*) AS n_turns,
+               CAST(sum(CASE WHEN tpl.n_convs_fp >= 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_template_turns,
+               CAST(round(sum(CASE WHEN tpl.n_convs_fp >= 2 THEN 1 ELSE 0 END)
+                          / CAST(count(*) AS DOUBLE) * 10000) AS BIGINT)
+                   AS template_rate_e4
+        FROM t2 JOIN tpl USING (fp)
+        GROUP BY 1 ORDER BY 1
+    """
+
+    # q96: repeated user prompts bucketed by response consistency; the
+    # lead() pairing and the >= 2-distinct-conv gate replay the Spark
+    # window exactly.
+    oracles["q96_prompt_response_divergence"] = f"""
+        WITH tr AS ({transcripts_from_documents_sql()}),
+        p AS (
+            SELECT conv_id, role, md5(text) AS pfp,
+                   md5(lead(text, 1) OVER w) AS rfp,
+                   lead(role, 1) OVER w AS resp_role
+            FROM tr WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+        ), g AS (
+            SELECT pfp, count(*) AS n_uses,
+                   count(DISTINCT conv_id) AS n_convs,
+                   count(DISTINCT rfp) AS n_resps
+            FROM p WHERE role = 'user' AND resp_role = 'assistant'
+            GROUP BY 1 HAVING count(DISTINCT conv_id) >= 2
+        )
+        SELECT CASE WHEN n_resps = 1 THEN 'consistent'
+                    WHEN n_resps < n_uses THEN 'partial'
+                    ELSE 'all_distinct' END AS divergence,
+               count(*) AS n_prompts,
+               CAST(sum(n_uses) AS BIGINT) AS n_uses,
+               CAST(max(n_resps) AS BIGINT) AS max_distinct_resps
+        FROM g GROUP BY 1 ORDER BY 1
+    """
+
+    # q97: verbatim 8-token-window leakage between sources; same
+    # normalization + window unit as the ExactSubstr family (q47), same
+    # dedup-before-pair-join bound as q88.
+    oracles["q97_cross_source_substr_leakage"] = f"""
+        WITH tok AS (
+            SELECT doc_id, {_NORM_TOKS} AS toks FROM documents
+        ), base AS (
+            SELECT doc_id, toks FROM tok WHERE len(toks) >= 8
+        ), wins AS (
+            SELECT DISTINCT doc_id, array_to_string(toks[pos+1:pos+8], ' ') AS win
+            FROM (SELECT doc_id, toks,
+                         unnest(range(0, len(toks) - 8 + 1)) AS pos
+                  FROM base)
+        ), sw AS (
+            SELECT DISTINCT d.source, w.win
+            FROM wins w JOIN documents d USING (doc_id)
+        ), tot AS (
+            SELECT source, count(*) AS n_wins FROM sw GROUP BY 1
+        ), p AS (
+            SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared_wins
+            FROM sw a JOIN sw b ON a.win = b.win AND a.source < b.source
+            GROUP BY 1, 2
+        )
+        SELECT p.src_a, p.src_b, p.n_shared_wins,
+               ta.n_wins AS wins_a, tb.n_wins AS wins_b,
+               CAST(round(p.n_shared_wins
+                          / CAST(least(ta.n_wins, tb.n_wins) AS DOUBLE)
+                          * 10000) AS BIGINT) AS containment_e4
+        FROM p JOIN tot ta ON p.src_a = ta.source
+               JOIN tot tb ON p.src_b = tb.source
+        ORDER BY 1, 2
     """
     return oracles

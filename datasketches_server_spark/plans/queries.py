@@ -2547,3 +2547,175 @@ def q93_embedding_hygiene(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+def q94_dup_rate_timeseries(spark, sf_dir):
+    """Near-dup ingest rate per day: for each conversation-start day, how
+    many of that day's new conversations near-duplicate (verified
+    >=0.7-jaccard edge) an EARLIER conversation -- the operational trend
+    an ingest pipeline watches to catch a recrawl loop or an upstream
+    retry storm the moment it starts, where q62 buckets pair AGE, this
+    series answers "is today's batch dirtier than yesterday's".  A pair
+    is oriented by numeric conv id (ts is monotone in id by
+    construction, which the oracle replays); the later side counts once
+    per conv.  Plan: the edge list is the small memoized q24 output; per
+    -day totals are one agg over a narrow (conv, day) dim; the running
+    sum is a window over O(#days) rows, never the corpus."""
+    res = documents_dedup_result(spark, sf_dir)
+    t = transcripts_from_documents(spark, sf_dir)
+    days = t.groupBy("conv_id").agg(F.to_date(F.min("ts")).alias("day"))
+    late = F.greatest(F.col("a").cast("long"), F.col("b").cast("long"))
+    dup_convs = res.edges.select(late.cast("string").alias("conv_id")).distinct()
+    per_day = days.groupBy("day").agg(F.count("*").alias("n_convs"))
+    dup_day = (
+        dup_convs.join(days, "conv_id").groupBy("day").agg(F.count("*").alias("n_dup"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_day.join(dup_day, "day", "left")
+        .withColumn("n_dup_ingested", F.coalesce(F.col("n_dup"), F.lit(0)))
+        .withColumn(
+            "dup_rate_e4",
+            F.round(F.col("n_dup_ingested") / F.col("n_convs") * 10000).cast("long"),
+        )
+        .withColumn("cum_dup", F.sum("n_dup_ingested").over(w))
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "n_convs",
+            "n_dup_ingested",
+            "dup_rate_e4",
+            "cum_dup",
+        )
+        .orderBy("day")
+    )
+
+
+def q95_turn_position_dup_profile(spark, sf_dir):
+    """Where inside conversations does boilerplate live: per relative-
+    position decile (floor(turn_idx*10 / n_turns)), the count of turns
+    whose EXACT text recurs in >= 2 distinct conversations (q50's
+    template convention) -- opening-heavy template mass means system-
+    prompt/greeting boilerplate, closing-heavy means sign-off templates,
+    and the profile decides whether a turn-level dedup pass should be
+    position-scoped.  Plan: one conv-partitioned count window for
+    n_turns, one fp-keyed agg for the template dim, one fp-keyed join
+    back, one bounded (10-row) rollup; at 100 TB the fp shuffle is the
+    same key q50's template dedup already pays."""
+    t = transcripts_from_documents(spark, sf_dir)
+    n = Window.partitionBy("conv_id")
+    turns = t.select(
+        "conv_id", "turn_idx", F.md5(F.col("text")).alias("fp")
+    ).withColumn("n_turns", F.count("*").over(n))
+    tpl = turns.groupBy("fp").agg(F.countDistinct("conv_id").alias("n_convs_fp"))
+    pos_decile = F.floor(F.col("turn_idx") * 10 / F.col("n_turns")).cast("long")
+    return (
+        turns.join(tpl, "fp")
+        .groupBy(pos_decile.alias("pos_decile"))
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum((F.col("n_convs_fp") >= 2).cast("long")).alias("n_template_turns"),
+        )
+        .withColumn(
+            "template_rate_e4",
+            F.round(F.col("n_template_turns") / F.col("n_turns") * 10000).cast("long"),
+        )
+        .orderBy("pos_decile")
+    )
+
+
+def q96_prompt_response_divergence(spark, sf_dir):
+    """Label-noise gate for instruction data: user prompts that recur
+    across conversations, bucketed by how consistently the assistant
+    answered them -- 'consistent' (one distinct response everywhere) is
+    template traffic a dedup pass can safely collapse; 'all_distinct'
+    (every use answered differently) is either healthy paraphrase
+    diversity or contradictory supervision, the thing an SFT curator
+    must eyeball before training on repeated prompts.  Plan: one conv-
+    partitioned lead() pairs each user turn with its reply, one
+    prompt-fp agg, one bounded (3-row) rollup; no joins at all."""
+    t = transcripts_from_documents(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    paired = (
+        t.withColumn("resp", F.lead("text", 1).over(w))
+        .withColumn("resp_role", F.lead("role", 1).over(w))
+        .where((F.col("role") == "user") & (F.col("resp_role") == "assistant"))
+        .select(
+            "conv_id",
+            F.md5(F.col("text")).alias("pfp"),
+            F.md5(F.col("resp")).alias("rfp"),
+        )
+    )
+    g = (
+        paired.groupBy("pfp")
+        .agg(
+            F.count("*").alias("n_uses"),
+            F.countDistinct("conv_id").alias("n_convs"),
+            F.countDistinct("rfp").alias("n_resps"),
+        )
+        .where(F.col("n_convs") >= 2)
+    )
+    bucket = (
+        F.when(F.col("n_resps") == 1, "consistent")
+        .when(F.col("n_resps") < F.col("n_uses"), "partial")
+        .otherwise("all_distinct")
+    )
+    return (
+        g.groupBy(bucket.alias("divergence"))
+        .agg(
+            F.count("*").alias("n_prompts"),
+            F.sum("n_uses").alias("n_uses"),
+            F.max("n_resps").alias("max_distinct_resps"),
+        )
+        .orderBy("divergence")
+    )
+
+
+def q97_cross_source_substr_leakage(spark, sf_dir):
+    """Verbatim-substring leakage matrix between sources: for every
+    source pair, the count of distinct 8-token windows (ExactSubstr's
+    unit, q47's normalization) present in BOTH, plus containment_e4 =
+    shared / min(per-source distinct windows) -- q56 scores doc-level
+    near-dup leakage and q88 vocabulary (3-gram) overlap; this is the
+    span-level view that catches one crawl verbatim-quoting another even
+    when whole docs stay below the jaccard threshold.  Plan: the
+    (source, window) relation is deduped BEFORE the pair join, so a
+    window shared by S sources contributes at most S(S-1)/2 pair rows
+    (q88's bound); per-source totals broadcast.  This is the exact
+    (string-keyed) tier for oracle fidelity; at corpus scale the q47
+    hash tier (xxhash64 window keys, 16-byte rows) swaps in via
+    _token_windows(exact=False)."""
+    from ..operators.dedup import _token_windows
+
+    d = _t(spark, sf_dir, "documents")
+    _, wins = _token_windows(d, 8, "doc_id", "text", exact=True)
+    src = d.select(F.col("doc_id").alias("id"), "source")
+    sw = (
+        wins.select("id", "wkey")
+        .distinct()
+        .join(F.broadcast(src), "id")
+        .select("source", "wkey")
+        .distinct()
+    )
+    tot = sw.groupBy("source").agg(F.count("*").alias("n_wins"))
+    a = sw.select(F.col("source").alias("src_a"), "wkey")
+    b = sw.select(F.col("source").alias("src_b"), "wkey")
+    pairs = (
+        a.join(b, "wkey")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_shared_wins"))
+    )
+    ta = tot.select(F.col("source").alias("src_a"), F.col("n_wins").alias("wins_a"))
+    tb = tot.select(F.col("source").alias("src_b"), F.col("n_wins").alias("wins_b"))
+    return (
+        pairs.join(F.broadcast(ta), "src_a")
+        .join(F.broadcast(tb), "src_b")
+        .withColumn(
+            "containment_e4",
+            F.round(
+                F.col("n_shared_wins") / F.least("wins_a", "wins_b") * 10000
+            ).cast("long"),
+        )
+        .select("src_a", "src_b", "n_shared_wins", "wins_a", "wins_b", "containment_e4")
+        .orderBy("src_a", "src_b")
+    )

@@ -334,3 +334,21 @@ def test_transcript_analytics_plans(spark, sf_dir):
     p = plan_str(Q.q92_dedup_shard_manifest(spark, sf_dir))
     assert "BroadcastHashJoin" in p and "LeftAnti" in p
     assert "CartesianProduct" not in p
+
+
+def test_corpus_diagnostics_plans(spark, sf_dir):
+    """q94-q97 stay JVM-native (the q94 edge list comes from the memoized
+    pipeline whose one Arrow UDF is the signature kernel) and never
+    cartesian; q97's source-pair join keys on the window, not a cross."""
+    for q in (
+        Q.q95_turn_position_dup_profile,
+        Q.q96_prompt_response_divergence,
+        Q.q97_cross_source_substr_leakage,
+    ):
+        p = plan_str(q(spark, sf_dir))
+        assert "CartesianProduct" not in p
+        assert "BatchEvalPython" not in p
+        assert "ArrowEvalPython" not in p  # fully native, no UDFs at all
+    p = plan_str(Q.q94_dup_rate_timeseries(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
