@@ -184,6 +184,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q96_prompt_response_divergence": Q.q96_prompt_response_divergence,
         # verbatim 8-token-window leakage matrix between sources
         "q97_cross_source_substr_leakage": Q.q97_cross_source_substr_leakage,
+        # CCNet-style unigram perplexity filter (log10-bucketed, libm-free)
+        "q98_unigram_surprisal": Q.q98_unigram_surprisal,
+        # DSIR importance weights toward a target domain (log10-bucketed)
+        "q99_dsir_importance": Q.q99_dsir_importance,
     }
 
 
@@ -2549,5 +2553,73 @@ def oracle_sql() -> dict[str, str]:
         FROM p JOIN tot ta ON p.src_a = ta.source
                JOIN tot tb ON p.src_b = tb.source
         ORDER BY 1, 2
+    """
+    # q98: self-trained unigram perplexity filter, log10-bucketed so no
+    # libm ln enters either engine (surprisal = digits(N) - digits(cnt),
+    # an exact integer; one IEEE divide per doc / per corpus mean).
+    oracles["q98_unigram_surprisal"] = f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({_NORM_TOKS}) AS tok FROM documents
+        ), vocab AS (
+            SELECT tok, count(*) AS cnt FROM tok GROUP BY tok
+        ), tot AS (
+            SELECT length(CAST(sum(cnt) AS VARCHAR)) AS n_digits FROM vocab
+        ), doc AS (
+            SELECT t.doc_id, count(*) AS n_toks,
+                   sum(tot.n_digits - length(CAST(v.cnt AS VARCHAR))) AS s
+            FROM tok t JOIN vocab v USING (tok), tot
+            GROUP BY t.doc_id
+        ), scored AS (
+            SELECT doc_id, n_toks,
+                   CAST(round(s / n_toks * 10000) AS BIGINT) AS ppl_bucket_e4
+            FROM doc
+        ), corp AS (
+            SELECT CAST(round(sum(ppl_bucket_e4 * n_toks) / sum(n_toks))
+                        AS BIGINT) AS corp_e4
+            FROM scored
+        )
+        SELECT d.source,
+               count(*) AS n_docs,
+               CAST(sum(sc.n_toks) AS BIGINT) AS n_toks,
+               CAST(round(avg(sc.ppl_bucket_e4)) AS BIGINT) AS avg_ppl_e4,
+               max(sc.ppl_bucket_e4) AS max_ppl_e4,
+               CAST(count(*) FILTER (sc.ppl_bucket_e4 > corp.corp_e4 + 500)
+                    AS BIGINT) AS n_flagged
+        FROM scored sc JOIN documents d USING (doc_id), corp
+        GROUP BY d.source, corp.corp_e4
+        ORDER BY d.source
+    """
+    # q99: DSIR importance resampling toward target domain src0 over
+    # distinct word bigrams, digit-bucketed count ratios with Laplace
+    # add-one and a 1-row size-imbalance shift -- all integer until the
+    # final per-doc divide.
+    _G2 = word_grams_sql(_NORM_TOKS, 2)
+    oracles["q99_dsir_importance"] = f"""
+        WITH g AS (
+            SELECT doc_id, source, unnest({_G2}) AS gram
+            FROM documents WHERE source IS NOT NULL
+        ), tgt AS (
+            SELECT gram, count(*) AS cnt_t FROM g WHERE source = 'src0' GROUP BY gram
+        ), raw AS (
+            SELECT gram, count(*) AS cnt_r FROM g WHERE source <> 'src0' GROUP BY gram
+        ), tot AS (
+            SELECT (SELECT length(CAST(sum(cnt_r) + 1 AS VARCHAR)) FROM raw)
+                 - (SELECT length(CAST(sum(cnt_t) + 1 AS VARCHAR)) FROM tgt) AS shift
+        ), w AS (
+            SELECT g.doc_id, g.source, count(*) AS n_grams,
+                   sum(length(CAST(coalesce(t.cnt_t, 0) + 1 AS VARCHAR))
+                       - length(CAST(r.cnt_r + 1 AS VARCHAR))
+                       + tot.shift) AS wt
+            FROM g JOIN raw r USING (gram) LEFT JOIN tgt t USING (gram), tot
+            WHERE g.source <> 'src0'
+            GROUP BY g.doc_id, g.source
+        ), n AS (
+            SELECT *, CAST(round(wt / n_grams * 10000) AS BIGINT) AS wpg FROM w
+        )
+        SELECT source, count(*) AS n_docs,
+               CAST(round(avg(wpg)) AS BIGINT) AS avg_wpg_e4,
+               max(wpg) AS max_wpg_e4,
+               CAST(count(*) FILTER (wpg > 0) AS BIGINT) AS n_selected
+        FROM n GROUP BY source ORDER BY source
     """
     return oracles

@@ -592,3 +592,156 @@ def chunk_documents(
             ).alias("chunk_text"),
         )
     )
+
+
+def unigram_surprisal(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document unigram-LM surprisal score, log10-bucketed (the
+    CCNet-style perplexity filter, self-trained).
+
+    CCNet/RefinedWeb rank web documents by the perplexity of a language
+    model trained on a clean corpus; the model-free, engine-portable
+    version here is a unigram LM trained on the corpus itself with
+    surprisal discretized to decimal-digit buckets: a token occurring
+    ``cnt`` times in a corpus of ``N`` total tokens scores
+    ``digits(N) - digits(cnt)`` (an exact integer floor of
+    ``-log10(cnt/N)`` up to one bucket), so no libm ``ln`` enters the
+    plan and the DuckDB oracle replays it bit-identically (the module
+    rule -- functions/portable.py header).  A document's score is the
+    mean bucket over its token OCCURRENCES: rare-token-heavy documents
+    (OCR noise, mojibake, codebooks) score high exactly as they do
+    under a real perplexity filter.
+
+    Returns one row per document: ``(doc_id, n_toks, ppl_bucket_e4)``
+    where ppl_bucket_e4 = round(mean surprisal bucket * 10000) -- the
+    sum and count are exact integers, so the one IEEE division is
+    portable.
+
+    Scale: the explode is O(total tokens) rows of (id, tok) -- narrow;
+    the vocab agg map-side-combines to one row per distinct token; the
+    vocab (corpus vocabulary, ~millions of rows at 100 TB) joins back
+    BROADCAST so the fat exploded relation never shuffles on the token
+    key; the per-doc agg partially aggregates to ~one row per doc per
+    partition before its exchange.  The 1-row corpus total rides the
+    same broadcast (a crossJoin of an aggregated singleton, the
+    repo's standard pattern for corpus constants).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(
+        F.length(F.sum("cnt").cast("string")).alias("n_digits")
+    )
+    scored = vocab.select(
+        "tok",
+        F.length(F.col("cnt").cast("string")).alias("cnt_digits"),
+    ).crossJoin(F.broadcast(total))
+    return (
+        toks.join(F.broadcast(scored), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_toks"),
+            F.sum(F.col("n_digits") - F.col("cnt_digits")).alias("s"),
+        )
+        .select(
+            "doc_id",
+            "n_toks",
+            F.round(F.col("s") / F.col("n_toks") * 10000)
+            .cast("long")
+            .alias("ppl_bucket_e4"),
+        )
+    )
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target_source: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """DSIR-style importance weight of every non-target document toward
+    a target domain (Xie et al. 2023, "Data Selection for Language
+    Models via Importance Resampling"), log10-bucketed.
+
+    DSIR scores a raw document by sum over its features f of
+    ``log(p_target(f) / p_raw(f))`` using hashed-ngram counts; the
+    engine-portable discretization here uses distinct word bigrams
+    (functions/portable.word_grams, the decontamination feature unit)
+    and decimal-digit buckets: per bigram,
+    ``digits(cnt_t + 1) - digits(cnt_r + 1) + shift`` where the add-one
+    is Laplace smoothing and ``shift = digits(N_r + 1) - digits(N_t + 1)``
+    normalizes the count ratio into a probability ratio (the target
+    corpus is a single domain, orders of magnitude smaller than raw --
+    without the shift every weight is just the size imbalance).  All
+    integers: no libm, exact DuckDB replay.
+
+    Returns one row per NON-target document:
+    ``(doc_id, source, n_grams, wt, wt_per_gram_e4)`` -- ``wt`` is the
+    raw bucket sum (length-sensitive, what DSIR resamples on),
+    ``wt_per_gram_e4`` the length-normalized score a fixed selection
+    threshold can use across scales (> 0 = more target-like than raw).
+
+    Scale: gram dims aggregate with map-side combine; the target dim is
+    one domain's vocabulary -- broadcast; the raw dim joins on the gram
+    key it was just aggregated on (AQE reuses the exchange); the 1-row
+    shift constant broadcasts.  At 100 TB the distinct-bigram dim is
+    the big relation, and it is exactly the relation decontaminate()
+    already materializes -- a real pipeline computes both in one pass.
+    """
+    grams = docs.where(F.col(source_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        F.explode(word_grams(tokens(F.col(text_col)), 2)).alias("gram"),
+    )
+    tgt = (
+        grams.where(F.col("source") == target_source)
+        .groupBy("gram")
+        .agg(F.count("*").alias("cnt_t"))
+    )
+    raw = (
+        grams.where(F.col("source") != target_source)
+        .groupBy("gram")
+        .agg(F.count("*").alias("cnt_r"))
+    )
+    shift = (
+        raw.agg(F.length((F.sum("cnt_r") + 1).cast("string")).alias("rd"))
+        .crossJoin(
+            F.broadcast(
+                tgt.agg(F.length((F.sum("cnt_t") + 1).cast("string")).alias("td"))
+            )
+        )
+        .select((F.col("rd") - F.col("td")).alias("shift"))
+    )
+    per_gram = (
+        raw.join(F.broadcast(tgt), "gram", "left")
+        .crossJoin(F.broadcast(shift))
+        .select(
+            "gram",
+            (
+                F.length((F.coalesce(F.col("cnt_t"), F.lit(0)) + 1).cast("string"))
+                - F.length((F.col("cnt_r") + 1).cast("string"))
+                + F.col("shift")
+            ).alias("w"),
+        )
+    )
+    return (
+        grams.where(F.col("source") != target_source)
+        .join(per_gram, "gram")
+        .groupBy("doc_id", "source")
+        .agg(F.count("*").alias("n_grams"), F.sum("w").alias("wt"))
+        .select(
+            "doc_id",
+            "source",
+            "n_grams",
+            "wt",
+            F.round(F.col("wt") / F.col("n_grams") * 10000)
+            .cast("long")
+            .alias("wt_per_gram_e4"),
+        )
+    )

@@ -2719,3 +2719,63 @@ def q97_cross_source_substr_leakage(spark, sf_dir):
         .select("src_a", "src_b", "n_shared_wins", "wins_a", "wins_b", "containment_e4")
         .orderBy("src_a", "src_b")
     )
+
+
+def q98_unigram_surprisal(spark, sf_dir):
+    """Perplexity-filter profile per source: mean log10-bucketed unigram
+    surprisal (operators/curation.unigram_surprisal -- the CCNet filter,
+    self-trained, libm-free) rolled up per source with a relative flag
+    (doc score > corpus mean + 0.05 bucket = rare-token-heavy, what a
+    perplexity filter drops).  The flag threshold is RELATIVE to the
+    corpus mean so it holds across scales; the corpus mean is exact
+    integer sums with one IEEE divide.  Plan: one explode, one broadcast
+    vocab join, one doc agg, one bounded source rollup."""
+    from ..operators.curation import unigram_surprisal
+
+    d = _t(spark, sf_dir, "documents")
+    per_doc = unigram_surprisal(d)
+    corp = per_doc.agg(
+        F.round(F.sum(F.col("ppl_bucket_e4") * F.col("n_toks")) / F.sum("n_toks"))
+        .cast("long")
+        .alias("corp_e4")
+    )
+    src = d.select(F.col("doc_id"), "source")
+    return (
+        per_doc.join(F.broadcast(src), "doc_id")
+        .crossJoin(F.broadcast(corp))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("n_toks"),
+            F.round(F.avg("ppl_bucket_e4")).cast("long").alias("avg_ppl_e4"),
+            F.max("ppl_bucket_e4").alias("max_ppl_e4"),
+            F.sum(
+                (F.col("ppl_bucket_e4") > F.col("corp_e4") + 500).cast("long")
+            ).alias("n_flagged"),
+        )
+        .orderBy("source")
+    )
+
+
+def q99_dsir_importance(spark, sf_dir):
+    """DSIR importance-resampling profile: per non-target source, the
+    distribution of log10-bucketed importance weights toward target
+    domain src0 (operators/curation.dsir_importance) and the count a
+    weight>0 selection keeps -- the 'which raw sources look most like my
+    target' table a data-mixing run reads before setting sampling
+    temperatures (q60's upstream).  Plan: two gram dims (map-side
+    combined), target + shift broadcast, one doc agg, bounded rollup."""
+    from ..operators.curation import dsir_importance
+
+    d = _t(spark, sf_dir, "documents")
+    w = dsir_importance(d, target_source="src0")
+    return (
+        w.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("wt_per_gram_e4")).cast("long").alias("avg_wpg_e4"),
+            F.max("wt_per_gram_e4").alias("max_wpg_e4"),
+            F.sum((F.col("wt_per_gram_e4") > 0).cast("long")).alias("n_selected"),
+        )
+        .orderBy("source")
+    )

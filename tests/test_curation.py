@@ -558,3 +558,75 @@ def test_cli_export_mode(spark, tmp_path):
     manifest = spark.read.parquet(f"{wd}/export/_manifest")
     assert back.count() == 120
     assert manifest.agg(F.sum("n_docs")).collect()[0][0] == 120
+
+
+def test_unigram_surprisal_planted(spark):
+    from datasketches_server_spark.operators.curation import unigram_surprisal
+
+    # corpus: "the" x 12 occurrences (2 digits), "zyx" x 1 (1 digit);
+    # total 13 tokens -> N digits = 2.  surprisal(the) = 2-2 = 0,
+    # surprisal(zyx) = 2-1 = 1.
+    docs = _docs(
+        spark,
+        [
+            (1, "the the the the the the"),          # mean 0 -> 0
+            (2, "the the the the the zyx"),          # mean 1/6 -> 1667
+            (3, "the"),                              # mean 0 -> 0
+        ],
+    )
+    got = {
+        r["doc_id"]: (r["n_toks"], r["ppl_bucket_e4"])
+        for r in unigram_surprisal(docs).collect()
+    }
+    assert got == {1: (6, 0), 2: (6, 1667), 3: (1, 0)}
+
+
+def test_unigram_surprisal_plan_no_python(spark):
+    from datasketches_server_spark.operators.curation import unigram_surprisal
+
+    docs = _docs(spark, [(1, "a b c"), (2, "a b d")])
+    plan = unigram_surprisal(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_dsir_importance_target_like_scores_higher(spark):
+    from datasketches_server_spark.operators.curation import dsir_importance
+
+    rows = []
+    # target domain: 10 docs of "alpha beta gamma delta"
+    for i in range(10):
+        rows.append((100 + i, "tgt", "alpha beta gamma delta"))
+    # raw doc 1: verbatim target-style text; raw docs 2..9: unrelated,
+    # all sharing their own common bigrams so the raw LM knows them.
+    rows.append((1, "raw", "alpha beta gamma delta"))
+    for i in range(2, 10):
+        rows.append((i, "raw", "red green blue cyan"))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    w = {
+        r["doc_id"]: r["wt_per_gram_e4"]
+        for r in dsir_importance(docs, target_source="tgt").collect()
+    }
+    assert set(w) == set(range(1, 10))  # target docs excluded
+    assert w[1] > w[2], w
+    # unrelated docs all share the same score (identical gram profile)
+    assert len({w[i] for i in range(2, 10)}) == 1
+
+
+def test_dsir_importance_integer_buckets_and_shift(spark):
+    from datasketches_server_spark.operators.curation import dsir_importance
+
+    # hand-check one doc: target = 1 doc "a b", raw = 1 doc "a b".
+    # grams(doc) distinct bigrams of ["a","b"] = ["a b"].
+    # cnt_t(a b)=1, cnt_r(a b)=1; N_t=1, N_r=1 -> shift = digits(2)-digits(2)=0
+    # w = digits(2)-digits(2)+0 = 0 -> wt=0, wpg=0
+    docs = spark.createDataFrame(
+        [(1, "tgt", "a b"), (2, "raw", "a b")],
+        "doc_id long, source string, text string",
+    )
+    rows = dsir_importance(docs, target_source="tgt").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc_id"], r["source"], r["n_grams"], r["wt"], r["wt_per_gram_e4"]) == (
+        2, "raw", 1, 0, 0
+    )
