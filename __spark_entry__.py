@@ -188,6 +188,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q98_unigram_surprisal": Q.q98_unigram_surprisal,
         # DSIR importance weights toward a target domain (log10-bucketed)
         "q99_dsir_importance": Q.q99_dsir_importance,
+        # BPE-ish pieces / whitespace tokens / chars per source (budget planning)
+        "q100_tokenizer_fertility": Q.q100_tokenizer_fertility,
+        # which dialog side leaks PII (role-aware planted scan)
+        "q101_role_pii_exposure": Q.q101_role_pii_exposure,
     }
 
 
@@ -2621,5 +2625,59 @@ def oracle_sql() -> dict[str, str]:
                max(wpg) AS max_wpg_e4,
                CAST(count(*) FILTER (wpg > 0) AS BIGINT) AS n_selected
         FROM n GROUP BY source ORDER BY source
+    """
+    # q100: tokenizer fertility -- q20's per-doc units (whitespace-ish
+    # tokens, BPE-ish pieces) aggregated per source; exact integer sums,
+    # one IEEE divide per ratio.
+    oracles["q100_tokenizer_fertility"] = f"""
+        WITH per_doc AS (
+            SELECT source,
+                   len({_NORM_TOKS}) AS n_toks,
+                   len({_NORM_TOKS})
+                     + len(list_filter(string_split_regex(lower(text), '[a-z0-9\\s]+'),
+                           x -> x <> '')) AS n_pieces,
+                   length(text) AS n_chars
+            FROM documents
+        )
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(n_toks) AS BIGINT) AS n_toks,
+               CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars,
+               CAST(round(sum(n_pieces) / sum(n_toks) * 10000) AS BIGINT) AS fertility_e4,
+               CAST(round(sum(n_chars) / sum(n_toks) * 10000) AS BIGINT) AS chars_per_tok_e4
+        FROM per_doc GROUP BY source ORDER BY source
+    """
+    # q101: role-conditional PII exposure -- q54's planted-from-driver-
+    # data derivation made role-aware over the transcript view.
+    oracles["q101_role_pii_exposure"] = f"""
+        WITH tr AS ({transcripts_from_documents_sql()}),
+        planted AS (
+            SELECT role,
+                   CASE
+                     WHEN role = 'user' AND CAST(conv_id AS BIGINT) % 5 = 0
+                       THEN text || ' reach me at user' || conv_id || '@mail.test'
+                     WHEN role = 'assistant' AND CAST(conv_id AS BIGINT) % 11 = 0
+                       THEN text || ' noted 555-000-'
+                            || lpad((CAST(conv_id AS BIGINT) % 10000)::VARCHAR, 4, '0')
+                            || ' at 192.168.0.' || (CAST(conv_id AS BIGINT) % 200)::VARCHAR
+                     ELSE text END AS text
+            FROM tr
+        ), scanned AS (
+            SELECT role,
+                   len(regexp_extract_all(text, '{_pii_email}')) AS n_email,
+                   len(regexp_extract_all(text, '{_pii_phone}')) AS n_phone,
+                   len(regexp_extract_all(text, '{_pii_ipv4}')) AS n_ipv4
+            FROM planted
+        )
+        SELECT role,
+               count(*) AS n_turns,
+               CAST(sum(n_email) AS BIGINT) AS n_email,
+               CAST(sum(n_phone) AS BIGINT) AS n_phone,
+               CAST(sum(n_ipv4) AS BIGINT) AS n_ipv4,
+               CAST(count(*) FILTER (n_email + n_phone + n_ipv4 > 0) AS BIGINT) AS n_pii_turns,
+               CAST(round(count(*) FILTER (n_email + n_phone + n_ipv4 > 0)
+                          / count(*) * 10000) AS BIGINT) AS pii_turn_rate_e4
+        FROM scanned GROUP BY role ORDER BY role
     """
     return oracles

@@ -2779,3 +2779,90 @@ def q99_dsir_importance(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+def q100_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer fertility per source: BPE-ish pieces per whitespace
+    token and chars per token (functions/text.bpe_ish_piece_count /
+    token_count, q20's per-doc units aggregated corpus-wide) -- the
+    table a budget planner reads to convert corpus bytes into training
+    tokens per source before q60 allocates mixing rates.  Exact integer
+    sums, one IEEE divide per ratio.  Plan: one codegen'd projection,
+    one map-side-combined rollup; no joins, no UDFs."""
+    from ..functions.text import bpe_ish_piece_count, token_count
+
+    d = _t(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "source",
+        token_count(F.col("text")).alias("n_toks"),
+        bpe_ish_piece_count(F.col("text")).alias("n_pieces"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("n_toks"),
+            F.sum("n_pieces").alias("n_pieces"),
+            F.sum("n_chars").alias("n_chars"),
+            F.round(F.sum("n_pieces") / F.sum("n_toks") * 10000)
+            .cast("long")
+            .alias("fertility_e4"),
+            F.round(F.sum("n_chars") / F.sum("n_toks") * 10000)
+            .cast("long")
+            .alias("chars_per_tok_e4"),
+        )
+        .orderBy("source")
+    )
+
+
+def q101_role_pii_exposure(spark, sf_dir):
+    """Role-conditional PII exposure over transcripts: which SIDE of the
+    dialog leaks -- users paste their own emails/phones, assistants echo
+    them back; a redaction pass that treats both roles identically
+    over-scrubs tool output, so the scrubber reads this table first.
+    PII is planted deterministically from driver data (q54's derivation,
+    made role-aware: user turns of conv%5==0 gain an email, assistant
+    turns of conv%11==0 gain a phone + IP, both replayed by the oracle).
+    Plan: the transcript derivation explodes docs into turns (narrow),
+    the scan is one codegen'd regexp projection, the rollup is 2 rows;
+    no joins."""
+    from ..functions import text as TXT
+
+    t = transcripts_from_documents(spark, sf_dir)
+    conv = F.col("conv_id").cast("long")
+    planted = t.select(
+        "role",
+        F.when(
+            (F.col("role") == "user") & (conv % 5 == 0),
+            F.concat(F.col("text"), F.lit(" reach me at user"), conv.cast("string"), F.lit("@mail.test")),
+        )
+        .when(
+            (F.col("role") == "assistant") & (conv % 11 == 0),
+            F.concat(
+                F.col("text"),
+                F.lit(" noted 555-000-"),
+                F.lpad((conv % 10000).cast("string"), 4, "0"),
+                F.lit(" at 192.168.0."),
+                (conv % 200).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    p = planted.select("role", TXT.pii_counts(F.col("text")).alias("p"))
+    n_pii = F.col("p.n_email") + F.col("p.n_phone") + F.col("p.n_ipv4")
+    return (
+        p.groupBy("role")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum("p.n_email").alias("n_email"),
+            F.sum("p.n_phone").alias("n_phone"),
+            F.sum("p.n_ipv4").alias("n_ipv4"),
+            F.sum((n_pii > 0).cast("long")).alias("n_pii_turns"),
+            F.round(F.sum((n_pii > 0).cast("long")) / F.count("*") * 10000)
+            .cast("long")
+            .alias("pii_turn_rate_e4"),
+        )
+        .orderBy("role")
+    )
