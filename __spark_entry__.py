@@ -192,6 +192,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q100_tokenizer_fertility": Q.q100_tokenizer_fertility,
         # which dialog side leaks PII (role-aware planted scan)
         "q101_role_pii_exposure": Q.q101_role_pii_exposure,
+        # per-source duplicate-mass concentration (few mega-families vs spread)
+        "q102_source_cluster_concentration": Q.q102_source_cluster_concentration,
+        # 3-gram count-of-counts spectrum (Good-Turing head + Zipf tail)
+        "q103_gram_frequency_spectrum": Q.q103_gram_frequency_spectrum,
     }
 
 
@@ -200,6 +204,7 @@ def oracle_sql() -> dict[str, str]:
     from datasketches_server_spark.functions.portable import (
         md5_long60_sql,
         u01_sql,
+        word_grams_all_sql,
         word_grams_sql,
     )
     from datasketches_server_spark.sources.synth import transcripts_from_documents_sql
@@ -2679,5 +2684,73 @@ def oracle_sql() -> dict[str, str]:
                CAST(round(count(*) FILTER (n_email + n_phone + n_ipv4 > 0)
                           / count(*) * 10000) AS BIGINT) AS pii_turn_rate_e4
         FROM scanned GROUP BY role ORDER BY role
+    """
+    # q102: per-source dup concentration over the exact >=0.7-jaccard
+    # closure (q24's oracle CTE); every reported statistic is
+    # label-invariant so min-id closure labels match Spark's hash labels.
+    oracles["q102_source_cluster_concentration"] = f"""
+        WITH RECURSIVE g AS (
+            SELECT CAST(doc_id AS VARCHAR) AS id, {grams3} AS grams FROM documents
+        ), x AS (
+            SELECT id, unnest(grams) AS gram FROM g
+        ), inter AS (
+            SELECT l.id AS a, r.id AS b, count(*) AS i
+            FROM x l JOIN x r ON l.gram = r.gram AND l.id < r.id
+            GROUP BY 1, 2
+        ), sz AS (
+            SELECT id, len(grams) AS n FROM g
+        ), edges AS (
+            SELECT a, b FROM inter
+            JOIN sz sa ON inter.a = sa.id
+            JOIN sz sb ON inter.b = sb.id
+            WHERE i / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.7
+        ), sym AS (
+            SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges
+        ), cc(id, lbl) AS (
+            SELECT DISTINCT a, a FROM sym
+            UNION
+            SELECT s.b, cc.lbl FROM cc JOIN sym s ON cc.id = s.a
+        ), labels AS (
+            SELECT id, min(lbl) AS cluster_id FROM cc GROUP BY id
+        ), all_labels AS (
+            SELECT CAST(d.doc_id AS VARCHAR) AS id, d.source,
+                   coalesce(l.cluster_id, CAST(d.doc_id AS VARCHAR)) AS cluster_id
+            FROM documents d LEFT JOIN labels l ON CAST(d.doc_id AS VARCHAR) = l.id
+        ), sizes AS (
+            SELECT cluster_id, count(*) AS csize FROM all_labels GROUP BY cluster_id
+        ), m AS (
+            SELECT a.source, a.cluster_id, s.csize
+            FROM all_labels a JOIN sizes s USING (cluster_id)
+        )
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(count(*) FILTER (csize >= 2) AS BIGINT) AS n_dup_docs,
+               CAST(round(count(*) FILTER (csize >= 2) / count(*) * 10000)
+                    AS BIGINT) AS dup_share_e4,
+               CAST(count(DISTINCT CASE WHEN csize >= 2 THEN cluster_id END)
+                    AS BIGINT) AS n_families,
+               max(csize) AS max_family
+        FROM m GROUP BY source ORDER BY source
+    """
+    # q103: 3-gram count-of-counts spectrum; exact classes 1-4 then
+    # digit buckets, all integer arithmetic.
+    _G3ALL = word_grams_all_sql(_NORM_TOKS, 3)
+    oracles["q103_gram_frequency_spectrum"] = f"""
+        WITH grams AS (
+            SELECT unnest({_G3ALL}) AS gram FROM documents
+        ), counts AS (
+            SELECT gram, count(*) AS c FROM grams GROUP BY gram
+        ), tot AS (
+            SELECT count(*) AS tot_grams, sum(c) AS tot_occ FROM counts
+        )
+        SELECT CASE WHEN c <= 4 THEN lpad(c::VARCHAR, 2, '0')
+                    ELSE 'd' || length(c::VARCHAR) END AS freq_class,
+               count(*) AS n_grams,
+               CAST(sum(c) AS BIGINT) AS n_occurrences,
+               CAST(round(count(*) / tot.tot_grams * 10000) AS BIGINT) AS gram_share_e4,
+               CAST(round(sum(c) / tot.tot_occ * 10000) AS BIGINT) AS occ_share_e4
+        FROM counts, tot
+        GROUP BY freq_class, tot.tot_grams, tot.tot_occ
+        ORDER BY freq_class
     """
     return oracles

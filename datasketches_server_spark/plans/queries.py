@@ -2866,3 +2866,86 @@ def q101_role_pii_exposure(spark, sf_dir):
         )
         .orderBy("role")
     )
+
+
+def q102_source_cluster_concentration(spark, sf_dir):
+    """Per-source duplicate-mass concentration: is a source's dup mass a
+    few mega-families (recrawl of one page: cap the family, keep the
+    source) or spread thin (systemic boilerplate: gate the source)?
+    Per source: docs, docs in >=2-size clusters, dup share, distinct
+    families touched, and the largest family seen -- every statistic is
+    LABEL-INVARIANT (sizes and counts only), so Spark's hash labels and
+    the oracle's min-id closure labels agree bit-for-bit.  Plan: the
+    memoized q24 pipeline pass; sizes agg on the narrow clusters
+    relation; broadcast (doc -> source) dim."""
+    res = documents_dedup_result(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("conv_id"), "source"
+    )
+    sizes = res.clusters.groupBy("cluster_id").agg(F.count("*").alias("csize"))
+    m = (
+        res.clusters.join(sizes, "cluster_id")
+        .join(F.broadcast(d), "conv_id")
+    )
+    return (
+        m.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("csize") >= 2).cast("long")).alias("n_dup_docs"),
+            F.round(
+                F.sum((F.col("csize") >= 2).cast("long")) / F.count("*") * 10000
+            ).cast("long").alias("dup_share_e4"),
+            F.countDistinct(
+                F.when(F.col("csize") >= 2, F.col("cluster_id"))
+            ).alias("n_families"),
+            F.max("csize").alias("max_family"),
+        )
+        .orderBy("source")
+    )
+
+
+def q103_gram_frequency_spectrum(spark, sf_dir):
+    """Corpus 3-gram frequency spectrum (the Good-Turing head table +
+    Zipf tail in one): how many distinct grams occur exactly 1-4 times
+    (N1..N4 drive Good-Turing smoothing and are the standard
+    contamination-sensitivity denominator) and, above that, per
+    decimal-digit bucket -- the count-of-counts histogram that tells a
+    curator whether the corpus is hapax-heavy (diverse or noisy) or
+    head-heavy (templated).  Buckets are exact integers / digit counts,
+    so both engines agree without logs.  Plan: one explode (grams WITH
+    multiplicity), one map-side-combined gram agg, one bounded rollup."""
+    from ..functions.portable import word_grams_all
+    from ..functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    grams = d.select(
+        F.explode(word_grams_all(tokens(F.col("text")), 3)).alias("gram")
+    )
+    counts = grams.groupBy("gram").agg(F.count("*").alias("c"))
+    bucket = (
+        F.when(F.col("c") <= 4, F.lpad(F.col("c").cast("string"), 2, "0"))
+        .otherwise(F.concat(F.lit("d"), F.length(F.col("c").cast("string"))))
+    )
+    tot = counts.agg(
+        F.count("*").alias("tot_grams"), F.sum("c").alias("tot_occ")
+    )
+    return (
+        counts.groupBy(bucket.alias("freq_class"))
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum("c").alias("n_occurrences"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "freq_class",
+            "n_grams",
+            "n_occurrences",
+            F.round(F.col("n_grams") / F.col("tot_grams") * 10000)
+            .cast("long")
+            .alias("gram_share_e4"),
+            F.round(F.col("n_occurrences") / F.col("tot_occ") * 10000)
+            .cast("long")
+            .alias("occ_share_e4"),
+        )
+        .orderBy("freq_class")
+    )
