@@ -196,6 +196,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q102_source_cluster_concentration": Q.q102_source_cluster_concentration,
         # 3-gram count-of-counts spectrum (Good-Turing head + Zipf tail)
         "q103_gram_frequency_spectrum": Q.q103_gram_frequency_spectrum,
+        # within-conversation assistant echo rate (quote-back / parrot signal)
+        "q104_conv_echo_rate": Q.q104_conv_echo_rate,
+        # asymmetric full-containment dedup (snippet-inside-page pairs)
+        "q105_containment_dedup": Q.q105_containment_dedup,
     }
 
 
@@ -2752,5 +2756,86 @@ def oracle_sql() -> dict[str, str]:
         FROM counts, tot
         GROUP BY freq_class, tot.tot_grams, tot.tot_occ
         ORDER BY freq_class
+    """
+    # q104: within-conversation assistant echo -- distinct 3-grams of each
+    # assistant turn already present in an earlier turn of the same conv.
+    # Grams here are raw single-space splits of the turn text (the turn IS
+    # a token slice), mirroring the Spark side exactly.
+    _G3TURN = word_grams_sql("string_split(text, ' ')", 3)
+    oracles["q104_conv_echo_rate"] = f"""
+        WITH tr AS ({transcripts_from_documents_sql()}),
+        g AS (
+            SELECT conv_id, turn_idx, role, unnest({_G3TURN}) AS gram FROM tr
+        ),
+        probe AS (
+            SELECT conv_id, turn_idx, gram FROM g WHERE role = 'assistant'
+        ),
+        echoed AS (
+            SELECT DISTINCT p.conv_id, p.turn_idx, p.gram
+            FROM probe p
+            JOIN g r ON p.conv_id = r.conv_id AND p.gram = r.gram
+                    AND r.turn_idx < p.turn_idx
+        ),
+        e_cnt AS (
+            SELECT conv_id, turn_idx, count(*) AS n_echoed
+            FROM echoed GROUP BY 1, 2
+        ),
+        per_turn AS (
+            SELECT conv_id, turn_idx, count(*) AS n_grams
+            FROM probe GROUP BY 1, 2
+        ),
+        pt AS (
+            SELECT p.conv_id, p.turn_idx, p.n_grams,
+                   coalesce(e.n_echoed, 0) AS n_echoed
+            FROM per_turn p LEFT JOIN e_cnt e USING (conv_id, turn_idx)
+        )
+        SELECT d.source,
+               count(*) AS n_ast_turns,
+               CAST(sum(n_grams) AS BIGINT) AS n_grams,
+               CAST(sum(n_echoed) AS BIGINT) AS n_echoed,
+               CAST(round(sum(n_echoed) / sum(n_grams) * 10000) AS BIGINT)
+                 AS echo_share_e4,
+               CAST(count(*) FILTER (n_echoed * 2 >= n_grams) AS BIGINT)
+                 AS n_heavy_turns
+        FROM pt JOIN documents d ON CAST(d.doc_id AS VARCHAR) = pt.conv_id
+        GROUP BY d.source ORDER BY d.source
+    """
+    # q105: asymmetric full-containment dedup over normalized 3-gram sets
+    # (the q102 closure's gram relation, directional: i >= 0.95*|A| and
+    # the container is strictly larger, ties broken by smaller id).
+    oracles["q105_containment_dedup"] = f"""
+        WITH g AS (
+            SELECT doc_id AS id, {grams3} AS grams FROM documents
+        ), x AS (
+            SELECT id, unnest(grams) AS gram FROM g
+        ), sz AS (
+            SELECT id, len(grams) AS n FROM g
+        ), inter AS (
+            SELECT a.id AS ida, b.id AS idb, count(*) AS i
+            FROM x a JOIN x b ON a.gram = b.gram AND a.id <> b.id
+            GROUP BY 1, 2
+        ), cont AS (
+            SELECT ida, idb FROM inter
+            JOIN sz sa ON inter.ida = sa.id
+            JOIN sz sb ON inter.idb = sb.id
+            WHERE i >= 0.95 * sa.n
+              AND (sb.n > sa.n OR (sb.n = sa.n AND idb < ida))
+        ), contained AS (
+            SELECT ida AS id,
+                   max(CASE WHEN db.source <> da.source THEN 1 ELSE 0 END)
+                     AS x_src
+            FROM cont
+            JOIN documents da ON da.doc_id = cont.ida
+            JOIN documents db ON db.doc_id = cont.idb
+            GROUP BY ida
+        )
+        SELECT d.source,
+               count(*) AS n_docs,
+               CAST(count(c.id) AS BIGINT) AS n_contained,
+               CAST(round(count(c.id) / count(*) * 10000) AS BIGINT)
+                 AS contained_share_e4,
+               CAST(coalesce(sum(c.x_src), 0) AS BIGINT) AS n_cross_source
+        FROM documents d LEFT JOIN contained c ON d.doc_id = c.id
+        GROUP BY d.source ORDER BY d.source
     """
     return oracles

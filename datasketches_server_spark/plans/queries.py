@@ -2949,3 +2949,138 @@ def q103_gram_frequency_spectrum(spark, sf_dir):
         )
         .orderBy("freq_class")
     )
+
+
+def q104_conv_echo_rate(spark, sf_dir):
+    """Within-conversation echo rate: how much of each ASSISTANT turn's
+    distinct 3-gram mass already appeared in an EARLIER turn of the SAME
+    conversation -- the quote-back / parrot signal.  q96 scores retry
+    trees (same prefix, divergent continuation) and q97 cross-source
+    span leakage; this is the intra-dialog view: an assistant that
+    re-emits the user's words verbatim contributes near-zero training
+    signal, and a high per-source echo share flags templated agent
+    scaffolds.  Per source: assistant turns, distinct-gram mass, echoed
+    mass, echo share, and turns with >=half their grams echoed.  Plan:
+    the gram join carries conv_id in the key, so candidates never cross
+    conversations -- co-partitioned by conv_id it is ONE shuffle and the
+    per-conv work is bounded by turn count x grams/turn (turns are
+    8-token slices here, <=6 distinct 3-grams each); the source dim is a
+    broadcast.  At 10^12 turns nothing in the plan is corpus-quadratic."""
+    from ..functions.portable import word_grams
+
+    t = transcripts_from_documents(spark, sf_dir)
+    g = t.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.explode(word_grams(F.split(F.col("text"), " "), 3)).alias("gram"),
+    )
+    probe = g.where(F.col("role") == "assistant").select(
+        "conv_id", "turn_idx", "gram"
+    )
+    ref = g.select("conv_id", F.col("turn_idx").alias("ref_idx"), "gram")
+    echoed = (
+        probe.join(ref, ["conv_id", "gram"])
+        .where(F.col("ref_idx") < F.col("turn_idx"))
+        .select("conv_id", "turn_idx", "gram")
+        .distinct()
+        .groupBy("conv_id", "turn_idx")
+        .agg(F.count("*").alias("n_echoed"))
+    )
+    per_turn = (
+        probe.groupBy("conv_id", "turn_idx")
+        .agg(F.count("*").alias("n_grams"))
+        .join(echoed, ["conv_id", "turn_idx"], "left")
+        .withColumn("n_echoed", F.coalesce("n_echoed", F.lit(0)))
+    )
+    src = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("conv_id"), "source"
+    )
+    return (
+        per_turn.join(F.broadcast(src), "conv_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_ast_turns"),
+            F.sum("n_grams").cast("long").alias("n_grams"),
+            F.sum("n_echoed").cast("long").alias("n_echoed"),
+            F.round(F.sum("n_echoed") / F.sum("n_grams") * 10000)
+            .cast("long")
+            .alias("echo_share_e4"),
+            F.sum((F.col("n_echoed") * 2 >= F.col("n_grams")).cast("long"))
+            .cast("long")
+            .alias("n_heavy_turns"),
+        )
+        .orderBy("source")
+    )
+
+
+def q105_containment_dedup(spark, sf_dir):
+    """Full-containment dedup: documents whose distinct 3-gram set is
+    >=95% inside ONE other (larger, ties by id) document's set -- the
+    asymmetric duplicates Jaccard misses (a snippet quoted in full
+    inside a long page has tiny jaccard but containment ~1).  Per
+    source: docs, contained docs, contained share, and contained docs
+    whose container lives in ANOTHER source (cross-crawl quoting, the
+    removal candidates q73's decontam logic would act on).  Plan: exact
+    gram-postings join generates candidates, then the verify step is
+    the exact i/|A| ratio -- at corpus scale the candidate join swaps to
+    q47-style hashed window postings with a document-frequency cap
+    (a gram shared by thousands of docs does not discriminate
+    containment), verification unchanged; this registered tier is the
+    string-keyed exact plan for oracle fidelity."""
+    from ..functions.portable import word_grams
+    from ..functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    g = d.select(
+        F.col("doc_id").alias("id"),
+        F.explode(word_grams(tokens(F.col("text")), 3)).alias("gram"),
+    )
+    sz = g.groupBy("id").agg(F.count("*").alias("n"))
+    inter = (
+        g.select(F.col("id").alias("ida"), "gram")
+        .join(g.select(F.col("id").alias("idb"), "gram"), "gram")
+        .where(F.col("ida") != F.col("idb"))
+        .groupBy("ida", "idb")
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sz.select(F.col("id").alias("ida"), F.col("n").alias("na"))
+    sb = sz.select(F.col("id").alias("idb"), F.col("n").alias("nb"))
+    cont = (
+        inter.join(sa, "ida")
+        .join(sb, "idb")
+        .where(
+            (F.col("i") >= 0.95 * F.col("na"))
+            & (
+                (F.col("nb") > F.col("na"))
+                | ((F.col("nb") == F.col("na")) & (F.col("idb") < F.col("ida")))
+            )
+        )
+    )
+    srcs = d.select("doc_id", "source")
+    da = srcs.select(F.col("doc_id").alias("ida"), F.col("source").alias("src_a"))
+    db = srcs.select(F.col("doc_id").alias("idb"), F.col("source").alias("src_b"))
+    contained = (
+        cont.join(F.broadcast(da), "ida")
+        .join(F.broadcast(db), "idb")
+        .groupBy("ida")
+        .agg(
+            F.max((F.col("src_b") != F.col("src_a")).cast("long")).alias("x_src")
+        )
+    )
+    return (
+        d.select("doc_id", "source")
+        .join(contained, d["doc_id"] == contained["ida"], "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.count("ida").cast("long").alias("n_contained"),
+            F.round(F.count("ida") / F.count("*") * 10000)
+            .cast("long")
+            .alias("contained_share_e4"),
+            F.coalesce(F.sum("x_src"), F.lit(0))
+            .cast("long")
+            .alias("n_cross_source"),
+        )
+        .orderBy("source")
+    )
