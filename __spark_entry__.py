@@ -200,6 +200,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q104_conv_echo_rate": Q.q104_conv_echo_rate,
         # asymmetric full-containment dedup (snippet-inside-page pairs)
         "q105_containment_dedup": Q.q105_containment_dedup,
+        # near-dup pair age quantiles (band-index retention-horizon sizing)
+        "q106_dup_pair_age": Q.q106_dup_pair_age,
+        # pairwise cosine between per-label embedding centroids (mix design)
+        "q107_source_centroid_similarity": Q.q107_source_centroid_similarity,
+        # distinct opening prompts per source (instruction diversity)
+        "q108_prompt_diversity": Q.q108_prompt_diversity,
+        # 16-lane portable MinHash estimate vs exact jaccard, by decile band
+        "q109_minhash_calibration": Q.q109_minhash_calibration,
+        # dropped-member -> keeper jaccard floor per family-size bucket
+        "q110_keeper_similarity_floor": Q.q110_keeper_similarity_floor,
     }
 
 
@@ -2837,5 +2847,238 @@ def oracle_sql() -> dict[str, str]:
                CAST(coalesce(sum(c.x_src), 0) AS BIGINT) AS n_cross_source
         FROM documents d LEFT JOIN contained c ON d.doc_id = c.id
         GROUP BY d.source ORDER BY d.source
+    """
+
+    # q106: verified-pair age quantiles per later-member source.  Exact
+    # >=0.7-jaccard edges (the q24 closure's edge set, same CTE shape as
+    # q94); pair orientation by numeric id (ts monotone in doc_id);
+    # gap_min is exact integer minutes because conv start ts is
+    # doc_id*60 seconds past a fixed epoch.  percentile == quantile_cont
+    # (q59's contract), 4dp round.
+    oracles["q106_dup_pair_age"] = f"""
+        WITH tr AS ({transcripts_from_documents_sql()}),
+        starts AS (
+            SELECT conv_id, min(ts) AS t0 FROM tr GROUP BY conv_id
+        ), g AS (
+            SELECT CAST(doc_id AS VARCHAR) AS id, {grams3} AS grams FROM documents
+        ), x AS (
+            SELECT id, unnest(grams) AS gram FROM g
+        ), inter AS (
+            SELECT l.id AS a, r.id AS b, count(*) AS i
+            FROM x l JOIN x r ON l.gram = r.gram AND l.id < r.id
+            GROUP BY 1, 2
+        ), sz AS (
+            SELECT id, len(grams) AS n FROM g
+        ), edges AS (
+            SELECT a, b FROM inter
+            JOIN sz sa ON inter.a = sa.id
+            JOIN sz sb ON inter.b = sb.id
+            WHERE i / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.7
+        ), p AS (
+            SELECT least(CAST(a AS BIGINT), CAST(b AS BIGINT)) AS early,
+                   greatest(CAST(a AS BIGINT), CAST(b AS BIGINT)) AS late
+            FROM edges
+        ), gaps AS (
+            SELECT p.late,
+                   CAST(floor((epoch(sl.t0) - epoch(se.t0)) / 60) AS BIGINT)
+                       AS gap_min
+            FROM p
+            JOIN starts se ON CAST(se.conv_id AS BIGINT) = p.early
+            JOIN starts sl ON CAST(sl.conv_id AS BIGINT) = p.late
+        ), j AS (
+            SELECT gaps.gap_min, d.source
+            FROM gaps JOIN documents d ON d.doc_id = gaps.late
+        )
+        SELECT source,
+               count(*) AS n_pairs,
+               round(quantile_cont(gap_min, 0.5), 4) AS p50_gap_min,
+               round(quantile_cont(gap_min, 0.9), 4) AS p90_gap_min,
+               max(gap_min) AS max_gap_min,
+               CAST(sum(CASE WHEN gap_min > 60 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_beyond_1h,
+               CAST(round(sum(CASE WHEN gap_min > 60 THEN 1 ELSE 0 END)
+                          / CAST(count(*) AS DOUBLE) * 10000) AS BIGINT)
+                   AS miss_share_e4
+        FROM j GROUP BY source ORDER BY source
+    """
+
+    # q107: pairwise cosine between per-label embedding centroids.
+    # Centroid components round to 6dp on BOTH engines before the
+    # cosine (q93's convention), so the only residual noise is the
+    # 64-term sum association order, killed by the 5dp output round.
+    oracles["q107_source_centroid_similarity"] = """
+        WITH e AS (
+            SELECT label,
+                   generate_subscripts(embedding, 1) AS pos,
+                   CAST(unnest(embedding) AS DOUBLE) AS v
+            FROM embeddings
+        ), c AS (
+            SELECT label, pos, round(avg(v), 6) AS c FROM e GROUP BY 1, 2
+        ), n AS (
+            SELECT label, count(*) AS n FROM embeddings GROUP BY 1
+        ), p AS (
+            SELECT a.label AS label_a, b.label AS label_b,
+                   sum(a.c * b.c) AS dot,
+                   sqrt(sum(a.c * a.c)) AS na,
+                   sqrt(sum(b.c * b.c)) AS nb
+            FROM c a JOIN c b USING (pos)
+            WHERE a.label < b.label
+            GROUP BY 1, 2
+        )
+        SELECT CAST(p.label_a AS BIGINT) AS label_a,
+               CAST(p.label_b AS BIGINT) AS label_b,
+               CAST(nx.n AS BIGINT) AS n_a,
+               CAST(ny.n AS BIGINT) AS n_b,
+               round(dot / (na * nb), 5) AS cosine
+        FROM p
+        JOIN n nx ON nx.label = p.label_a
+        JOIN n ny ON ny.label = p.label_b
+        ORDER BY label_a, label_b
+    """
+
+    # q108: opening-prompt diversity per source (turn-0 text, md5 fp).
+    oracles["q108_prompt_diversity"] = f"""
+        WITH tr AS ({transcripts_from_documents_sql()}),
+        first AS (
+            SELECT conv_id, md5(text) AS fp FROM tr WHERE turn_idx = 0
+        ), j AS (
+            SELECT d.source, f.fp
+            FROM first f
+            JOIN (SELECT CAST(doc_id AS VARCHAR) AS conv_id, source
+                  FROM documents) d USING (conv_id)
+        ), per_fp AS (
+            SELECT source, fp, count(*) AS n FROM j GROUP BY 1, 2
+        )
+        SELECT source,
+               CAST(sum(n) AS BIGINT) AS n_convs,
+               CAST(count(*) AS BIGINT) AS n_prompts,
+               CAST(round(count(*) / CAST(sum(n) AS DOUBLE) * 10000) AS BIGINT)
+                   AS diversity_e4,
+               CAST(round(max(n) / CAST(sum(n) AS DOUBLE) * 10000) AS BIGINT)
+                   AS top_prompt_share_e4
+        FROM per_fp GROUP BY source ORDER BY source
+    """
+
+    # q109: 16-lane portable-MinHash calibration.  Lane hash is the
+    # md5_long60 of gram||'|'||p -- bit-identical on both engines; every
+    # mean is integer-summed (est_e4 = matches*625 exact, exact_e4
+    # rounded per pair) so association order cannot touch the hash;
+    # percentile == quantile_cont over the integer abs-err multiset.
+    _lane_h = md5_long60_sql("concat(gram, '|', CAST(p AS VARCHAR))")
+    oracles["q109_minhash_calibration"] = f"""
+        WITH g AS (
+            SELECT doc_id AS id, {grams3} AS grams FROM documents
+        ), x AS (
+            SELECT id, unnest(grams) AS gram FROM g
+        ), lanes AS (
+            SELECT id, p, min({_lane_h}) AS h
+            FROM x, (SELECT unnest(range(16)) AS p) perms
+            GROUP BY 1, 2
+        ), sz AS (
+            SELECT id, len(grams) AS n FROM g
+        ), inter AS (
+            SELECT l.id AS ida, r.id AS idb, count(*) AS i
+            FROM x l JOIN x r ON l.gram = r.gram AND l.id < r.id
+            GROUP BY 1, 2
+        ), pairs AS (
+            SELECT ida, idb,
+                   i / CAST(sa.n + sb.n - i AS DOUBLE) AS exact_j
+            FROM inter
+            JOIN sz sa ON inter.ida = sa.id
+            JOIN sz sb ON inter.idb = sb.id
+        ), est AS (
+            SELECT p.ida, p.idb,
+                   sum(CASE WHEN la.h = lb.h THEN 1 ELSE 0 END) AS m
+            FROM pairs p
+            JOIN lanes la ON la.id = p.ida
+            JOIN lanes lb ON lb.id = p.idb AND lb.p = la.p
+            GROUP BY 1, 2
+        ), scored AS (
+            SELECT CAST(floor(exact_j * 10) AS BIGINT) AS band,
+                   m * 625 AS est_e4,
+                   CAST(round(exact_j * 10000) AS BIGINT) AS exact_e4
+            FROM pairs JOIN est USING (ida, idb)
+        ), s2 AS (
+            SELECT band, est_e4, exact_e4,
+                   abs(est_e4 - exact_e4) AS abs_err_e4
+            FROM scored
+        )
+        SELECT band,
+               count(*) AS n_pairs,
+               CAST(round(avg(exact_e4)) AS BIGINT) AS mean_exact_e4,
+               CAST(round(avg(est_e4)) AS BIGINT) AS mean_est_e4,
+               CAST(round(avg(abs_err_e4)) AS BIGINT) AS mean_abs_err_e4,
+               round(quantile_cont(abs_err_e4, 0.9), 4) AS p90_abs_err_e4
+        FROM s2 GROUP BY band ORDER BY band
+    """
+
+    # q110: dropped-member -> keeper direct-edge jaccard floor per
+    # family-size bucket.  Reuses q38's closure/quality/keeper CTEs;
+    # keeper_j is the exact i/union double (identical on both engines),
+    # NULL when the dropped member has no direct keeper edge.
+    oracles["q110_keeper_similarity_floor"] = f"""
+        WITH RECURSIVE g AS (
+            SELECT CAST(doc_id AS VARCHAR) AS id, {grams3} AS grams FROM documents
+        ), x AS (
+            SELECT id, unnest(grams) AS gram FROM g
+        ), inter AS (
+            SELECT l.id AS a, r.id AS b, count(*) AS i
+            FROM x l JOIN x r ON l.gram = r.gram AND l.id < r.id
+            GROUP BY 1, 2
+        ), sz AS (
+            SELECT id, len(grams) AS n FROM g
+        ), edges AS (
+            SELECT a, b, i / CAST(sa.n + sb.n - i AS DOUBLE) AS j
+            FROM inter
+            JOIN sz sa ON inter.a = sa.id
+            JOIN sz sb ON inter.b = sb.id
+            WHERE i / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.7
+        ), sym AS (
+            SELECT a, b, j FROM edges
+            UNION ALL SELECT b AS a, a AS b, j FROM edges
+        ), cc(id, lbl) AS (
+            SELECT DISTINCT a, a FROM sym
+            UNION
+            SELECT s.b, cc.lbl FROM cc JOIN sym s ON cc.id = s.a
+        ), labels AS (
+            SELECT id, min(lbl) AS cluster_id FROM cc GROUP BY id
+        ), qual AS (
+            SELECT CAST(doc_id AS VARCHAR) AS id,
+                   round((CASE WHEN len({_NORM_TOKS}) BETWEEN 10 AND 5000 THEN 1.0
+                               WHEN len({_NORM_TOKS}) < 10 THEN len({_NORM_TOKS}) / 10.0
+                               ELSE 5000.0 / len({_NORM_TOKS}) END
+                          + CASE WHEN length(text) / greatest(len({_NORM_TOKS}), 1)::DOUBLE BETWEEN 3 AND 12
+                                 THEN 1.0 ELSE 0.5 END
+                          + 1.0 - least(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g'))
+                                        / greatest(length(text), 1)::DOUBLE * 4, 1.0)
+                         ) / 3, 4) AS quality
+            FROM documents
+        ), members AS (
+            SELECT l.id, l.cluster_id, q.quality,
+                   count(*) OVER (PARTITION BY l.cluster_id) AS sz2
+            FROM labels l JOIN qual q ON l.id = q.id
+        ), rk AS (
+            SELECT cluster_id, id, sz2,
+                   row_number() OVER (PARTITION BY cluster_id
+                                      ORDER BY quality DESC, id) AS rk
+            FROM members
+        ), kp AS (
+            SELECT cluster_id, id AS keeper_id FROM rk WHERE rk = 1
+        ), dropped AS (
+            SELECT r.cluster_id, r.id AS conv_id, r.sz2, kp.keeper_id
+            FROM rk r JOIN kp USING (cluster_id) WHERE r.rk > 1
+        ), scored AS (
+            SELECT d.*, s.j AS keeper_j
+            FROM dropped d
+            LEFT JOIN sym s ON s.a = d.conv_id AND s.b = d.keeper_id
+        )
+        SELECT least(sz2, 5) AS size_bucket,
+               CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+               count(*) AS n_dropped,
+               CAST(sum(CASE WHEN keeper_j IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_unscored,
+               round(quantile_cont(keeper_j, 0.5), 4) AS p50_keeper_j,
+               round(min(keeper_j), 4) AS min_keeper_j
+        FROM scored GROUP BY 1 ORDER BY 1
     """
     return oracles

@@ -3084,3 +3084,289 @@ def q105_containment_dedup(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+def q106_dup_pair_age(spark, sf_dir):
+    """Near-dup pair AGE: the ingest-time gap (minutes between the two
+    conversations' start timestamps) for every verified >=0.7-jaccard
+    pair, per source of the LATER member.  This is the number that
+    sizes the incremental band-index retention horizon at 10^12 turns:
+    q37's accumulator can only drop index entries older than H if no
+    pair it must catch spans more than H -- p50/p90/max gap plus the
+    share of pairs an H=1h horizon would MISS answers exactly that
+    (q62 buckets pair age coarsely for leakage; this is the retention
+    -sizing quantile view).  Plan: the edge list is the small memoized
+    q24 output; start times are one conv-keyed agg; the source dim is
+    a broadcast; quantiles run per source over O(#pairs) rows, never
+    the corpus."""
+    res = documents_dedup_result(spark, sf_dir)
+    t = transcripts_from_documents(spark, sf_dir)
+    start = t.groupBy("conv_id").agg(F.min("ts").alias("t0"))
+    pairs = res.edges.select(
+        F.least(F.col("a").cast("long"), F.col("b").cast("long")).alias("early"),
+        F.greatest(F.col("a").cast("long"), F.col("b").cast("long")).alias("late"),
+    )
+    se = start.select(
+        F.col("conv_id").cast("long").alias("early"),
+        F.unix_timestamp("t0").alias("sec_early"),
+    )
+    sl = start.select(
+        F.col("conv_id").cast("long").alias("late"),
+        F.unix_timestamp("t0").alias("sec_late"),
+    )
+    src = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("late"), "source"
+    )
+    gaps = (
+        pairs.join(se, "early")
+        .join(sl, "late")
+        .join(F.broadcast(src), "late")
+        .withColumn(
+            "gap_min",
+            F.floor((F.col("sec_late") - F.col("sec_early")) / 60).cast("long"),
+        )
+    )
+    return (
+        gaps.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.round(F.expr("percentile(gap_min, 0.5)"), 4).alias("p50_gap_min"),
+            F.round(F.expr("percentile(gap_min, 0.9)"), 4).alias("p90_gap_min"),
+            F.max("gap_min").cast("long").alias("max_gap_min"),
+            F.sum((F.col("gap_min") > 60).cast("long"))
+            .cast("long")
+            .alias("n_beyond_1h"),
+            F.round(
+                F.sum((F.col("gap_min") > 60).cast("long")) / F.count("*") * 10000
+            )
+            .cast("long")
+            .alias("miss_share_e4"),
+        )
+        .orderBy("source")
+    )
+
+
+def q107_source_centroid_similarity(spark, sf_dir):
+    """Source-level semantic redundancy: pairwise cosine similarity
+    between per-label embedding CENTROIDS -- two labels whose centroids
+    sit near cosine 1 are the same distribution crawled twice, which a
+    mixing policy (q60) should treat as ONE source and a semantic-dedup
+    pass (q45) will collapse hardest.  Centroid components are rounded
+    to 6dp on both engines before the cosine so the only cross-engine
+    noise left is 64-term association order (~1e-16), killed by the
+    5dp output round.  Plan: posexplode is a narrow (label, pos, v)
+    stream with a map-side-combined avg -- ONE shuffle of |labels| x
+    dim cells; the pairwise stage is |labels|^2 x dim rows, trivially
+    broadcastable at any corpus scale because labels number in the
+    hundreds while vectors number in the billions."""
+    e = _t(spark, sf_dir, "embeddings")
+    comp = e.select("label", F.posexplode("embedding").alias("pos", "v"))
+    cent = comp.groupBy("label", "pos").agg(
+        F.round(F.avg(F.col("v").cast("double")), 6).alias("c")
+    )
+    n = e.groupBy("label").agg(F.count("*").alias("n"))
+    a = cent.select(F.col("label").alias("label_a"), "pos", F.col("c").alias("ca"))
+    b = cent.select(F.col("label").alias("label_b"), "pos", F.col("c").alias("cb"))
+    pair = (
+        a.join(b, "pos")
+        .where(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            (
+                F.sum(F.col("ca") * F.col("cb"))
+                / (
+                    F.sqrt(F.sum(F.col("ca") * F.col("ca")))
+                    * F.sqrt(F.sum(F.col("cb") * F.col("cb")))
+                )
+            ).alias("raw_cos")
+        )
+    )
+    na = n.select(F.col("label").alias("label_a"), F.col("n").alias("n_a"))
+    nb = n.select(F.col("label").alias("label_b"), F.col("n").alias("n_b"))
+    return (
+        pair.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            F.col("label_a").cast("long").alias("label_a"),
+            F.col("label_b").cast("long").alias("label_b"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round("raw_cos", 5).alias("cosine"),
+        )
+        .orderBy("label_a", "label_b")
+    )
+
+
+def q108_prompt_diversity(spark, sf_dir):
+    """Instruction diversity per source: how many DISTINCT opening
+    prompts (the turn-0 user text, md5-keyed) a source contributes
+    relative to its conversation count, and how much of the source one
+    single template prompt owns.  A source with diversity 0.05 and a
+    60% top prompt is a scripted agent harness replaying one seed --
+    worth one exemplar in an SFT mix, not its full token mass; q50
+    templates ALL turns and q95 locates them by position, while this
+    is the mix-design view of the opening turn only.  Plan: the turn-0
+    filter prunes the explode to one row per conv before any shuffle;
+    one (source, fp) agg then an O(|sources| x |templates|) rollup;
+    the (conv -> source) dim is a broadcast."""
+    t = transcripts_from_documents(spark, sf_dir)
+    first = t.where(F.col("turn_idx") == 0).select(
+        "conv_id", F.md5(F.col("text")).alias("fp")
+    )
+    src = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("conv_id"), "source"
+    )
+    per_fp = (
+        first.join(F.broadcast(src), "conv_id")
+        .groupBy("source", "fp")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        per_fp.groupBy("source")
+        .agg(
+            F.sum("n").cast("long").alias("n_convs"),
+            F.count("*").cast("long").alias("n_prompts"),
+            F.round(F.count("*") / F.sum("n") * 10000)
+            .cast("long")
+            .alias("diversity_e4"),
+            F.round(F.max("n") / F.sum("n") * 10000)
+            .cast("long")
+            .alias("top_prompt_share_e4"),
+        )
+        .orderBy("source")
+    )
+
+
+def q109_minhash_calibration(spark, sf_dir):
+    """MinHash estimator calibration: for every gram-sharing doc pair,
+    the 16-lane portable-MinHash estimate vs the exact 3-gram jaccard,
+    bucketed by exact-jaccard decile band -- the empirical
+    check that q65's analytic b x r planning rests on (lane-match
+    probability == jaccard is the MinHash identity; this measures the
+    k=16 sampling error the production k=128 kernel shrinks ~3x).
+    Lane hashes are the portable md5 tier so DuckDB replays them bit
+    for bit; every mean is integer-summed (est_e4 = matches*625 exactly,
+    exact_e4 rounded per pair) so no float association order can touch
+    the hash.  Plan: the lane explode is x16 on the gram stream but
+    rows are (id, p, h) -- narrow, map-side-combined min; the pair join
+    reuses the gram-postings shape q105 already pays; at corpus scale
+    the calibration runs on a u01 pair SAMPLE, never the full closure."""
+    from ..functions.portable import md5_long60, word_grams
+    from ..functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    g = d.select(
+        F.col("doc_id").alias("id"),
+        F.explode(word_grams(tokens(F.col("text")), 3)).alias("gram"),
+    )
+    lanes = g.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(15)),
+                lambda p: md5_long60(
+                    F.concat(F.col("gram"), F.lit("|"), p.cast("string"))
+                ),
+            )
+        ).alias("p", "h"),
+    )
+    sig = lanes.groupBy("id", "p").agg(F.min("h").alias("h"))
+    sz = g.groupBy("id").agg(F.count("*").alias("n"))
+    inter = (
+        g.select(F.col("id").alias("ida"), "gram")
+        .join(g.select(F.col("id").alias("idb"), "gram"), "gram")
+        .where(F.col("ida") < F.col("idb"))
+        .groupBy("ida", "idb")
+        .agg(F.count("*").alias("i"))
+    )
+    pairs = (
+        inter.join(sz.select(F.col("id").alias("ida"), F.col("n").alias("na")), "ida")
+        .join(sz.select(F.col("id").alias("idb"), F.col("n").alias("nb")), "idb")
+        .withColumn(
+            "exact_j", F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+        )
+    )
+    sa = sig.select(F.col("id").alias("ida"), "p", F.col("h").alias("ha"))
+    sb = sig.select(F.col("id").alias("idb"), "p", F.col("h").alias("hb"))
+    est = (
+        pairs.select("ida", "idb")
+        .join(sa, "ida")
+        .join(sb, ["idb", "p"])
+        .groupBy("ida", "idb")
+        .agg(F.sum((F.col("ha") == F.col("hb")).cast("long")).alias("m"))
+    )
+    scored = (
+        pairs.join(est, ["ida", "idb"])
+        .select(
+            F.floor(F.col("exact_j") * 10).cast("long").alias("band"),
+            (F.col("m") * 625).alias("est_e4"),
+            F.round(F.col("exact_j") * 10000).cast("long").alias("exact_e4"),
+        )
+        .withColumn("abs_err_e4", F.abs(F.col("est_e4") - F.col("exact_e4")))
+    )
+    return (
+        scored.groupBy("band")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.round(F.avg("exact_e4")).cast("long").alias("mean_exact_e4"),
+            F.round(F.avg("est_e4")).cast("long").alias("mean_est_e4"),
+            F.round(F.avg("abs_err_e4")).cast("long").alias("mean_abs_err_e4"),
+            F.round(F.expr("percentile(abs_err_e4, 0.9)"), 4).alias("p90_abs_err_e4"),
+        )
+        .orderBy("band")
+    )
+
+
+def q110_keeper_similarity_floor(spark, sf_dir):
+    """Keeper-collapse information loss: when q38's policy keeps one
+    doc per near-dup family, how similar was everything it dropped to
+    the keeper?  Per family-size bucket (2, 3, 4, 5+): dropped members'
+    DIRECT keeper-edge jaccard quantiles, plus the count of dropped
+    members with NO direct keeper edge (chain-linked text q84's
+    diameter audit flags -- those are removed on transitivity alone,
+    the riskiest deletions a dedup pipeline makes).  Plan: everything
+    runs on the memoized q24 output -- edges and clusters are the small
+    derived tables, the quality dim is one broadcast-sized projection;
+    nothing rescans the corpus."""
+    res = documents_dedup_result(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.round(TXT.quality_score(F.col("text")), 4).alias("quality"),
+    )
+    members = (
+        res.clusters.join(d, "conv_id")
+        .withColumn("sz", F.count("*").over(Window.partitionBy("cluster_id")))
+        .where(F.col("sz") > 1)
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("quality"), "conv_id")
+    ranked = members.withColumn("rk", F.row_number().over(w))
+    keepers = ranked.where(F.col("rk") == 1).select(
+        "cluster_id", F.col("conv_id").alias("keeper_id")
+    )
+    dropped = ranked.where(F.col("rk") > 1).select(
+        "cluster_id", "conv_id", "sz"
+    ).join(keepers, "cluster_id")
+    sym = res.edges.select("a", "b", "jaccard").union(
+        res.edges.select(
+            F.col("b").alias("a"), F.col("a").alias("b"), "jaccard"
+        )
+    )
+    ke = sym.select(
+        F.col("a").alias("conv_id"),
+        F.col("b").alias("keeper_id"),
+        F.col("jaccard").alias("keeper_j"),
+    )
+    scored = dropped.join(ke, ["conv_id", "keeper_id"], "left")
+    return (
+        scored.groupBy(F.least(F.col("sz"), F.lit(5)).cast("long").alias("size_bucket"))
+        .agg(
+            F.countDistinct("cluster_id").cast("long").alias("n_clusters"),
+            F.count("*").cast("long").alias("n_dropped"),
+            F.sum(F.col("keeper_j").isNull().cast("long"))
+            .cast("long")
+            .alias("n_unscored"),
+            F.round(F.expr("percentile(keeper_j, 0.5)"), 4).alias("p50_keeper_j"),
+            F.round(F.min("keeper_j"), 4).alias("min_keeper_j"),
+        )
+        .orderBy("size_bucket")
+    )

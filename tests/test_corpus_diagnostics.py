@@ -121,3 +121,183 @@ def test_cross_source_substr_leakage_planted_quote(spark, sf_dir, tmp_path):
     assert ("a", "b") in cells
     assert cells[("a", "b")].n_shared_wins == 1  # exactly the planted span
     assert all("c" not in k for k in cells)
+
+
+def test_dup_pair_age_covers_every_edge(spark, sf_dir):
+    from datasketches_server_spark.plans.queries import q106_dup_pair_age
+
+    rows = q106_dup_pair_age(spark, sf_dir).collect()
+    assert rows, "planted near-dup families guarantee pairs"
+    res = documents_dedup_result(spark, sf_dir)
+    n_edges = res.edges.count()
+    assert sum(r.n_pairs for r in rows) == n_edges
+    for r in rows:
+        assert 0 <= r.p50_gap_min <= r.p90_gap_min <= r.max_gap_min
+        assert 0 <= r.n_beyond_1h <= r.n_pairs
+        assert 0 <= r.miss_share_e4 <= 10000
+
+
+def test_dup_pair_age_planted_gap(spark, tmp_path):
+    """Two exact-dup docs whose ids sit 500 apart: the synthetic ts
+    derivation makes the pair's gap exactly 500 minutes, in the source
+    of the LATER doc."""
+    from datasketches_server_spark.plans.queries import q106_dup_pair_age
+
+    body = " ".join(f"tok{i} common text span here" for i in range(8))
+    docs = spark.createDataFrame(
+        [
+            (1, body, "early_src"),
+            (501, body, "late_src"),
+            (900, "completely different words that never shingle alike at all "
+                  + " ".join(f"z{i}" for i in range(30)), "noise"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = str(tmp_path / "aged")
+    docs.write.parquet(f"{out}/documents.parquet")
+    rows = {r.source: r for r in q106_dup_pair_age(spark, out).collect()}
+    assert set(rows) == {"late_src"}
+    r = rows["late_src"]
+    assert r.n_pairs == 1
+    assert r.max_gap_min == 500
+    assert r.n_beyond_1h == 1 and r.miss_share_e4 == 10000
+
+
+def test_source_centroid_similarity_matrix_shape(spark, sf_dir):
+    from datasketches_server_spark.plans.queries import q107_source_centroid_similarity
+
+    rows = q107_source_centroid_similarity(spark, sf_dir).collect()
+    labels = set()
+    for r in rows:
+        assert r.label_a < r.label_b
+        assert -1.0 <= r.cosine <= 1.0
+        assert r.n_a > 0 and r.n_b > 0
+        labels.update((r.label_a, r.label_b))
+    n = len(labels)
+    assert len(rows) == n * (n - 1) // 2, "full upper-triangular matrix"
+
+
+def test_source_centroid_similarity_planted_identical(spark, tmp_path):
+    """Two labels holding identical vector sets centroid to cosine 1;
+    an orthogonal third label centroids to cosine 0 against both."""
+    import pyspark.sql.functions as F2
+
+    vecs = []
+    for i in range(5):
+        vecs.append((i, [1.0, 2.0, 0.0, 0.0], 0))
+        vecs.append((10 + i, [1.0, 2.0, 0.0, 0.0], 1))
+        vecs.append((20 + i, [0.0, 0.0, 3.0 + i, 1.0], 2))
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>, label int")
+    out = str(tmp_path / "cent")
+    df.write.parquet(f"{out}/embeddings.parquet")
+    from datasketches_server_spark.plans.queries import q107_source_centroid_similarity
+
+    rows = {(r.label_a, r.label_b): r.cosine for r in
+            q107_source_centroid_similarity(spark, out).collect()}
+    assert rows[(0, 1)] == 1.0
+    assert rows[(0, 2)] == 0.0
+    assert rows[(1, 2)] == 0.0
+
+
+def test_prompt_diversity_bounds_and_planted_template(spark, sf_dir, tmp_path):
+    from datasketches_server_spark.plans.queries import q108_prompt_diversity
+
+    rows = q108_prompt_diversity(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_prompts <= r.n_convs
+        assert 0 < r.diversity_e4 <= 10000
+        assert 0 < r.top_prompt_share_e4 <= 10000
+
+    # planted: every conv in source "s" opens with the SAME 8-token
+    # prompt (turn 0 is exactly 8 tokens), so the source has ONE
+    # distinct prompt owning 100% of convs.
+    greeting = "hello agent please help with the following task"  # 8 tokens
+    docs = spark.createDataFrame(
+        [(i, f"{greeting} unique tail {i} " + " ".join(f"w{i}x{j}" for j in range(12)), "s")
+         for i in range(10)],
+        "doc_id long, text string, source string",
+    )
+    out = str(tmp_path / "prompts")
+    docs.write.parquet(f"{out}/documents.parquet")
+    planted = {r.source: r for r in q108_prompt_diversity(spark, out).collect()}
+    assert planted["s"].n_convs == 10
+    assert planted["s"].n_prompts == 1
+    assert planted["s"].top_prompt_share_e4 == 10000
+
+
+def test_minhash_calibration_bounds_and_exact_dup_band(spark, sf_dir):
+    from datasketches_server_spark.plans.queries import q109_minhash_calibration
+
+    rows = q109_minhash_calibration(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.band <= 10
+        assert r.n_pairs > 0
+        assert 0 <= r.mean_est_e4 <= 10000
+        assert 0 <= r.mean_exact_e4 <= 10000
+        assert 0 <= r.mean_abs_err_e4 <= 10000
+        assert 0 <= r.p90_abs_err_e4 <= 10000
+
+
+def test_minhash_calibration_planted_identical_pair(spark, tmp_path):
+    """Identical docs: every lane min matches -> est exactly 10000 with
+    zero error; a disjoint doc never pairs."""
+    from datasketches_server_spark.plans.queries import q109_minhash_calibration
+
+    body = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (1, body, "s"),
+            (2, body, "s"),
+            (3, " ".join(f"zz{i} yy{i}" for i in range(15)), "s"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = str(tmp_path / "cal")
+    docs.write.parquet(f"{out}/documents.parquet")
+    rows = q109_minhash_calibration(spark, out).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.band == 10 and r.n_pairs == 1
+    assert r.mean_est_e4 == 10000 and r.mean_exact_e4 == 10000
+    assert r.mean_abs_err_e4 == 0 and r.p90_abs_err_e4 == 0.0
+
+
+def test_keeper_floor_accounts_for_every_dropped_member(spark, sf_dir):
+    from datasketches_server_spark.plans.queries import q110_keeper_similarity_floor
+
+    rows = q110_keeper_similarity_floor(spark, sf_dir).collect()
+    assert rows
+    res = documents_dedup_result(spark, sf_dir)
+    sizes = res.clusters.groupBy("cluster_id").count().where(F.col("count") > 1)
+    n_clusters = sizes.count()
+    n_members = sizes.agg(F.sum("count")).collect()[0][0] or 0
+    assert sum(r.n_clusters for r in rows) == n_clusters
+    assert sum(r.n_dropped for r in rows) == n_members - n_clusters
+    for r in rows:
+        assert 2 <= r.size_bucket <= 5
+        assert 0 <= r.n_unscored <= r.n_dropped
+        if r.n_unscored < r.n_dropped:  # some scored member exists
+            assert 0.7 <= r.min_keeper_j <= r.p50_keeper_j <= 1.0
+
+
+def test_keeper_floor_planted_triplet(spark, tmp_path):
+    """Three identical docs: one cluster of size 3, two dropped members
+    both with a direct keeper edge at jaccard 1.0."""
+    from datasketches_server_spark.plans.queries import q110_keeper_similarity_floor
+
+    body = " ".join(f"tok{i} word{i} item{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(i, body, "s") for i in (1, 2, 3)]
+        + [(9, " ".join(f"qq{i} rr{i}" for i in range(20)), "s")],
+        "doc_id long, text string, source string",
+    )
+    out = str(tmp_path / "triplet")
+    docs.write.parquet(f"{out}/documents.parquet")
+    rows = q110_keeper_similarity_floor(spark, out).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.size_bucket == 3
+    assert r.n_clusters == 1 and r.n_dropped == 2 and r.n_unscored == 0
+    assert r.p50_keeper_j == 1.0 and r.min_keeper_j == 1.0
