@@ -210,6 +210,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q109_minhash_calibration": Q.q109_minhash_calibration,
         # dropped-member -> keeper jaccard floor per family-size bucket
         "q110_keeper_similarity_floor": Q.q110_keeper_similarity_floor,
+        # exact all-pairs similarity self-join via prefix filtering (recall 1.0)
+        "q111_allpairs_ssjoin": Q.q111_allpairs_ssjoin,
+        # weighted (multiset) jaccard pairs over 3-gram term frequencies
+        "q112_weighted_jaccard_dedup": Q.q112_weighted_jaccard_dedup,
+        # per-source gram frequency head decay (log-free Zipf profile)
+        "q113_gram_rank_decay": Q.q113_gram_rank_decay,
+        # levenshtein audit of verified near-dup pairs
+        "q114_edit_distance_audit": Q.q114_edit_distance_audit,
+        # 1-bit MinHash accuracy contract vs q109's full-width lanes
+        "q115_bbit_minhash_contract": Q.q115_bbit_minhash_contract,
+        # temperature-scaled source mixing weights + effective epochs
+        "q116_source_mix_weights": Q.q116_source_mix_weights,
     }
 
 
@@ -3081,4 +3093,186 @@ def oracle_sql() -> dict[str, str]:
                round(min(keeper_j), 4) AS min_keeper_j
         FROM scored GROUP BY 1 ORDER BY 1
     """
+
+    oracles["q111_allpairs_ssjoin"] = f"""
+        WITH g AS (
+            SELECT doc_id AS id, {grams3} AS grams FROM documents
+        ), x AS (
+            SELECT id, unnest(grams) AS gram FROM g
+        ), sz AS (
+            SELECT id, len(grams) AS n FROM g
+        ), inter AS (
+            SELECT a.id AS ida, b.id AS idb, count(*) AS i
+            FROM x a JOIN x b ON a.gram = b.gram AND a.id < b.id
+            GROUP BY 1, 2
+        )
+        SELECT ida, idb,
+               CAST((20000 * i + (sa.n + sb.n - i))
+                    // (2 * (sa.n + sb.n - i)) AS BIGINT) AS jacc_e4
+        FROM inter
+        JOIN sz sa ON ida = sa.id
+        JOIN sz sb ON idb = sb.id
+        WHERE 3 * i >= sa.n + sb.n
+        ORDER BY ida, idb
+    """
+
+    oracles["q112_weighted_jaccard_dedup"] = f"""
+        WITH x AS (
+            SELECT doc_id AS id, unnest({_G3ALL}) AS gram FROM documents
+        ), tf AS (
+            SELECT id, gram, count(*) AS w FROM x GROUP BY 1, 2
+        ), tot AS (
+            SELECT id, sum(w) AS t FROM tf GROUP BY 1
+        ), mn AS (
+            SELECT a.id AS ida, b.id AS idb, sum(least(a.w, b.w)) AS m
+            FROM tf a JOIN tf b ON a.gram = b.gram AND a.id < b.id
+            GROUP BY 1, 2
+        )
+        SELECT ida, idb,
+               CAST((20000 * m + (ta.t + tb.t - m))
+                    // (2 * (ta.t + tb.t - m)) AS BIGINT) AS wj_e4
+        FROM mn
+        JOIN tot ta ON ida = ta.id
+        JOIN tot tb ON idb = tb.id
+        WHERE 3 * m >= ta.t + tb.t
+        ORDER BY ida, idb
+    """
+
+    oracles["q113_gram_rank_decay"] = f"""
+        WITH x AS (
+            SELECT source, unnest({_G3ALL}) AS gram FROM documents
+        ), counts AS (
+            SELECT source, gram, count(*) AS c FROM x GROUP BY 1, 2
+        ), rk AS (
+            SELECT source, c,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY c DESC, gram) AS rnk
+            FROM counts
+        ), picked AS (
+            SELECT source,
+                   max(CASE WHEN rnk = 1 THEN c END) AS c1,
+                   max(CASE WHEN rnk = 10 THEN c END) AS c10,
+                   max(CASE WHEN rnk = 100 THEN c END) AS c100
+            FROM rk WHERE rnk IN (1, 10, 100) GROUP BY source
+        )
+        SELECT source,
+               CAST(c1 AS BIGINT) AS c1,
+               CAST(c10 AS BIGINT) AS c10,
+               CAST(c100 AS BIGINT) AS c100,
+               CAST((20000 * c10 + c1) // (2 * c1) AS BIGINT) AS decay_1_10_e4,
+               CAST((20000 * c100 + c10) // (2 * c10) AS BIGINT) AS decay_10_100_e4
+        FROM picked ORDER BY source
+    """
+
+    oracles["q114_edit_distance_audit"] = f"""
+        WITH g AS (
+            SELECT doc_id AS id, {grams3} AS grams FROM documents
+        ), x AS (
+            SELECT id, unnest(grams) AS gram FROM g
+        ), sz AS (
+            SELECT id, len(grams) AS n FROM g
+        ), inter AS (
+            SELECT a.id AS ida, b.id AS idb, count(*) AS i
+            FROM x a JOIN x b ON a.gram = b.gram AND a.id < b.id
+            GROUP BY 1, 2
+        ), pairs AS (
+            SELECT ida, idb FROM inter
+            JOIN sz sa ON ida = sa.id
+            JOIN sz sb ON idb = sb.id
+            WHERE 10 * i >= 7 * (sa.n + sb.n - i)
+        ), scored AS (
+            SELECT levenshtein(da.text, db.text) AS lev,
+                   greatest(length(da.text), length(db.text), 1) AS mx
+            FROM pairs
+            JOIN documents da ON da.doc_id = ida
+            JOIN documents db ON db.doc_id = idb
+        ), cls AS (
+            SELECT lev, (20000 * lev + mx) // (2 * mx) AS nld_e4 FROM scored
+        ), cls2 AS (
+            SELECT lev, nld_e4,
+                   CASE WHEN lev = 0 THEN 'exact'
+                        WHEN nld_e4 <= 500 THEN 'near'
+                        WHEN nld_e4 <= 2000 THEN 'moderate'
+                        ELSE 'far' END AS edit_class
+            FROM cls
+        )
+        SELECT edit_class,
+               count(*) AS n_pairs,
+               CAST((2 * sum(lev) + count(*)) // (2 * count(*)) AS BIGINT) AS mean_lev,
+               CAST((2 * sum(nld_e4) + count(*)) // (2 * count(*)) AS BIGINT) AS mean_nld_e4,
+               CAST(max(lev) AS BIGINT) AS max_lev
+        FROM cls2 GROUP BY edit_class ORDER BY edit_class
+    """
+
+    oracles["q115_bbit_minhash_contract"] = f"""
+        WITH g AS (
+            SELECT doc_id AS id, {grams3} AS grams FROM documents
+        ), x AS (
+            SELECT id, unnest(grams) AS gram FROM g
+        ), lanes AS (
+            SELECT id, p, min({_lane_h}) AS h
+            FROM x, (SELECT unnest(range(16)) AS p) perms
+            GROUP BY 1, 2
+        ), sz AS (
+            SELECT id, len(grams) AS n FROM g
+        ), inter AS (
+            SELECT l.id AS ida, r.id AS idb, count(*) AS i
+            FROM x l JOIN x r ON l.gram = r.gram AND l.id < r.id
+            GROUP BY 1, 2
+        ), pairs AS (
+            SELECT ida, idb, i, sa.n + sb.n - i AS u
+            FROM inter
+            JOIN sz sa ON inter.ida = sa.id
+            JOIN sz sb ON inter.idb = sb.id
+        ), est AS (
+            SELECT p.ida, p.idb,
+                   sum(CASE WHEN la.h % 2 = lb.h % 2 THEN 1 ELSE 0 END) AS m
+            FROM pairs p
+            JOIN lanes la ON la.id = p.ida
+            JOIN lanes lb ON lb.id = p.idb AND lb.p = la.p
+            GROUP BY 1, 2
+        ), scored AS (
+            SELECT (10 * i) // u AS band,
+                   greatest((m - 8) * 1250, 0) AS est_e4,
+                   (20000 * i + u) // (2 * u) AS exact_e4
+            FROM pairs JOIN est USING (ida, idb)
+        ), s2 AS (
+            SELECT band, est_e4, exact_e4,
+                   abs(est_e4 - exact_e4) AS abs_err_e4
+            FROM scored
+        )
+        SELECT CAST(band AS BIGINT) AS band,
+               count(*) AS n_pairs,
+               CAST((2 * sum(exact_e4) + count(*)) // (2 * count(*)) AS BIGINT)
+                   AS mean_exact_e4,
+               CAST((2 * sum(est_e4) + count(*)) // (2 * count(*)) AS BIGINT)
+                   AS mean_est_e4,
+               CAST((2 * sum(abs_err_e4) + count(*)) // (2 * count(*)) AS BIGINT)
+                   AS mean_abs_err_e4
+        FROM s2 GROUP BY band ORDER BY band
+    """
+
+    oracles["q116_source_mix_weights"] = f"""
+        WITH per AS (
+            SELECT source,
+                   count(*) AS n_docs,
+                   CAST(sum(len({_NORM_TOKS})) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY source
+        ), per2 AS (
+            SELECT source, n_docs, n_tokens,
+                   CAST(round(sqrt(n_tokens) * 100) AS BIGINT) AS s_e2
+            FROM per
+        ), tot AS (
+            SELECT sum(n_tokens) AS tot_tokens, sum(s_e2) AS tot_s FROM per2
+        )
+        SELECT source, n_docs, n_tokens,
+               CAST((20000 * n_tokens + tot_tokens)
+                    // (2 * tot_tokens) AS BIGINT) AS raw_share_e4,
+               CAST((20000 * s_e2 + tot_s) // (2 * tot_s) AS BIGINT)
+                   AS temp_share_e4,
+               CAST((2 * ((20000 * s_e2 + tot_s) // (2 * tot_s)) * 1000000000
+                     + n_tokens) // (2 * n_tokens) AS BIGINT) AS epochs_e4
+        FROM per2, tot ORDER BY source
+    """
+
     return oracles

@@ -3370,3 +3370,372 @@ def q110_keeper_similarity_floor(spark, sf_dir):
         )
         .orderBy("size_bucket")
     )
+
+
+def q111_allpairs_ssjoin(spark, sf_dir):
+    """Exact all-pairs similarity self-join via prefix filtering (the
+    AllPairs/PPJoin family; MapReduce formulation per Vernica et al.,
+    SIGMOD'10): every document pair with 3-gram-SET jaccard >= 0.5,
+    found without the quadratic postings self-join.  Each doc indexes
+    only its (n - ceil(0.5 n) + 1) globally-RAREST grams -- pigeonhole:
+    a pair at theta shares >= ceil(theta * na) grams, and A's prefix
+    omits only ceil(theta * na) - 1 of A's grams, so at least one
+    shared gram lands in the prefix -- candidates probe the full
+    postings, and a verify join recomputes the exact intersection.
+    This is the recall-1.0-BY-CONSTRUCTION complement to q24's LSH
+    tier: identical output contract to an exact closure, but the
+    candidate stream is driven by rare grams instead of band
+    collisions, so it needs no b x r tuning and cannot miss a pair.
+    All jaccard math is integer ((20000 i + u) div 2u == half-up e4)
+    so no float can touch the driver hash.  Plan: one map-side-combined
+    df ranking, a narrow prefix->postings join whose fan-out is bounded
+    by rare-gram df, verify only on candidates; at corpus scale the
+    global gram order ships as a broadcast df sketch and prefix
+    postings get a df cap (a gram in thousands of docs never survives
+    to a 0.5-jaccard prefix)."""
+    from ..functions.portable import word_grams
+    from ..functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    g = d.select(
+        F.col("doc_id").alias("id"),
+        F.explode(word_grams(tokens(F.col("text")), 3)).alias("gram"),
+    )
+    dfreq = g.groupBy("gram").agg(F.count("*").alias("df"))
+    sz = g.groupBy("id").agg(F.count("*").alias("n"))
+    wrk = Window.partitionBy("id").orderBy("df", "gram")
+    ranked = g.join(dfreq, "gram").withColumn("rnk", F.row_number().over(wrk))
+    prefix = (
+        ranked.join(sz, "id")
+        .where(F.col("rnk") <= F.col("n") - F.expr("(n + 1) div 2") + 1)
+        .select("id", "gram")
+    )
+    cand = (
+        prefix.select(F.col("id").alias("pid"), "gram")
+        .join(g.select(F.col("id").alias("qid"), "gram"), "gram")
+        .where(F.col("pid") != F.col("qid"))
+        .select(
+            F.least("pid", "qid").alias("ida"),
+            F.greatest("pid", "qid").alias("idb"),
+        )
+        .distinct()
+    )
+    inter = (
+        cand.join(g.select(F.col("id").alias("ida"), "gram"), "ida")
+        .join(g.select(F.col("id").alias("idb"), "gram"), ["idb", "gram"])
+        .groupBy("ida", "idb")
+        .agg(F.count("*").alias("i"))
+    )
+    return (
+        inter.join(sz.select(F.col("id").alias("ida"), F.col("n").alias("na")), "ida")
+        .join(sz.select(F.col("id").alias("idb"), F.col("n").alias("nb")), "idb")
+        .where(3 * F.col("i") >= F.col("na") + F.col("nb"))
+        .select(
+            "ida",
+            "idb",
+            F.expr("(20000 * i + (na + nb - i)) div (2 * (na + nb - i))")
+            .cast("long")
+            .alias("jacc_e4"),
+        )
+        .orderBy("ida", "idb")
+    )
+
+
+def q112_weighted_jaccard_dedup(spark, sf_dir):
+    """Weighted (multiset) jaccard near-dup pairs over 3-gram term
+    FREQUENCIES: sum(min(tf_a, tf_b)) / sum(max(tf_a, tf_b)) >= 0.5.
+    Set-jaccard (q24/q111) flattens repetition -- a doc that pastes the
+    same paragraph five times has the SAME gram set as one that pastes
+    it once, so the pair scores 1.0 under sets while only ~1/5 of its
+    mass actually matches; the weighted score is the one that respects
+    how much text is duplicated, which is what a token-budget curator
+    removes by.  Identity used: sum(max) = T_a + T_b - sum(min), so
+    only the min-sum needs the pair join and the threshold test is the
+    integer 3*m >= T_a + T_b.  Integer half-up e4 for the hash.  Plan:
+    tf build is one map-side-combined agg; the pair join runs on (gram,
+    tf) postings -- at corpus scale the same rarest-gram prefix filter
+    as q111 bounds it (prefix length from the weighted bound ceil(theta
+    * T_a) over tf-ordered grams), verification unchanged."""
+    from ..functions.portable import word_grams_all
+    from ..functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    x = d.select(
+        F.col("doc_id").alias("id"),
+        F.explode(word_grams_all(tokens(F.col("text")), 3)).alias("gram"),
+    )
+    tf = x.groupBy("id", "gram").agg(F.count("*").alias("w"))
+    tot = tf.groupBy("id").agg(F.sum("w").alias("t"))
+    mn = (
+        tf.select(F.col("id").alias("ida"), "gram", F.col("w").alias("wa"))
+        .join(
+            tf.select(F.col("id").alias("idb"), "gram", F.col("w").alias("wb")),
+            "gram",
+        )
+        .where(F.col("ida") < F.col("idb"))
+        .groupBy("ida", "idb")
+        .agg(F.sum(F.least("wa", "wb")).alias("m"))
+    )
+    return (
+        mn.join(tot.select(F.col("id").alias("ida"), F.col("t").alias("ta")), "ida")
+        .join(tot.select(F.col("id").alias("idb"), F.col("t").alias("tb")), "idb")
+        .where(3 * F.col("m") >= F.col("ta") + F.col("tb"))
+        .select(
+            "ida",
+            "idb",
+            F.expr("(20000 * m + (ta + tb - m)) div (2 * (ta + tb - m))")
+            .cast("long")
+            .alias("wj_e4"),
+        )
+        .orderBy("ida", "idb")
+    )
+
+
+def q113_gram_rank_decay(spark, sf_dir):
+    """Per-source 3-gram frequency head decay -- the Zipf profile
+    WITHOUT logs (cross-engine libm log is not bit-stable, so the
+    decade ratios c10/c1 and c100/c10 stand in for the slope): a
+    templated source decays slowly (c10 ~ c1, the same boilerplate
+    grams dominate), a diverse one decays fast.  Ranks are made
+    deterministic by the (count desc, gram asc) total order; ratios
+    are integer half-up e4.  Complements q103 (corpus-wide
+    count-of-counts) with the per-source head shape a mixing policy
+    (q116) reads.  Plan: one gram agg, one tiny per-source top-100
+    window over pre-aggregated counts."""
+    from ..functions.portable import word_grams_all
+    from ..functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    x = d.select(
+        "source",
+        F.explode(word_grams_all(tokens(F.col("text")), 3)).alias("gram"),
+    )
+    counts = x.groupBy("source", "gram").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("source").orderBy(F.desc("c"), "gram")
+    picked = (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk").isin(1, 10, 100))
+        .groupBy("source")
+        .agg(
+            F.max(F.when(F.col("rnk") == 1, F.col("c"))).alias("c1"),
+            F.max(F.when(F.col("rnk") == 10, F.col("c"))).alias("c10"),
+            F.max(F.when(F.col("rnk") == 100, F.col("c"))).alias("c100"),
+        )
+    )
+    return picked.select(
+        "source",
+        F.col("c1").cast("long").alias("c1"),
+        F.col("c10").cast("long").alias("c10"),
+        F.col("c100").cast("long").alias("c100"),
+        F.expr("(20000 * c10 + c1) div (2 * c1)").cast("long").alias("decay_1_10_e4"),
+        F.expr("(20000 * c100 + c10) div (2 * c10)")
+        .cast("long")
+        .alias("decay_10_100_e4"),
+    ).orderBy("source")
+
+
+def q114_edit_distance_audit(spark, sf_dir):
+    """Edit-distance audit of verified near-dup pairs: for every exact
+    3-gram-jaccard >= 0.7 pair (q24's edge contract), the levenshtein
+    distance between the two texts, classified into exact / near (<=5%
+    of the longer text) / moderate (<=20%) / far.  This is the
+    second-opinion check on the gram tier: a 'near-dup' pair whose
+    texts are far in edit space is a shingling artifact (reordered
+    boilerplate), while an exact-0 pair that survived exact dedup
+    (q21) means normalization dropped real bytes.  levenshtein is the
+    same integer DP in Spark and DuckDB, and the normalized distance is
+    integer half-up e4, so the hash is float-free.  Plan: the pair set
+    is the small verified edge list; only it pays the O(len^2) DP --
+    never the corpus; at scale the DP runs on length-capped prefixes
+    exactly like the reference exact-substr verify."""
+    from ..functions.portable import word_grams
+    from ..functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    g = d.select(
+        F.col("doc_id").alias("id"),
+        F.explode(word_grams(tokens(F.col("text")), 3)).alias("gram"),
+    )
+    sz = g.groupBy("id").agg(F.count("*").alias("n"))
+    inter = (
+        g.select(F.col("id").alias("ida"), "gram")
+        .join(g.select(F.col("id").alias("idb"), "gram"), "gram")
+        .where(F.col("ida") < F.col("idb"))
+        .groupBy("ida", "idb")
+        .agg(F.count("*").alias("i"))
+    )
+    pairs = (
+        inter.join(sz.select(F.col("id").alias("ida"), F.col("n").alias("na")), "ida")
+        .join(sz.select(F.col("id").alias("idb"), F.col("n").alias("nb")), "idb")
+        .where(10 * F.col("i") >= 7 * (F.col("na") + F.col("nb") - F.col("i")))
+        .select("ida", "idb")
+    )
+    ta = d.select(F.col("doc_id").alias("ida"), F.col("text").alias("text_a"))
+    tb = d.select(F.col("doc_id").alias("idb"), F.col("text").alias("text_b"))
+    scored = (
+        pairs.join(ta, "ida")
+        .join(tb, "idb")
+        .select(
+            F.levenshtein("text_a", "text_b").alias("lev"),
+            F.greatest(F.length("text_a"), F.length("text_b"), F.lit(1)).alias("mx"),
+        )
+        .withColumn(
+            "nld_e4", F.expr("(20000 * lev + mx) div (2 * mx)").cast("long")
+        )
+        .withColumn(
+            "edit_class",
+            F.when(F.col("lev") == 0, "exact")
+            .when(F.col("nld_e4") <= 500, "near")
+            .when(F.col("nld_e4") <= 2000, "moderate")
+            .otherwise("far"),
+        )
+    )
+    return (
+        scored.groupBy("edit_class")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.expr("(2 * sum(lev) + count(*)) div (2 * count(*))")
+            .cast("long")
+            .alias("mean_lev"),
+            F.expr("(2 * sum(nld_e4) + count(*)) div (2 * count(*))")
+            .cast("long")
+            .alias("mean_nld_e4"),
+            F.max("lev").cast("long").alias("max_lev"),
+        )
+        .orderBy("edit_class")
+    )
+
+
+def q115_bbit_minhash_contract(spark, sf_dir):
+    """1-bit MinHash contract (Li & Konig '10): keep only the LOWEST
+    bit of each of the 16 portable MinHash lanes and estimate jaccard
+    from the bit-match rate r via J_hat = 2r - 1 (for b=1 the match
+    probability is J + (1-J)/2), clamped at 0.  Against q109 (full
+    60-bit lanes, same pairs, same seeds) this measures exactly what
+    the 60x storage cut costs in accuracy -- the contract a signature-
+    store sizing decision reads.  Per-pair estimate is the integer
+    (m - 8) * 1250, means are integer half-up, so the hash is
+    float-free.  Plan: same narrow lane explode and map-side-combined
+    min as q109; the bit compare replaces the 60-bit compare; at
+    corpus scale the pair stream is a u01 sample, never the closure."""
+    from ..functions.portable import md5_long60, word_grams
+    from ..functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    g = d.select(
+        F.col("doc_id").alias("id"),
+        F.explode(word_grams(tokens(F.col("text")), 3)).alias("gram"),
+    )
+    lanes = g.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(15)),
+                lambda p: md5_long60(
+                    F.concat(F.col("gram"), F.lit("|"), p.cast("string"))
+                ),
+            )
+        ).alias("p", "h"),
+    )
+    sig = lanes.groupBy("id", "p").agg(F.min("h").alias("h"))
+    sz = g.groupBy("id").agg(F.count("*").alias("n"))
+    inter = (
+        g.select(F.col("id").alias("ida"), "gram")
+        .join(g.select(F.col("id").alias("idb"), "gram"), "gram")
+        .where(F.col("ida") < F.col("idb"))
+        .groupBy("ida", "idb")
+        .agg(F.count("*").alias("i"))
+    )
+    pairs = (
+        inter.join(sz.select(F.col("id").alias("ida"), F.col("n").alias("na")), "ida")
+        .join(sz.select(F.col("id").alias("idb"), F.col("n").alias("nb")), "idb")
+        .withColumn("u", F.col("na") + F.col("nb") - F.col("i"))
+    )
+    sa = sig.select(F.col("id").alias("ida"), "p", F.col("h").alias("ha"))
+    sb = sig.select(F.col("id").alias("idb"), "p", F.col("h").alias("hb"))
+    est = (
+        pairs.select("ida", "idb")
+        .join(sa, "ida")
+        .join(sb, ["idb", "p"])
+        .groupBy("ida", "idb")
+        .agg(
+            F.sum(((F.col("ha") % 2) == (F.col("hb") % 2)).cast("long")).alias("m")
+        )
+    )
+    scored = (
+        pairs.join(est, ["ida", "idb"])
+        .select(
+            F.expr("(10 * i) div u").cast("long").alias("band"),
+            F.greatest(
+                (F.col("m") - F.lit(8)) * F.lit(1250), F.lit(0)
+            ).cast("long").alias("est_e4"),
+            F.expr("(20000 * i + u) div (2 * u)").cast("long").alias("exact_e4"),
+        )
+        .withColumn("abs_err_e4", F.abs(F.col("est_e4") - F.col("exact_e4")))
+    )
+    return (
+        scored.groupBy("band")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.expr("(2 * sum(exact_e4) + count(*)) div (2 * count(*))")
+            .cast("long")
+            .alias("mean_exact_e4"),
+            F.expr("(2 * sum(est_e4) + count(*)) div (2 * count(*))")
+            .cast("long")
+            .alias("mean_est_e4"),
+            F.expr("(2 * sum(abs_err_e4) + count(*)) div (2 * count(*))")
+            .cast("long")
+            .alias("mean_abs_err_e4"),
+        )
+        .orderBy("band")
+    )
+
+
+def q116_source_mix_weights(spark, sf_dir):
+    """Temperature-scaled source mixing weights (the alpha = 0.5
+    multilingual-sampling rule): w_s proportional to sqrt(token_s),
+    versus the raw token share, plus the effective epoch count each
+    source would run at a 1B-token training budget (epochs > 1 means
+    the scaler repeats that source; the over-repetition signal a data
+    recipe balances against q72's dup mass).  sqrt is IEEE
+    correctly-rounded so both engines produce the identical double; it
+    is immediately quantized to an e2 integer per source and every
+    share/epoch after that is integer half-up arithmetic -- no float
+    sum ever reaches the hash.  Plan: one map-side-combined per-source
+    agg over token counts; the share normalization is a broadcast of a
+    handful of rows."""
+    from ..functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(tokens(F.col("text")))).cast("long").alias("n_tokens"),
+    )
+    per = per.withColumn(
+        "s_e2", F.round(F.sqrt(F.col("n_tokens")) * 100).cast("long")
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("tot_tokens"), F.sum("s_e2").alias("tot_s")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.expr("(20000 * n_tokens + tot_tokens) div (2 * tot_tokens)")
+            .cast("long")
+            .alias("raw_share_e4"),
+            F.expr("(20000 * s_e2 + tot_s) div (2 * tot_s)")
+            .cast("long")
+            .alias("temp_share_e4"),
+        )
+        .withColumn(
+            "epochs_e4",
+            F.expr(
+                "(2 * temp_share_e4 * 1000000000 + n_tokens)"
+                " div (2 * n_tokens)"
+            ).cast("long"),
+        )
+        .orderBy("source")
+    )
