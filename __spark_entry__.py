@@ -222,6 +222,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q115_bbit_minhash_contract": Q.q115_bbit_minhash_contract,
         # temperature-scaled source mixing weights + effective epochs
         "q116_source_mix_weights": Q.q116_source_mix_weights,
+        # near-dup turns across convs (shifted-boundary templates), per role
+        "q117_turn_near_dup": Q.q117_turn_near_dup,
+        # continuation length/variety spread under repeated opening prompts
+        "q118_template_continuation_spread": Q.q118_template_continuation_spread,
+        # template turns explained by conv-level clusters vs spanning them
+        "q119_template_cluster_overlap": Q.q119_template_cluster_overlap,
+        # per-conv language-switch profile (q23 LID gate per turn)
+        "q120_conv_code_switch": Q.q120_conv_code_switch,
+        # quality-decile x near-dup-family cross-tab (gate orthogonality)
+        "q121_quality_dup_correlation": Q.q121_quality_dup_correlation,
+        # dup-mass Lorenz head: top-1/top-10 family share (giant-component risk)
+        "q122_dup_mass_concentration": Q.q122_dup_mass_concentration,
+        # shingle-width ablation: verified pairs + mean jaccard at k=2/3/5
+        "q123_shingle_k_ablation": Q.q123_shingle_k_ablation,
+        # empirical LSH S-curve at the b=4 x r=4 band shape, per jaccard decile
+        "q124_band_collision_profile": Q.q124_band_collision_profile,
+        # user-vs-assistant vocabulary split per source (echo at corpus scale)
+        "q125_role_gram_divergence": Q.q125_role_gram_divergence,
+        # dup rate by conversation turn-count bucket (length-stratified budgets)
+        "q126_conv_dup_by_length": Q.q126_conv_dup_by_length,
+        # winnowing (MOSS) fingerprint pairs: position-robust dup detection
+        "q127_winnowing_pairs": Q.q127_winnowing_pairs,
+        # IDF-weighted jaccard pairs: rare-mass similarity, boilerplate-blind
+        "q128_idf_weighted_pairs": Q.q128_idf_weighted_pairs,
     }
 
 
@@ -3273,6 +3297,424 @@ def oracle_sql() -> dict[str, str]:
                CAST((2 * ((20000 * s_e2 + tot_s) // (2 * tot_s)) * 1000000000
                      + n_tokens) // (2 * n_tokens) AS BIGINT) AS epochs_e4
         FROM per2, tot ORDER BY source
+    """
+
+
+    oracles["q117_turn_near_dup"] = f"""
+        WITH tr AS ({transcripts_from_documents_sql()}),
+        g AS (
+            SELECT conv_id, turn_idx, role, unnest({_G3TURN}) AS gram FROM tr
+        ), sz AS (
+            SELECT conv_id, turn_idx, role, count(*) AS n
+            FROM g GROUP BY 1, 2, 3
+        ), inter AS (
+            SELECT a.conv_id AS ca, a.turn_idx AS ta,
+                   b.conv_id AS cb, b.turn_idx AS tb, count(*) AS i
+            FROM g a JOIN g b ON a.gram = b.gram AND a.conv_id < b.conv_id
+            GROUP BY 1, 2, 3, 4
+        ), pairs AS (
+            SELECT ca, ta, sa.role AS ra, cb, tb, sb.role AS rb
+            FROM inter
+            JOIN sz sa ON sa.conv_id = ca AND sa.turn_idx = ta
+            JOIN sz sb ON sb.conv_id = cb AND sb.turn_idx = tb
+            WHERE 17 * i >= 7 * (sa.n + sb.n)
+        ), dup_turns AS (
+            SELECT role, count(*) AS n_dup_turns FROM (
+                SELECT DISTINCT conv_id, turn_idx, role FROM (
+                    SELECT ca AS conv_id, ta AS turn_idx, ra AS role FROM pairs
+                    UNION ALL
+                    SELECT cb, tb, rb FROM pairs
+                )
+            ) GROUP BY role
+        ), np AS (
+            SELECT ra AS role, count(*) AS n_pairs FROM pairs GROUP BY ra
+        ), tot AS (
+            SELECT role, count(*) AS n_turns FROM sz GROUP BY role
+        )
+        SELECT t.role,
+               CAST(t.n_turns AS BIGINT) AS n_turns,
+               CAST(coalesce(d.n_dup_turns, 0) AS BIGINT) AS n_dup_turns,
+               CAST((20000 * coalesce(d.n_dup_turns, 0) + t.n_turns)
+                    // (2 * t.n_turns) AS BIGINT) AS dup_rate_e4,
+               CAST(coalesce(np.n_pairs, 0) AS BIGINT) AS n_pairs
+        FROM tot t
+        LEFT JOIN dup_turns d ON d.role = t.role
+        LEFT JOIN np ON np.role = t.role
+        ORDER BY t.role
+    """
+
+    oracles["q118_template_continuation_spread"] = f"""
+        WITH tr AS ({transcripts_from_documents_sql()}),
+        prompts AS (
+            SELECT conv_id, text AS prompt FROM tr WHERE turn_idx = 0
+        ), cont AS (
+            SELECT conv_id, sum(len(string_split(text, ' '))) AS n_cont_toks
+            FROM tr WHERE turn_idx >= 1 GROUP BY conv_id
+        ), nxt AS (
+            SELECT conv_id, text AS resp FROM tr WHERE turn_idx = 1
+        ), j AS (
+            SELECT p.prompt, c.n_cont_toks, x.resp
+            FROM prompts p JOIN cont c USING (conv_id) JOIN nxt x USING (conv_id)
+        )
+        SELECT prompt,
+               count(*) AS n_uses,
+               CAST(count(DISTINCT resp) AS BIGINT) AS n_distinct_next,
+               CAST(min(n_cont_toks) AS BIGINT) AS min_cont_toks,
+               round(quantile_cont(n_cont_toks, 0.5), 4) AS p50_cont_toks,
+               CAST(max(n_cont_toks) AS BIGINT) AS max_cont_toks
+        FROM j GROUP BY prompt HAVING count(*) >= 3
+        ORDER BY prompt
+    """
+
+    oracles["q119_template_cluster_overlap"] = f"""
+        WITH RECURSIVE gd AS (
+            SELECT CAST(doc_id AS VARCHAR) AS id, {grams3} AS grams FROM documents
+        ), xd AS (
+            SELECT id, unnest(grams) AS gram FROM gd
+        ), interd AS (
+            SELECT l.id AS a, r.id AS b, count(*) AS i
+            FROM xd l JOIN xd r ON l.gram = r.gram AND l.id < r.id
+            GROUP BY 1, 2
+        ), szd AS (
+            SELECT id, len(grams) AS n FROM gd
+        ), edges AS (
+            SELECT a, b FROM interd
+            JOIN szd sa ON interd.a = sa.id
+            JOIN szd sb ON interd.b = sb.id
+            WHERE i / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.7
+        ), sym AS (
+            SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges
+        ), cc(id, lbl) AS (
+            SELECT DISTINCT a, a FROM sym
+            UNION
+            SELECT s.b, cc.lbl FROM cc JOIN sym s ON cc.id = s.a
+        ), labels AS (
+            SELECT id, min(lbl) AS cluster_id FROM cc GROUP BY id
+        ), tr AS ({transcripts_from_documents_sql()}),
+        tt AS (
+            SELECT DISTINCT text, conv_id FROM tr
+        ), lab AS (
+            SELECT tt.text, tt.conv_id,
+                   coalesce(l.cluster_id, tt.conv_id) AS eff
+            FROM tt LEFT JOIN labels l ON l.id = tt.conv_id
+        ), per AS (
+            SELECT text,
+                   count(DISTINCT conv_id) AS n_convs,
+                   count(DISTINCT eff) AS n_eff
+            FROM lab GROUP BY text
+            HAVING count(DISTINCT conv_id) >= 2
+        )
+        SELECT least(n_convs, 5) AS conv_bucket,
+               count(*) AS n_templates,
+               CAST(sum(CASE WHEN n_eff = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_explained,
+               CAST(sum(CASE WHEN n_eff > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_spanning,
+               CAST((20000 * sum(CASE WHEN n_eff > 1 THEN 1 ELSE 0 END)
+                     + count(*)) // (2 * count(*)) AS BIGINT)
+                   AS spanning_rate_e4
+        FROM per GROUP BY 1 ORDER BY 1
+    """
+
+    oracles["q120_conv_code_switch"] = f"""
+        WITH tr AS ({transcripts_from_documents_sql()}),
+        lng AS (
+            SELECT conv_id, turn_idx,
+                   CASE WHEN len(list_filter({_NORM_TOKS},
+                                             x -> list_contains({_STOPWORDS_SQL}, x)))
+                             / greatest(len({_NORM_TOKS}), 1)::DOUBLE >= 0.08
+                        THEN 'en' ELSE 'und' END AS lang
+            FROM tr
+        ), flps AS (
+            SELECT conv_id, turn_idx, lang,
+                   lag(lang) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+            FROM lng
+        ), per AS (
+            SELECT conv_id,
+                   sum(CASE WHEN prev IS NOT NULL AND lang <> prev
+                            THEN 1 ELSE 0 END) AS n_flips,
+                   count(*) AS n_turns
+            FROM flps GROUP BY conv_id
+        )
+        SELECT d.source,
+               count(*) AS n_convs,
+               CAST(sum(CASE WHEN n_flips > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_switching,
+               CAST(sum(n_flips) AS BIGINT) AS n_flips,
+               CAST(sum(n_turns) AS BIGINT) AS n_turns,
+               CAST((20000 * sum(CASE WHEN n_flips > 0 THEN 1 ELSE 0 END)
+                     + count(*)) // (2 * count(*)) AS BIGINT) AS switch_rate_e4
+        FROM per JOIN documents d ON CAST(d.doc_id AS VARCHAR) = per.conv_id
+        GROUP BY d.source ORDER BY d.source
+    """
+
+
+    _CLOSURE_CTES = f"""
+        gd AS (
+            SELECT CAST(doc_id AS VARCHAR) AS id, {grams3} AS grams FROM documents
+        ), xd AS (
+            SELECT id, unnest(grams) AS gram FROM gd
+        ), interd AS (
+            SELECT l.id AS a, r.id AS b, count(*) AS i
+            FROM xd l JOIN xd r ON l.gram = r.gram AND l.id < r.id
+            GROUP BY 1, 2
+        ), szd AS (
+            SELECT id, len(grams) AS n FROM gd
+        ), edges AS (
+            SELECT a, b FROM interd
+            JOIN szd sa ON interd.a = sa.id
+            JOIN szd sb ON interd.b = sb.id
+            WHERE i / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.7
+        ), sym AS (
+            SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges
+        ), cc(id, lbl) AS (
+            SELECT DISTINCT a, a FROM sym
+            UNION
+            SELECT s.b, cc.lbl FROM cc JOIN sym s ON cc.id = s.a
+        ), labels AS (
+            SELECT id, min(lbl) AS cluster_id FROM cc GROUP BY id
+        )"""
+
+    oracles["q121_quality_dup_correlation"] = f"""
+        WITH RECURSIVE {_CLOSURE_CTES},
+        fam AS (
+            SELECT cluster_id FROM labels GROUP BY cluster_id
+            HAVING count(*) >= 2
+        ), dup AS (
+            SELECT DISTINCT l.id FROM labels l JOIN fam USING (cluster_id)
+        ), q AS (
+            SELECT CAST(doc_id AS VARCHAR) AS id,
+                   round((CASE WHEN len({_NORM_TOKS}) BETWEEN 10 AND 5000 THEN 1.0
+                               WHEN len({_NORM_TOKS}) < 10 THEN len({_NORM_TOKS}) / 10.0
+                               ELSE 5000.0 / len({_NORM_TOKS}) END
+                          + CASE WHEN length(text) / greatest(len({_NORM_TOKS}), 1)::DOUBLE BETWEEN 3 AND 12
+                                 THEN 1.0 ELSE 0.5 END
+                          + 1.0 - least(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g'))
+                                        / greatest(length(text), 1)::DOUBLE * 4, 1.0)
+                         ) / 3, 4) AS quality
+            FROM documents
+        ), flag AS (
+            SELECT q.id, q.quality,
+                   CASE WHEN dup.id IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+            FROM q LEFT JOIN dup ON dup.id = q.id
+        )
+        SELECT CAST(least(floor(quality * 10), 9) AS BIGINT) AS quality_decile,
+               count(*) AS n_docs,
+               CAST(sum(is_dup) AS BIGINT) AS n_dup,
+               CAST((20000 * sum(is_dup) + count(*)) // (2 * count(*)) AS BIGINT)
+                   AS dup_rate_e4
+        FROM flag GROUP BY 1 ORDER BY 1
+    """
+
+    oracles["q122_dup_mass_concentration"] = f"""
+        WITH RECURSIVE {_CLOSURE_CTES},
+        fam AS (
+            SELECT cluster_id, count(*) AS sz FROM labels GROUP BY cluster_id
+            HAVING count(*) >= 2
+        ), rk AS (
+            SELECT sz, row_number() OVER (ORDER BY sz DESC, cluster_id) AS rk
+            FROM fam
+        )
+        SELECT count(*) AS n_families,
+               CAST(sum(sz) AS BIGINT) AS n_dup_docs,
+               CAST(max(sz) AS BIGINT) AS max_family,
+               round(quantile_cont(sz, 0.5), 4) AS p50_family,
+               CAST((20000 * sum(CASE WHEN rk <= 1 THEN sz ELSE 0 END) + sum(sz))
+                    // (2 * sum(sz)) AS BIGINT) AS top1_share_e4,
+               CAST((20000 * sum(CASE WHEN rk <= 10 THEN sz ELSE 0 END) + sum(sz))
+                    // (2 * sum(sz)) AS BIGINT) AS top10_share_e4
+        FROM rk
+    """
+
+
+    def _abl_tier(k: int) -> str:
+        gk = word_grams_sql(_NORM_TOKS, k)
+        return f"""
+        SELECT {k} AS k, count(*) AS n_pairs,
+               CAST(CASE WHEN count(*) = 0 THEN 0
+                    ELSE (2 * sum(j_e4) + count(*)) // (2 * count(*)) END
+                    AS BIGINT) AS mean_jacc_e4
+        FROM (
+            SELECT (20000 * i + (sa.n + sb.n - i))
+                   // (2 * (sa.n + sb.n - i)) AS j_e4
+            FROM (
+                SELECT a.id AS ida, b.id AS idb, count(*) AS i
+                FROM (SELECT doc_id AS id, unnest({gk}) AS gram FROM documents) a
+                JOIN (SELECT doc_id AS id, unnest({gk}) AS gram FROM documents) b
+                  ON a.gram = b.gram AND a.id < b.id
+                GROUP BY 1, 2
+            ) inter
+            JOIN (SELECT doc_id AS id, len({gk}) AS n FROM documents) sa
+              ON ida = sa.id
+            JOIN (SELECT doc_id AS id, len({gk}) AS n FROM documents) sb
+              ON idb = sb.id
+            WHERE 17 * i >= 7 * (sa.n + sb.n)
+        )"""
+
+    oracles["q123_shingle_k_ablation"] = (
+        _abl_tier(2) + " UNION ALL " + _abl_tier(3) + " UNION ALL "
+        + _abl_tier(5) + " ORDER BY k"
+    )
+
+    oracles["q124_band_collision_profile"] = f"""
+        WITH g AS (
+            SELECT doc_id AS id, {grams3} AS grams FROM documents
+        ), x AS (
+            SELECT id, unnest(grams) AS gram FROM g
+        ), lanes AS (
+            SELECT id, p, min({_lane_h}) AS h
+            FROM x, (SELECT unnest(range(16)) AS p) perms
+            GROUP BY 1, 2
+        ), sz AS (
+            SELECT id, len(grams) AS n FROM g
+        ), inter AS (
+            SELECT l.id AS ida, r.id AS idb, count(*) AS i
+            FROM x l JOIN x r ON l.gram = r.gram AND l.id < r.id
+            GROUP BY 1, 2
+        ), pairs AS (
+            SELECT ida, idb, i, sa.n + sb.n - i AS u
+            FROM inter
+            JOIN sz sa ON inter.ida = sa.id
+            JOIN sz sb ON inter.idb = sb.id
+        ), perband AS (
+            SELECT p.ida, p.idb, la.p // 4 AS band,
+                   sum(CASE WHEN la.h = lb.h THEN 1 ELSE 0 END) AS meq
+            FROM pairs p
+            JOIN lanes la ON la.id = p.ida
+            JOIN lanes lb ON lb.id = p.idb AND lb.p = la.p
+            GROUP BY 1, 2, 3
+        ), perpair AS (
+            SELECT ida, idb,
+                   sum(CASE WHEN meq = 4 THEN 1 ELSE 0 END) AS cb
+            FROM perband GROUP BY 1, 2
+        ), scored AS (
+            SELECT (10 * i) // u AS decile, cb,
+                   CASE WHEN cb >= 1 THEN 1 ELSE 0 END AS hit,
+                   (20000 * i + u) // (2 * u) AS exact_e4
+            FROM pairs JOIN perpair USING (ida, idb)
+        )
+        SELECT CAST(decile AS BIGINT) AS decile,
+               count(*) AS n_pairs,
+               CAST((2 * sum(exact_e4) + count(*)) // (2 * count(*)) AS BIGINT)
+                   AS mean_exact_e4,
+               CAST((2 * sum(cb * 2500) + count(*)) // (2 * count(*)) AS BIGINT)
+                   AS mean_collide_e4,
+               CAST((20000 * sum(hit) + count(*)) // (2 * count(*)) AS BIGINT)
+                   AS hit_rate_e4
+        FROM scored GROUP BY decile ORDER BY decile
+    """
+
+    oracles["q125_role_gram_divergence"] = f"""
+        WITH tr AS ({transcripts_from_documents_sql()}),
+        t AS (
+            SELECT conv_id, role, text FROM tr
+        ), dd AS (
+            SELECT CAST(doc_id AS VARCHAR) AS cid, source FROM documents
+        ), g AS (
+            SELECT dd.source, t.role, unnest({_G3TURN}) AS gram
+            FROM t JOIN dd ON dd.cid = t.conv_id
+        ), flags AS (
+            SELECT source, gram,
+                   max(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS in_user,
+                   max(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS in_ast
+            FROM g GROUP BY 1, 2
+        ), per AS (
+            SELECT source,
+                   sum(in_user) AS nu,
+                   sum(in_ast) AS nast,
+                   sum(in_user * in_ast) AS ns
+            FROM flags GROUP BY source
+        )
+        SELECT source,
+               CAST(nu AS BIGINT) AS n_user_grams,
+               CAST(nast AS BIGINT) AS n_ast_grams,
+               CAST(ns AS BIGINT) AS n_shared,
+               CAST((20000 * ns + (nu + nast - ns)) // (2 * (nu + nast - ns))
+                    AS BIGINT) AS jaccard_e4,
+               CAST((20000 * (nu - ns) + nu) // (2 * nu) AS BIGINT)
+                   AS user_excl_share_e4
+        FROM per ORDER BY source
+    """
+
+    oracles["q126_conv_dup_by_length"] = f"""
+        WITH RECURSIVE {_CLOSURE_CTES},
+        fam AS (
+            SELECT cluster_id FROM labels GROUP BY cluster_id
+            HAVING count(*) >= 2
+        ), dup AS (
+            SELECT DISTINCT l.id FROM labels l JOIN fam USING (cluster_id)
+        ), tr AS ({transcripts_from_documents_sql()}),
+        lens AS (
+            SELECT conv_id, count(*) AS n_turns FROM tr GROUP BY conv_id
+        )
+        SELECT CAST(least(n_turns, 6) AS BIGINT) AS turn_bucket,
+               count(*) AS n_convs,
+               CAST(sum(CASE WHEN dup.id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup,
+               CAST((20000 * sum(CASE WHEN dup.id IS NOT NULL THEN 1 ELSE 0 END)
+                     + count(*)) // (2 * count(*)) AS BIGINT) AS dup_rate_e4
+        FROM lens LEFT JOIN dup ON dup.id = lens.conv_id
+        GROUP BY 1 ORDER BY 1
+    """
+
+
+    _gram_h = md5_long60_sql("gram")
+    oracles["q127_winnowing_pairs"] = f"""
+        WITH g AS (
+            SELECT doc_id AS id, {_G3ALL} AS grams FROM documents
+        ), hashed AS (
+            SELECT id,
+                   generate_subscripts(grams, 1) - 1 AS pos,
+                   {_gram_h.replace('gram', 'unnest(grams)')} AS h
+            FROM g
+        ), wm AS (
+            SELECT id, pos,
+                   min(h) OVER (PARTITION BY id ORDER BY pos
+                                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                       AS wmin,
+                   max(pos) OVER (PARTITION BY id) AS last_pos
+            FROM hashed
+        ), fps AS (
+            SELECT DISTINCT id, wmin AS fp FROM wm WHERE pos <= last_pos - 3
+        ), sz AS (
+            SELECT id, count(*) AS n FROM fps GROUP BY id
+        ), inter AS (
+            SELECT a.id AS ida, b.id AS idb, count(*) AS i
+            FROM fps a JOIN fps b ON a.fp = b.fp AND a.id < b.id
+            GROUP BY 1, 2
+        )
+        SELECT ida, idb,
+               CAST((20000 * i + (sa.n + sb.n - i))
+                    // (2 * (sa.n + sb.n - i)) AS BIGINT) AS fp_jacc_e4
+        FROM inter
+        JOIN sz sa ON ida = sa.id
+        JOIN sz sb ON idb = sb.id
+        WHERE 3 * i >= sa.n + sb.n
+        ORDER BY ida, idb
+    """
+
+    oracles["q128_idf_weighted_pairs"] = f"""
+        WITH x AS (
+            SELECT doc_id AS id, unnest({grams3}) AS gram FROM documents
+        ), wts AS (
+            SELECT gram, 1000000 // count(*) AS wt FROM x GROUP BY gram
+        ), gw AS (
+            SELECT x.id, x.gram, wts.wt FROM x JOIN wts USING (gram)
+        ), docw AS (
+            SELECT id, sum(wt) AS tw FROM gw GROUP BY id
+        ), inter AS (
+            SELECT a.id AS ida, b.id AS idb, sum(a.wt) AS iw
+            FROM gw a JOIN gw b ON a.gram = b.gram AND a.id < b.id
+            GROUP BY 1, 2
+        )
+        SELECT ida, idb,
+               CAST((20000 * iw + (wa.tw + wb.tw - iw))
+                    // (2 * (wa.tw + wb.tw - iw)) AS BIGINT) AS idf_jacc_e4
+        FROM inter
+        JOIN docw wa ON ida = wa.id
+        JOIN docw wb ON idb = wb.id
+        WHERE 3 * iw >= wa.tw + wb.tw
+        ORDER BY ida, idb
     """
 
     return oracles

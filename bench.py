@@ -235,6 +235,8 @@ def main() -> None:
     timed("q05_events_hourly", lambda: Q.q05_events_hourly(spark, sf_dir).count())
     timed("q30_cosine_topk", lambda: Q.q30_cosine_topk(spark, sf_dir).collect())
     timed("q31_ann_lsh_cosine", lambda: Q.q31_ann_lsh_cosine(spark, sf_dir).collect())
+    timed("q111_allpairs_ssjoin", lambda: Q.q111_allpairs_ssjoin(spark, sf_dir).collect())
+    timed("q127_winnowing_pairs", lambda: Q.q127_winnowing_pairs(spark, sf_dir).collect())
 
     spark.stop()
     post_ceiling, post_abs = _quick_ceiling()

@@ -3739,3 +3739,655 @@ def q116_source_mix_weights(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+def q117_turn_near_dup(spark, sf_dir):
+    """Near-duplicate TURNS across conversations: turn pairs from
+    DIFFERENT convs whose 3-gram-set jaccard >= 0.7, rolled up per
+    role.  q50 catches byte-identical template turns; this tier
+    catches the shifted ones -- when a conv-level near-dup inserts or
+    drops a word, every later turn boundary slides and exact turn
+    dedup goes blind, but gram jaccard stays high (a one-token shift
+    of an 8-token turn scores exactly 5/7 ~ 0.714, which is why the
+    threshold sits at the pipeline's 0.7, not higher).  Integer
+    threshold (17i >= 7(na+nb) <=> i/u >= 0.7); pairs oriented by conv_id and
+    counted under the a-side role; dup-turn counts are side-symmetric
+    distinct.  Plan: turn-gram postings join (turns are ~8 tokens, so
+    postings are tiny per turn); at 10^12 turns the candidate stream
+    swaps to the q24 LSH banding machinery over turn signatures with a
+    gram-df cap -- verification unchanged."""
+    from ..functions.portable import word_grams
+
+    tr = transcripts_from_documents(spark, sf_dir)
+    g = tr.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.explode(word_grams(F.split(F.col("text"), " "), 3)).alias("gram"),
+    )
+    sz = g.groupBy("conv_id", "turn_idx", "role").agg(F.count("*").alias("n"))
+    a = g.select(
+        F.col("conv_id").alias("ca"), F.col("turn_idx").alias("ta"), "gram"
+    )
+    b = g.select(
+        F.col("conv_id").alias("cb"), F.col("turn_idx").alias("tb"), "gram"
+    )
+    inter = (
+        a.join(b, "gram")
+        .where(F.col("ca") < F.col("cb"))
+        .groupBy("ca", "ta", "cb", "tb")
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sz.select(
+        F.col("conv_id").alias("ca"),
+        F.col("turn_idx").alias("ta"),
+        F.col("role").alias("ra"),
+        F.col("n").alias("na"),
+    )
+    sb = sz.select(
+        F.col("conv_id").alias("cb"),
+        F.col("turn_idx").alias("tb"),
+        F.col("role").alias("rb"),
+        F.col("n").alias("nb"),
+    )
+    pairs = (
+        inter.join(sa, ["ca", "ta"])
+        .join(sb, ["cb", "tb"])
+        .where(17 * F.col("i") >= 7 * (F.col("na") + F.col("nb")))
+    )
+    dup_turns = (
+        pairs.select(
+            F.col("ca").alias("conv_id"),
+            F.col("ta").alias("turn_idx"),
+            F.col("ra").alias("role"),
+        )
+        .union(
+            pairs.select(
+                F.col("cb").alias("conv_id"),
+                F.col("tb").alias("turn_idx"),
+                F.col("rb").alias("role"),
+            )
+        )
+        .distinct()
+        .groupBy("role")
+        .agg(F.count("*").alias("n_dup_turns"))
+    )
+    n_pairs = pairs.groupBy(F.col("ra").alias("role")).agg(
+        F.count("*").alias("n_pairs")
+    )
+    total = sz.groupBy("role").agg(F.count("*").alias("n_turns"))
+    return (
+        total.join(dup_turns, "role", "left")
+        .join(n_pairs, "role", "left")
+        .select(
+            "role",
+            F.col("n_turns").cast("long").alias("n_turns"),
+            F.coalesce(F.col("n_dup_turns"), F.lit(0))
+            .cast("long")
+            .alias("n_dup_turns"),
+            F.expr(
+                "(20000 * coalesce(n_dup_turns, 0) + n_turns) div (2 * n_turns)"
+            )
+            .cast("long")
+            .alias("dup_rate_e4"),
+            F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias("n_pairs"),
+        )
+        .orderBy("role")
+    )
+
+
+def q118_template_continuation_spread(spark, sf_dir):
+    """Continuation spread under repeated opening prompts: for every
+    turn-0 user prompt used by >= 3 conversations, how long and how
+    varied the rest of the conversation is -- identical prompts with
+    ONE distinct next turn and tight continuation lengths are scripted
+    harness runs (dedup candidates q108 flags at source granularity;
+    this is the per-prompt evidence), while wide spreads mean the
+    prompt is a genuine task prefix worth keeping.  Plan: turn-0
+    projection prunes to one row per conv before any shuffle; the
+    continuation agg is map-side-combined per conv; the prompt rollup
+    shuffles only conv-count rows."""
+    tr = transcripts_from_documents(spark, sf_dir)
+    prompts = tr.where(F.col("turn_idx") == 0).select(
+        "conv_id", F.col("text").alias("prompt")
+    )
+    cont = (
+        tr.where(F.col("turn_idx") >= 1)
+        .groupBy("conv_id")
+        .agg(F.sum(F.size(F.split(F.col("text"), " "))).alias("n_cont_toks"))
+    )
+    nxt = tr.where(F.col("turn_idx") == 1).select(
+        "conv_id", F.col("text").alias("resp")
+    )
+    j = prompts.join(cont, "conv_id").join(nxt, "conv_id")
+    return (
+        j.groupBy("prompt")
+        .agg(
+            F.count("*").cast("long").alias("n_uses"),
+            F.countDistinct("resp").cast("long").alias("n_distinct_next"),
+            F.min("n_cont_toks").cast("long").alias("min_cont_toks"),
+            F.round(F.expr("percentile(n_cont_toks, 0.5)"), 4).alias(
+                "p50_cont_toks"
+            ),
+            F.max("n_cont_toks").cast("long").alias("max_cont_toks"),
+        )
+        .where(F.col("n_uses") >= 3)
+        .orderBy("prompt")
+    )
+
+
+def q119_template_cluster_overlap(spark, sf_dir):
+    """Reconciliation between turn-level and conv-level dedup: for each
+    template turn text shared by >= 2 conversations, do its convs all
+    sit in ONE conv-level near-dup cluster (the template is explained
+    -- conv dedup already removes it) or does it SPAN clusters (shared
+    boilerplate that survives conv-level dedup and needs q50's turn
+    tier)?  Per conv-count bucket (2, 3, 4, 5+): templates, explained,
+    spanning, spanning rate.  Singleton convs count as their own
+    effective cluster (coalesce to conv_id -- labels ARE min member
+    ids on both engines).  Plan: runs on the memoized q24 clusters +
+    one distinct turn-text projection; the label join is a broadcast
+    of the cluster table."""
+    res = documents_dedup_result(spark, sf_dir)
+    tr = transcripts_from_documents(spark, sf_dir)
+    tt = tr.select("text", "conv_id").distinct()
+    lab = tt.join(F.broadcast(res.clusters), "conv_id", "left").select(
+        "text",
+        "conv_id",
+        F.coalesce(F.col("cluster_id"), F.col("conv_id")).alias("eff"),
+    )
+    per = (
+        lab.groupBy("text")
+        .agg(
+            F.countDistinct("conv_id").alias("n_convs"),
+            F.countDistinct("eff").alias("n_eff"),
+        )
+        .where(F.col("n_convs") >= 2)
+    )
+    return (
+        per.groupBy(F.least(F.col("n_convs"), F.lit(5)).cast("long").alias("conv_bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_templates"),
+            F.sum((F.col("n_eff") == 1).cast("long"))
+            .cast("long")
+            .alias("n_explained"),
+            F.sum((F.col("n_eff") > 1).cast("long"))
+            .cast("long")
+            .alias("n_spanning"),
+        )
+        .withColumn(
+            "spanning_rate_e4",
+            F.expr("(20000 * n_spanning + n_templates) div (2 * n_templates)")
+            .cast("long"),
+        )
+        .orderBy("conv_bucket")
+    )
+
+
+def q120_conv_code_switch(spark, sf_dir):
+    """Per-conversation language-switch profile: runs the q23 LID gate
+    (en/und English-likelihood -- documented substitution, see
+    functions/text.py:lang_id) on every TURN, then counts adjacent-turn
+    lang flips per conv and rolls up per source -- a conv that flips
+    repeatedly is either code-switching or (in this gate's terms)
+    oscillating between prose and non-prose payload (logs, code,
+    base64), both of which a curator samples differently from clean
+    monolingual dialog.  Plan: the lang column is one codegen'd
+    expression per turn; the flip count is a lag window inside the conv
+    partition (narrow, no extra shuffle past the conv repartition);
+    source dim broadcast."""
+    tr = transcripts_from_documents(spark, sf_dir)
+    lang = tr.select(
+        "conv_id", "turn_idx", TXT.lang_id(F.col("text")).alias("lang")
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    flips = (
+        lang.withColumn("prev", F.lag("lang").over(w))
+        .withColumn(
+            "flip",
+            (F.col("prev").isNotNull() & (F.col("lang") != F.col("prev"))).cast(
+                "long"
+            ),
+        )
+        .groupBy("conv_id")
+        .agg(F.sum("flip").alias("n_flips"), F.count("*").alias("n_turns"))
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("conv_id"), "source"
+    )
+    return (
+        flips.join(F.broadcast(d), "conv_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_convs"),
+            F.sum((F.col("n_flips") > 0).cast("long"))
+            .cast("long")
+            .alias("n_switching"),
+            F.sum("n_flips").cast("long").alias("n_flips"),
+            F.sum("n_turns").cast("long").alias("n_turns"),
+        )
+        .withColumn(
+            "switch_rate_e4",
+            F.expr("(20000 * n_switching + n_convs) div (2 * n_convs)")
+            .cast("long"),
+        )
+        .orderBy("source")
+    )
+
+
+def q121_quality_dup_correlation(spark, sf_dir):
+    """Quality-decile x duplication cross-tab: per q23 quality-score
+    decile, the share of documents living in a near-dup family (>= 2
+    members, q24 contract) -- the empirical answer to 'is duplicated
+    text disproportionately LOW quality?', which decides whether dedup
+    and quality filtering are redundant gates (drop one pass at 100 TB)
+    or orthogonal ones (keep both).  Quality is rounded to 4dp BEFORE
+    the decile cut on both engines, and the decile is the only float
+    arithmetic in the output.  Plan: memoized clusters + one broadcast
+    cluster-size dim; the corpus pays one codegen'd quality projection,
+    no new pair work."""
+    res = documents_dedup_result(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.round(TXT.quality_score(F.col("text")), 4).alias("quality"),
+    )
+    fam = (
+        res.clusters.groupBy("cluster_id")
+        .agg(F.count("*").alias("sz"))
+        .where(F.col("sz") >= 2)
+    )
+    dup = res.clusters.join(F.broadcast(fam), "cluster_id").select(
+        "conv_id", F.lit(1).alias("is_dup")
+    )
+    flagged = d.join(dup, "conv_id", "left")
+    return (
+        flagged.groupBy(
+            F.least(F.floor(F.col("quality") * 10), F.lit(9))
+            .cast("long")
+            .alias("quality_decile")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.coalesce(F.sum("is_dup"), F.lit(0)).cast("long").alias("n_dup"),
+        )
+        .withColumn(
+            "dup_rate_e4",
+            F.expr("(20000 * n_dup + n_docs) div (2 * n_docs)").cast("long"),
+        )
+        .orderBy("quality_decile")
+    )
+
+
+def q122_dup_mass_concentration(spark, sf_dir):
+    """Dup-mass Lorenz head: how much of the corpus's duplicated-doc
+    mass sits in the single biggest near-dup family and in the top 10
+    (ties broken by cluster_id so both engines pick the same ten) --
+    the giant-component early-warning that sizes the CC solver's skew
+    risk at 10^12 turns: a flat profile parallelizes cleanly, a
+    one-mega-cluster profile needs the salted-star path and keeper
+    batching.  Single-row output; integer shares.  Plan: runs entirely
+    on the memoized cluster-size dim (O(#clusters) rows); the top-10
+    window sorts a pre-aggregated table, never members."""
+    res = documents_dedup_result(spark, sf_dir)
+    fam = (
+        res.clusters.groupBy("cluster_id")
+        .agg(F.count("*").alias("sz"))
+        .where(F.col("sz") >= 2)
+    )
+    w = Window.orderBy(F.desc("sz"), "cluster_id")
+    ranked = fam.withColumn("rk", F.row_number().over(w))
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_families"),
+        F.sum("sz").cast("long").alias("n_dup_docs"),
+        F.max("sz").cast("long").alias("max_family"),
+        F.round(F.expr("percentile(sz, 0.5)"), 4).alias("p50_family"),
+        F.sum(F.when(F.col("rk") <= 1, F.col("sz")).otherwise(0))
+        .cast("long")
+        .alias("top1_docs"),
+        F.sum(F.when(F.col("rk") <= 10, F.col("sz")).otherwise(0))
+        .cast("long")
+        .alias("top10_docs"),
+    ).select(
+        "n_families",
+        "n_dup_docs",
+        "max_family",
+        "p50_family",
+        F.expr("(20000 * top1_docs + n_dup_docs) div (2 * n_dup_docs)")
+        .cast("long")
+        .alias("top1_share_e4"),
+        F.expr("(20000 * top10_docs + n_dup_docs) div (2 * n_dup_docs)")
+        .cast("long")
+        .alias("top10_share_e4"),
+    )
+
+
+def q123_shingle_k_ablation(spark, sf_dir):
+    """Shingle-width ablation at the pipeline threshold: verified
+    >= 0.7-jaccard pair count and mean jaccard at k = 2, 3, 5 word
+    shingles -- the evidence under the config pin (BASELINE: cluster
+    parity holds only 'under the identical shingle/signature config'):
+    k=2 admits looser pairs (recall up, precision down), k=5 demands
+    longer verbatim runs; the k=3 row must reproduce q24's edge count.
+    Integer jaccard and means.  Plan: three postings joins over
+    progressively rarer gram keys; at corpus scale each k is one
+    signature config of the same LSH machinery, so the ablation runs
+    as three banded passes, never three closures."""
+    from ..functions.portable import word_grams
+    from ..functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+
+    def tier(k):
+        g = d.select(
+            F.col("doc_id").alias("id"),
+            F.explode(word_grams(tokens(F.col("text")), k)).alias("gram"),
+        )
+        sz = g.groupBy("id").agg(F.count("*").alias("n"))
+        inter = (
+            g.select(F.col("id").alias("ida"), "gram")
+            .join(g.select(F.col("id").alias("idb"), "gram"), "gram")
+            .where(F.col("ida") < F.col("idb"))
+            .groupBy("ida", "idb")
+            .agg(F.count("*").alias("i"))
+        )
+        pairs = (
+            inter.join(
+                sz.select(F.col("id").alias("ida"), F.col("n").alias("na")), "ida"
+            )
+            .join(sz.select(F.col("id").alias("idb"), F.col("n").alias("nb")), "idb")
+            .where(17 * F.col("i") >= 7 * (F.col("na") + F.col("nb")))
+            .withColumn(
+                "j_e4",
+                F.expr("(20000 * i + (na + nb - i)) div (2 * (na + nb - i))"),
+            )
+        )
+        return pairs.agg(
+            F.lit(k).cast("long").alias("k"),
+            F.count("*").cast("long").alias("n_pairs"),
+            F.expr(
+                "CASE WHEN count(*) = 0 THEN 0"
+                " ELSE (2 * sum(j_e4) + count(*)) div (2 * count(*)) END"
+            )
+            .cast("long")
+            .alias("mean_jacc_e4"),
+        )
+
+    return tier(2).union(tier(3)).union(tier(5)).orderBy("k")
+
+
+def q124_band_collision_profile(spark, sf_dir):
+    """Empirical LSH S-curve for the portable 16-lane MinHash cut into
+    b=4 bands x r=4 rows: per exact-jaccard decile, the mean number of
+    fully-colliding bands and the share of pairs with >= 1 collision
+    (the actual candidate probability the band index realizes).
+    Theory says P(candidate) = 1 - (1 - J^4)^4; this measures it on
+    real signatures so q65's analytic planning has an empirical anchor
+    at the production band shape, not just per-lane calibration (q109).
+    Integer throughout (collide fraction = bands * 2500).  Plan: same
+    lane explode as q109; the band rollup is two map-side-combined
+    aggs over (pair, band) rows; pair stream is u01-sampled at corpus
+    scale."""
+    from ..functions.portable import md5_long60, word_grams
+    from ..functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    g = d.select(
+        F.col("doc_id").alias("id"),
+        F.explode(word_grams(tokens(F.col("text")), 3)).alias("gram"),
+    )
+    lanes = g.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(15)),
+                lambda p: md5_long60(
+                    F.concat(F.col("gram"), F.lit("|"), p.cast("string"))
+                ),
+            )
+        ).alias("p", "h"),
+    )
+    sig = lanes.groupBy("id", "p").agg(F.min("h").alias("h"))
+    sz = g.groupBy("id").agg(F.count("*").alias("n"))
+    inter = (
+        g.select(F.col("id").alias("ida"), "gram")
+        .join(g.select(F.col("id").alias("idb"), "gram"), "gram")
+        .where(F.col("ida") < F.col("idb"))
+        .groupBy("ida", "idb")
+        .agg(F.count("*").alias("i"))
+    )
+    pairs = (
+        inter.join(sz.select(F.col("id").alias("ida"), F.col("n").alias("na")), "ida")
+        .join(sz.select(F.col("id").alias("idb"), F.col("n").alias("nb")), "idb")
+        .withColumn("u", F.col("na") + F.col("nb") - F.col("i"))
+    )
+    sa = sig.select(F.col("id").alias("ida"), "p", F.col("h").alias("ha"))
+    sb = sig.select(F.col("id").alias("idb"), "p", F.col("h").alias("hb"))
+    perband = (
+        pairs.select("ida", "idb")
+        .join(sa, "ida")
+        .join(sb, ["idb", "p"])
+        .groupBy("ida", "idb", F.expr("p div 4").alias("band"))
+        .agg(F.sum((F.col("ha") == F.col("hb")).cast("long")).alias("meq"))
+    )
+    perpair = perband.groupBy("ida", "idb").agg(
+        F.sum((F.col("meq") == 4).cast("long")).alias("cb")
+    )
+    scored = pairs.join(perpair, ["ida", "idb"]).select(
+        F.expr("(10 * i) div u").cast("long").alias("decile"),
+        F.col("cb"),
+        (F.col("cb") >= 1).cast("long").alias("hit"),
+        F.expr("(20000 * i + u) div (2 * u)").alias("exact_e4"),
+    )
+    return (
+        scored.groupBy("decile")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.expr("(2 * sum(exact_e4) + count(*)) div (2 * count(*))")
+            .cast("long")
+            .alias("mean_exact_e4"),
+            F.expr("(2 * sum(cb * 2500) + count(*)) div (2 * count(*))")
+            .cast("long")
+            .alias("mean_collide_e4"),
+            F.expr("(20000 * sum(hit) + count(*)) div (2 * count(*))")
+            .cast("long")
+            .alias("hit_rate_e4"),
+        )
+        .orderBy("decile")
+    )
+
+
+def q125_role_gram_divergence(spark, sf_dir):
+    """User-vs-assistant vocabulary split per source: distinct 3-gram
+    counts on each side of the role boundary, their jaccard, and the
+    share of user grams the assistant never utters -- a high exclusive
+    share means the roles carry genuinely different content (keep
+    both), a near-1.0 jaccard means the assistant mostly replays the
+    user (q104's echo at corpus granularity, and an SFT-mix red flag).
+    One-pass plan: group by (source, gram) with boolean role flags --
+    no self-join, one shuffle of distinct-gram rows."""
+    from ..functions.portable import word_grams
+
+    tr = transcripts_from_documents(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("conv_id"), "source"
+    )
+    g = (
+        tr.join(F.broadcast(d), "conv_id")
+        .select(
+            "source",
+            "role",
+            F.explode(word_grams(F.split(F.col("text"), " "), 3)).alias("gram"),
+        )
+        .groupBy("source", "gram")
+        .agg(
+            F.max((F.col("role") == "user").cast("long")).alias("in_user"),
+            F.max((F.col("role") == "assistant").cast("long")).alias("in_ast"),
+        )
+    )
+    return (
+        g.groupBy("source")
+        .agg(
+            F.sum("in_user").cast("long").alias("n_user_grams"),
+            F.sum("in_ast").cast("long").alias("n_ast_grams"),
+            F.sum(F.col("in_user") * F.col("in_ast")).cast("long").alias("n_shared"),
+        )
+        .select(
+            "source",
+            "n_user_grams",
+            "n_ast_grams",
+            "n_shared",
+            F.expr(
+                "(20000 * n_shared + (n_user_grams + n_ast_grams - n_shared))"
+                " div (2 * (n_user_grams + n_ast_grams - n_shared))"
+            )
+            .cast("long")
+            .alias("jaccard_e4"),
+            F.expr(
+                "(20000 * (n_user_grams - n_shared) + n_user_grams)"
+                " div (2 * n_user_grams)"
+            )
+            .cast("long")
+            .alias("user_excl_share_e4"),
+        )
+        .orderBy("source")
+    )
+
+
+def q126_conv_dup_by_length(spark, sf_dir):
+    """Dup rate by conversation length: share of convs in a >= 2-member
+    near-dup family per turn-count bucket (1, 2, ..., 6+) -- short
+    scripted exchanges duplicate far more than long organic ones, and
+    this cross-tab is what justifies length-stratified dedup budgets
+    (spend the band index's memory on the short-conv strata where dup
+    mass lives).  Plan: memoized clusters + one per-conv turn count;
+    the family dim broadcasts."""
+    res = documents_dedup_result(spark, sf_dir)
+    tr = transcripts_from_documents(spark, sf_dir)
+    lens = tr.groupBy("conv_id").agg(F.count("*").alias("n_turns"))
+    fam = (
+        res.clusters.groupBy("cluster_id")
+        .agg(F.count("*").alias("sz"))
+        .where(F.col("sz") >= 2)
+    )
+    dup = res.clusters.join(F.broadcast(fam), "cluster_id").select(
+        "conv_id", F.lit(1).alias("is_dup")
+    )
+    return (
+        lens.join(dup, "conv_id", "left")
+        .groupBy(F.least(F.col("n_turns"), F.lit(6)).cast("long").alias("turn_bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_convs"),
+            F.coalesce(F.sum("is_dup"), F.lit(0)).cast("long").alias("n_dup"),
+        )
+        .withColumn(
+            "dup_rate_e4",
+            F.expr("(20000 * n_dup + n_convs) div (2 * n_convs)").cast("long"),
+        )
+        .orderBy("turn_bucket")
+    )
+
+
+def q127_winnowing_pairs(spark, sf_dir):
+    """Winnowing-fingerprint near-dup pairs (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 -- the MOSS algorithm): hash every 3-gram, slide a w=4
+    window over the hash sequence, keep each window's MINIMUM hash; the
+    distinct kept hashes are the doc's fingerprints, and the guarantee
+    is positional -- any shared token run spanning w+2 grams MUST
+    contribute a shared fingerprint, regardless of where it sits in
+    either doc.  That makes this the third, position-robust member of
+    the dedup family: q24/q111 compare whole-doc gram sets, q47
+    compares fixed-stride windows, winnowing selects ~1/w of the gram
+    mass adaptively and still cannot miss a long shared run.  Pairs
+    at fingerprint-set jaccard >= 0.5 (integer form).  Plan: one
+    posexplode + a rows-between-(0,3) running min inside the doc
+    partition (no shuffle past the doc repartition), distinct, then
+    the same postings-join shape as q111 -- at corpus scale the
+    fingerprint postings ARE the band index keys (each fingerprint a
+    bucket), so candidate generation is a bucket join, never a
+    closure."""
+    from ..functions.portable import md5_long60, word_grams_all
+    from ..functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    hashed = d.select(
+        F.col("doc_id").alias("id"),
+        F.posexplode(word_grams_all(tokens(F.col("text")), 3)).alias("pos", "gram"),
+    ).select("id", "pos", md5_long60(F.col("gram")).alias("h"))
+    m = hashed.groupBy("id").agg(F.max("pos").alias("last_pos"))
+    w = Window.partitionBy("id").orderBy("pos").rowsBetween(0, 3)
+    fps = (
+        hashed.withColumn("wmin", F.min("h").over(w))
+        .join(m, "id")
+        .where(F.col("pos") <= F.col("last_pos") - 3)
+        .select("id", F.col("wmin").alias("fp"))
+        .distinct()
+    )
+    sz = fps.groupBy("id").agg(F.count("*").alias("n"))
+    inter = (
+        fps.select(F.col("id").alias("ida"), "fp")
+        .join(fps.select(F.col("id").alias("idb"), "fp"), "fp")
+        .where(F.col("ida") < F.col("idb"))
+        .groupBy("ida", "idb")
+        .agg(F.count("*").alias("i"))
+    )
+    return (
+        inter.join(sz.select(F.col("id").alias("ida"), F.col("n").alias("na")), "ida")
+        .join(sz.select(F.col("id").alias("idb"), F.col("n").alias("nb")), "idb")
+        .where(3 * F.col("i") >= F.col("na") + F.col("nb"))
+        .select(
+            "ida",
+            "idb",
+            F.expr("(20000 * i + (na + nb - i)) div (2 * (na + nb - i))")
+            .cast("long")
+            .alias("fp_jacc_e4"),
+        )
+        .orderBy("ida", "idb")
+    )
+
+
+def q128_idf_weighted_pairs(spark, sf_dir):
+    """IDF-weighted jaccard near-dup pairs: every distinct 3-gram
+    carries the global integer weight 1000000 div df, so two docs
+    sharing RARE content score high even when their common boilerplate
+    is diluted, and boilerplate-only pairs (every gram in hundreds of
+    docs, weight ~0) drop out -- the inverse failure mode of q112's
+    tf weighting and the pair-level answer to q74's boilerplate-gram
+    inventory.  Because the weight is a GLOBAL per-gram constant, the
+    intersection weight is a plain postings-join sum and every number
+    is an integer (no logs, no floats).  Threshold 0.5 in the integer
+    form 3*iw >= wa + wb.  Plan: one df agg (broadcast as the weight
+    dim), weighted postings join; at corpus scale the q111 prefix
+    filter applies verbatim with weight-descending gram order."""
+    from ..functions.portable import word_grams
+    from ..functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    g = d.select(
+        F.col("doc_id").alias("id"),
+        F.explode(word_grams(tokens(F.col("text")), 3)).alias("gram"),
+    )
+    wts = g.groupBy("gram").agg(
+        F.expr("1000000 div count(*)").cast("long").alias("wt")
+    )
+    gw = g.join(wts, "gram")
+    docw = gw.groupBy("id").agg(F.sum("wt").alias("tw"))
+    inter = (
+        gw.select(F.col("id").alias("ida"), "gram", "wt")
+        .join(gw.select(F.col("id").alias("idb"), "gram"), ["gram"])
+        .where(F.col("ida") < F.col("idb"))
+        .groupBy("ida", "idb")
+        .agg(F.sum("wt").alias("iw"))
+    )
+    return (
+        inter.join(docw.select(F.col("id").alias("ida"), F.col("tw").alias("wa")), "ida")
+        .join(docw.select(F.col("id").alias("idb"), F.col("tw").alias("wb")), "idb")
+        .where(3 * F.col("iw") >= F.col("wa") + F.col("wb"))
+        .select(
+            "ida",
+            "idb",
+            F.expr("(20000 * iw + (wa + wb - iw)) div (2 * (wa + wb - iw))")
+            .cast("long")
+            .alias("idf_jacc_e4"),
+        )
+        .orderBy("ida", "idb")
+    )

@@ -352,3 +352,40 @@ def test_corpus_diagnostics_plans(spark, sf_dir):
     p = plan_str(Q.q94_dup_rate_timeseries(spark, sf_dir))
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_allpairs_ssjoin_plan(spark, sf_dir):
+    """q111 must stay JVM-side (no Python), never cartesian, and prune
+    the documents scan to (doc_id, text)."""
+    p = plan_str(Q.q111_allpairs_ssjoin(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    read = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "lang" not in read and "n_chars" not in read
+
+
+def test_winnowing_plan_single_window_partition(spark, sf_dir):
+    """q127's running min must run inside the per-doc partition (one
+    Window over doc_id, no global window) and stay JVM-side."""
+    p = plan_str(Q.q127_winnowing_pairs(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # the window spec partitions by id -- a global (unpartitioned)
+    # window would serialize the corpus through one task
+    assert "Window" in p
+    assert "partitionBy=[]" not in p.replace(" ", "")
+
+
+def test_role_gram_divergence_broadcasts_source_dim(spark, sf_dir):
+    p = plan_str(Q.q125_role_gram_divergence(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_mix_weights_broadcasts_totals(spark, sf_dir):
+    """q116's normalization total is one row -- it must broadcast, and
+    the corpus scan must prune to (source, text)."""
+    p = plan_str(Q.q116_source_mix_weights(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    read = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "doc_id" not in read and "lang" not in read

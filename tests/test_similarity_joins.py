@@ -185,3 +185,119 @@ def test_source_mix_weights_flatten_and_sum(spark, sf_dir):
         # epochs_e4 == round(temp_share_e4 * 1e9 / n_tokens) by contract
         want = (2 * r.temp_share_e4 * 10**9 + r.n_tokens) // (2 * r.n_tokens)
         assert r.epochs_e4 == want
+
+
+def test_shingle_k_ablation_k3_matches_edge_contract(spark, sf_dir):
+    from datasketches_server_spark.plans.queries import q123_shingle_k_ablation
+
+    rows = {r.k: r for r in q123_shingle_k_ablation(spark, sf_dir).collect()}
+    assert set(rows) == {2, 3, 5}
+    # the k=3 tier IS q24's edge contract
+    n_edges = documents_dedup_result(spark, sf_dir).edges.count()
+    assert rows[3].n_pairs == n_edges
+    for r in rows.values():
+        assert 0 <= r.mean_jacc_e4 <= 10000
+        if r.n_pairs:
+            assert r.mean_jacc_e4 >= 7000  # every pair passed the 0.7 gate
+
+
+def test_shingle_k_ablation_monotone_on_planted(spark, tmp_path):
+    """Two substitutions in a 40-token doc: each kills k grams per
+    side, so the pair passes 0.7 at k=2 (j~0.81) and k=3 (j~0.73) but
+    falls below it at k=5 (j~0.57) — the strict monotone split the
+    ablation exists to expose."""
+    from datasketches_server_spark.plans.queries import q123_shingle_k_ablation
+
+    toks = [f"w{k}" for k in range(40)]
+    b_toks = list(toks)
+    b_toks[10], b_toks[30] = "XX", "YY"
+    docs = spark.createDataFrame(
+        [(0, " ".join(toks), "s"), (1, " ".join(b_toks), "s")],
+        "doc_id long, text string, source string",
+    )
+    out = str(tmp_path / "abl")
+    docs.write.parquet(f"{out}/documents.parquet")
+    rows = {r.k: r for r in q123_shingle_k_ablation(spark, out).collect()}
+    assert rows[2].n_pairs == 1
+    assert rows[3].n_pairs == 1
+    assert rows[5].n_pairs == 0
+    assert rows[5].mean_jacc_e4 == 0  # the empty tier is an explicit zero
+
+
+def test_band_collision_profile_contract(spark, sf_dir):
+    from datasketches_server_spark.plans.queries import q124_band_collision_profile
+
+    rows = q124_band_collision_profile(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.decile <= 10
+        assert 0 <= r.mean_collide_e4 <= 10000
+        assert 0 <= r.hit_rate_e4 <= 10000
+        # a band collision implies a hit, so hit rate >= mean/4-bands rate
+        assert r.hit_rate_e4 >= r.mean_collide_e4 // 4
+    byd = {r.decile: r for r in rows}
+    if 10 in byd:  # identical docs collide on every band
+        assert byd[10].mean_collide_e4 == 10000
+        assert byd[10].hit_rate_e4 == 10000
+
+
+def test_winnowing_position_robust_on_rotation(spark, tmp_path):
+    """B is a rotation of A (same content, every position different):
+    winnowing fingerprints are content-keyed window minima, so the pair
+    must still surface; identical docs must score exactly 1.0."""
+    from datasketches_server_spark.plans.queries import q127_winnowing_pairs
+
+    x = [f"x{k}" for k in range(20)]
+    y = [f"y{k}" for k in range(20)]
+    docs = spark.createDataFrame(
+        [
+            (0, " ".join(x + y), "s"),
+            (1, " ".join(y + x), "s"),  # rotation of 0
+            (2, " ".join(x + y), "s"),  # identical to 0
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = str(tmp_path / "winnow")
+    docs.write.parquet(f"{out}/documents.parquet")
+    got = {(r.ida, r.idb): r.fp_jacc_e4 for r in q127_winnowing_pairs(spark, out).collect()}
+    assert got[(0, 2)] == 10000
+    assert (0, 1) in got and got[(0, 1)] >= 5000
+    assert (1, 2) in got
+
+
+def test_winnowing_corpus_bounds(spark, sf_dir):
+    from datasketches_server_spark.plans.queries import q127_winnowing_pairs
+
+    rows = q127_winnowing_pairs(spark, sf_dir).collect()
+    assert rows, "exact-dup docs guarantee fingerprint-identical pairs"
+    for r in rows:
+        assert r.ida < r.idb
+        assert 5000 <= r.fp_jacc_e4 <= 10000
+
+
+def test_idf_weighting_is_boilerplate_blind(spark, tmp_path):
+    """Two docs sharing only a high-df boilerplate block pair under set
+    jaccard (q111) but must NOT pair under IDF weighting (q128)."""
+    from datasketches_server_spark.plans.queries import q128_idf_weighted_pairs
+
+    boiler = " ".join(f"bp{k}" for k in range(20))
+    rows = [(i, boiler, "s") for i in range(8)]  # df of boiler grams = 10
+    rows.append((8, boiler + " " + " ".join(f"ua{k}" for k in range(4)), "s"))
+    rows.append((9, boiler + " " + " ".join(f"ub{k}" for k in range(4)), "s"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = str(tmp_path / "idf")
+    docs.write.parquet(f"{out}/documents.parquet")
+    set_pairs = {(r.ida, r.idb) for r in q111_allpairs_ssjoin(spark, out).collect()}
+    idf_pairs = {(r.ida, r.idb) for r in q128_idf_weighted_pairs(spark, out).collect()}
+    assert (8, 9) in set_pairs  # boilerplate dominates the gram set
+    assert (8, 9) not in idf_pairs  # rare mass does not match
+    # identical pure-boiler docs still pair everywhere
+    assert (0, 1) in idf_pairs and (0, 1) in set_pairs
+
+
+def test_idf_weighted_corpus_bounds(spark, sf_dir):
+    from datasketches_server_spark.plans.queries import q128_idf_weighted_pairs
+
+    for r in q128_idf_weighted_pairs(spark, sf_dir).collect():
+        assert r.ida < r.idb
+        assert 5000 <= r.idf_jacc_e4 <= 10000
