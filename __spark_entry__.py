@@ -246,6 +246,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q127_winnowing_pairs": Q.q127_winnowing_pairs,
         # IDF-weighted jaccard pairs: rare-mass similarity, boilerplate-blind
         "q128_idf_weighted_pairs": Q.q128_idf_weighted_pairs,
+        # MinHash signature-width error ablation (k = 4/8/16 lanes, shared seeds)
+        "q129_minhash_k_error": Q.q129_minhash_k_error,
+        # token mass recoverable by turn-level dedup, per role
+        "q130_turn_dedup_savings": Q.q130_turn_dedup_savings,
     }
 
 
@@ -3715,6 +3719,103 @@ def oracle_sql() -> dict[str, str]:
         JOIN docw wb ON idb = wb.id
         WHERE 3 * iw >= wa.tw + wb.tw
         ORDER BY ida, idb
+    """
+
+
+    oracles["q129_minhash_k_error"] = f"""
+        WITH g AS (
+            SELECT doc_id AS id, {grams3} AS grams FROM documents
+        ), x AS (
+            SELECT id, unnest(grams) AS gram FROM g
+        ), lanes AS (
+            SELECT id, p, min({_lane_h}) AS h
+            FROM x, (SELECT unnest(range(16)) AS p) perms
+            GROUP BY 1, 2
+        ), sz AS (
+            SELECT id, len(grams) AS n FROM g
+        ), inter AS (
+            SELECT l.id AS ida, r.id AS idb, count(*) AS i
+            FROM x l JOIN x r ON l.gram = r.gram AND l.id < r.id
+            GROUP BY 1, 2
+        ), pairs AS (
+            SELECT ida, idb, i, sa.n + sb.n - i AS u
+            FROM inter
+            JOIN sz sa ON inter.ida = sa.id
+            JOIN sz sb ON inter.idb = sb.id
+            WHERE 17 * i >= 7 * (sa.n + sb.n)
+        ), perpair AS (
+            SELECT p.ida, p.idb,
+                   (20000 * p.i + p.u) // (2 * p.u) AS exact_e4,
+                   sum(CASE WHEN la.h = lb.h AND la.p < 4 THEN 1 ELSE 0 END) AS m4,
+                   sum(CASE WHEN la.h = lb.h AND la.p < 8 THEN 1 ELSE 0 END) AS m8,
+                   sum(CASE WHEN la.h = lb.h THEN 1 ELSE 0 END) AS m16
+            FROM pairs p
+            JOIN lanes la ON la.id = p.ida
+            JOIN lanes lb ON lb.id = p.idb AND lb.p = la.p
+            GROUP BY 1, 2, 3
+        ), stats AS (
+            SELECT count(*) AS np,
+                   coalesce(sum(abs(m4 * 2500 - exact_e4)), 0) AS s4,
+                   coalesce(max(abs(m4 * 2500 - exact_e4)), 0) AS x4,
+                   coalesce(sum(abs(m8 * 1250 - exact_e4)), 0) AS s8,
+                   coalesce(max(abs(m8 * 1250 - exact_e4)), 0) AS x8,
+                   coalesce(sum(abs(m16 * 625 - exact_e4)), 0) AS s16,
+                   coalesce(max(abs(m16 * 625 - exact_e4)), 0) AS x16
+            FROM perpair
+        )
+        SELECT CAST(t.k AS BIGINT) AS k,
+               CAST(stats.np AS BIGINT) AS n_pairs,
+               CAST(CASE WHEN stats.np = 0 THEN 0
+                    ELSE (2 * t.s + stats.np) // (2 * stats.np) END AS BIGINT)
+                   AS mean_abs_err_e4,
+               CAST(t.x AS BIGINT) AS max_abs_err_e4
+        FROM stats, (
+            SELECT 4 AS k, s4 AS s, x4 AS x FROM stats
+            UNION ALL SELECT 8, s8, x8 FROM stats
+            UNION ALL SELECT 16, s16, x16 FROM stats
+        ) t
+        ORDER BY k
+    """
+
+    oracles["q130_turn_dedup_savings"] = f"""
+        WITH tr AS ({transcripts_from_documents_sql()}),
+        base AS (
+            SELECT conv_id, turn_idx, role,
+                   len(string_split(text, ' ')) AS n_toks
+            FROM tr
+        ), g AS (
+            SELECT conv_id, turn_idx, unnest({_G3TURN}) AS gram FROM tr
+        ), sz AS (
+            SELECT conv_id, turn_idx, count(*) AS n FROM g GROUP BY 1, 2
+        ), inter AS (
+            SELECT a.conv_id AS ca, a.turn_idx AS ta,
+                   b.conv_id AS cb, b.turn_idx AS tb, count(*) AS i
+            FROM g a JOIN g b ON a.gram = b.gram AND a.conv_id < b.conv_id
+            GROUP BY 1, 2, 3, 4
+        ), qual AS (
+            SELECT ca, ta, cb, tb FROM inter
+            JOIN sz sa ON sa.conv_id = ca AND sa.turn_idx = ta
+            JOIN sz sb ON sb.conv_id = cb AND sb.turn_idx = tb
+            WHERE 17 * i >= 7 * (sa.n + sb.n)
+        ), dup_turns AS (
+            SELECT DISTINCT conv_id, turn_idx FROM (
+                SELECT ca AS conv_id, ta AS turn_idx FROM qual
+                UNION ALL SELECT cb, tb FROM qual
+            )
+        )
+        SELECT b.role,
+               CAST(sum(b.n_toks) AS BIGINT) AS n_tokens,
+               CAST(coalesce(sum(CASE WHEN d.conv_id IS NOT NULL
+                                      THEN b.n_toks ELSE 0 END), 0) AS BIGINT)
+                   AS n_dup_tokens,
+               CAST((20000 * coalesce(sum(CASE WHEN d.conv_id IS NOT NULL
+                                               THEN b.n_toks ELSE 0 END), 0)
+                     + sum(b.n_toks)) // (2 * sum(b.n_toks)) AS BIGINT)
+                   AS dup_token_share_e4
+        FROM base b
+        LEFT JOIN dup_turns d
+          ON d.conv_id = b.conv_id AND d.turn_idx = b.turn_idx
+        GROUP BY b.role ORDER BY b.role
     """
 
     return oracles

@@ -4391,3 +4391,167 @@ def q128_idf_weighted_pairs(spark, sf_dir):
         )
         .orderBy("ida", "idb")
     )
+
+
+def q129_minhash_k_error(spark, sf_dir):
+    """Signature-width error ablation: mean |MinHash estimate - exact
+    jaccard| over the verified >= 0.7 pair set at k = 4, 8, 16 lanes of
+    the portable MinHash -- the third leg of the sketch-accuracy suite
+    (q109: per-decile calibration at k=16; q115: 1-bit quantization;
+    q124: band-shape S-curve) and the direct cost curve behind 'how
+    many lanes can an index shed before verify-stage precision moves'.
+    The k-lane estimate reuses PREFIXES of the same 16 lanes (lane p <
+    k), so the three tiers share one signature build and the ablation
+    isolates width, not seeds.  Integer math: est_e4 = m * (10000
+    div k) with k dividing 10000 exactly at 4/8/16... (2500/1250/625).
+    Plan: one lane explode; three conditional aggs over the same
+    (pair, lane) rows -- no extra joins per tier."""
+    from ..functions.portable import md5_long60, word_grams
+    from ..functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    g = d.select(
+        F.col("doc_id").alias("id"),
+        F.explode(word_grams(tokens(F.col("text")), 3)).alias("gram"),
+    )
+    lanes = g.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(15)),
+                lambda p: md5_long60(
+                    F.concat(F.col("gram"), F.lit("|"), p.cast("string"))
+                ),
+            )
+        ).alias("p", "h"),
+    )
+    sig = lanes.groupBy("id", "p").agg(F.min("h").alias("h"))
+    sz = g.groupBy("id").agg(F.count("*").alias("n"))
+    inter = (
+        g.select(F.col("id").alias("ida"), "gram")
+        .join(g.select(F.col("id").alias("idb"), "gram"), "gram")
+        .where(F.col("ida") < F.col("idb"))
+        .groupBy("ida", "idb")
+        .agg(F.count("*").alias("i"))
+    )
+    pairs = (
+        inter.join(sz.select(F.col("id").alias("ida"), F.col("n").alias("na")), "ida")
+        .join(sz.select(F.col("id").alias("idb"), F.col("n").alias("nb")), "idb")
+        .where(17 * F.col("i") >= 7 * (F.col("na") + F.col("nb")))
+        .withColumn("u", F.col("na") + F.col("nb") - F.col("i"))
+    )
+    sa = sig.select(F.col("id").alias("ida"), "p", F.col("h").alias("ha"))
+    sb = sig.select(F.col("id").alias("idb"), "p", F.col("h").alias("hb"))
+    perpair = (
+        pairs.select("ida", "idb", "i", "u")
+        .join(sa, "ida")
+        .join(sb, ["idb", "p"])
+        .groupBy("ida", "idb", "i", "u")
+        .agg(
+            F.sum(((F.col("ha") == F.col("hb")) & (F.col("p") < 4)).cast("long")).alias("m4"),
+            F.sum(((F.col("ha") == F.col("hb")) & (F.col("p") < 8)).cast("long")).alias("m8"),
+            F.sum((F.col("ha") == F.col("hb")).cast("long")).alias("m16"),
+        )
+        .withColumn("exact_e4", F.expr("(20000 * i + u) div (2 * u)"))
+    )
+
+    stats = perpair.agg(
+        F.count("*").alias("np"),
+        F.coalesce(F.sum(F.expr("abs(m4 * 2500 - exact_e4)")), F.lit(0)).alias("s4"),
+        F.coalesce(F.max(F.expr("abs(m4 * 2500 - exact_e4)")), F.lit(0)).alias("x4"),
+        F.coalesce(F.sum(F.expr("abs(m8 * 1250 - exact_e4)")), F.lit(0)).alias("s8"),
+        F.coalesce(F.max(F.expr("abs(m8 * 1250 - exact_e4)")), F.lit(0)).alias("x8"),
+        F.coalesce(F.sum(F.expr("abs(m16 * 625 - exact_e4)")), F.lit(0)).alias("s16"),
+        F.coalesce(F.max(F.expr("abs(m16 * 625 - exact_e4)")), F.lit(0)).alias("x16"),
+    )
+    return (
+        stats.selectExpr(
+            "stack(3,"
+            " 4, np, CASE WHEN np = 0 THEN 0 ELSE (2 * s4 + np) div (2 * np) END, x4,"
+            " 8, np, CASE WHEN np = 0 THEN 0 ELSE (2 * s8 + np) div (2 * np) END, x8,"
+            " 16, np, CASE WHEN np = 0 THEN 0 ELSE (2 * s16 + np) div (2 * np) END, x16"
+            ") AS (k, n_pairs, mean_abs_err_e4, max_abs_err_e4)"
+        )
+        .selectExpr(
+            "CAST(k AS BIGINT) AS k",
+            "CAST(n_pairs AS BIGINT) AS n_pairs",
+            "CAST(mean_abs_err_e4 AS BIGINT) AS mean_abs_err_e4",
+            "CAST(max_abs_err_e4 AS BIGINT) AS max_abs_err_e4",
+        )
+        .orderBy("k")
+    )
+
+
+def q130_turn_dedup_savings(spark, sf_dir):
+    """Token budget the turn tier would recover: total tokens sitting
+    in cross-conv near-dup turns (q117 contract) per role, as count and
+    corpus share -- q117 reports turn COUNTS, this prices them in the
+    unit a curator budgets (tokens), the number that decides whether
+    turn-granular dedup is worth its index at 10^12 turns.  A dup turn
+    is counted once regardless of partner multiplicity.  Plan: q117's
+    postings join reused; token sizes ride the turn key, one final
+    rollup."""
+    from ..functions.portable import word_grams
+
+    tr = transcripts_from_documents(spark, sf_dir)
+    base = tr.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.size(F.split(F.col("text"), " ")).alias("n_toks"),
+    )
+    g = tr.select(
+        "conv_id",
+        "turn_idx",
+        F.explode(word_grams(F.split(F.col("text"), " "), 3)).alias("gram"),
+    )
+    sz = g.groupBy("conv_id", "turn_idx").agg(F.count("*").alias("n"))
+    a = g.select(F.col("conv_id").alias("ca"), F.col("turn_idx").alias("ta"), "gram")
+    b = g.select(F.col("conv_id").alias("cb"), F.col("turn_idx").alias("tb"), "gram")
+    inter = (
+        a.join(b, "gram")
+        .where(F.col("ca") < F.col("cb"))
+        .groupBy("ca", "ta", "cb", "tb")
+        .agg(F.count("*").alias("i"))
+    )
+    qual = (
+        inter.join(
+            sz.select(
+                F.col("conv_id").alias("ca"),
+                F.col("turn_idx").alias("ta"),
+                F.col("n").alias("na"),
+            ),
+            ["ca", "ta"],
+        )
+        .join(
+            sz.select(
+                F.col("conv_id").alias("cb"),
+                F.col("turn_idx").alias("tb"),
+                F.col("n").alias("nb"),
+            ),
+            ["cb", "tb"],
+        )
+        .where(17 * F.col("i") >= 7 * (F.col("na") + F.col("nb")))
+    )
+    dup_turns = (
+        qual.select(F.col("ca").alias("conv_id"), F.col("ta").alias("turn_idx"))
+        .union(qual.select(F.col("cb").alias("conv_id"), F.col("tb").alias("turn_idx")))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    return (
+        base.join(dup_turns, ["conv_id", "turn_idx"], "left")
+        .groupBy("role")
+        .agg(
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            F.coalesce(F.sum(F.col("n_toks") * F.col("is_dup")), F.lit(0))
+            .cast("long")
+            .alias("n_dup_tokens"),
+        )
+        .withColumn(
+            "dup_token_share_e4",
+            F.expr("(20000 * n_dup_tokens + n_tokens) div (2 * n_tokens)")
+            .cast("long"),
+        )
+        .orderBy("role")
+    )

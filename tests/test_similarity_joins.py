@@ -301,3 +301,33 @@ def test_idf_weighted_corpus_bounds(spark, sf_dir):
     for r in q128_idf_weighted_pairs(spark, sf_dir).collect():
         assert r.ida < r.idb
         assert 5000 <= r.idf_jacc_e4 <= 10000
+
+
+def test_minhash_k_error_planted_identical_is_exact(spark, tmp_path):
+    """Identical docs: every lane matches at every width, so the error
+    is 0 at k = 4, 8 and 16 alike."""
+    from datasketches_server_spark.plans.queries import q129_minhash_k_error
+
+    text = " ".join(f"mk{k}" for k in range(20))
+    docs = spark.createDataFrame(
+        [(0, text, "s"), (1, text, "s")], "doc_id long, text string, source string"
+    )
+    out = str(tmp_path / "kerr")
+    docs.write.parquet(f"{out}/documents.parquet")
+    rows = {r.k: r for r in q129_minhash_k_error(spark, out).collect()}
+    assert set(rows) == {4, 8, 16}
+    for r in rows.values():
+        assert r.n_pairs == 1
+        assert r.mean_abs_err_e4 == 0
+        assert r.max_abs_err_e4 == 0
+
+
+def test_minhash_k_error_corpus_bounds(spark, sf_dir):
+    from datasketches_server_spark.plans.queries import q129_minhash_k_error
+
+    rows = {r.k: r for r in q129_minhash_k_error(spark, sf_dir).collect()}
+    assert set(rows) == {4, 8, 16}
+    np = {r.n_pairs for r in rows.values()}
+    assert len(np) == 1, "all widths ablate the same pair set"
+    for r in rows.values():
+        assert 0 <= r.mean_abs_err_e4 <= r.max_abs_err_e4 <= 10000

@@ -214,3 +214,37 @@ def test_conv_dup_by_length_partitions_corpus(spark, sf_dir):
         assert 1 <= r.turn_bucket <= 6
         assert 0 <= r.n_dup <= r.n_convs
         assert 0 <= r.dup_rate_e4 <= 10000
+
+
+def test_turn_dedup_savings_prices_every_dup_turn(spark, tmp_path):
+    """On the shifted-boundary corpus every turn is near-dup, so the
+    recoverable token share is exactly 1.0 for both roles."""
+    from datasketches_server_spark.plans.queries import q130_turn_dedup_savings
+
+    toks = [f"w{k}" for k in range(32)]
+    rows = [(0, " ".join(toks), "s"), (1, "xshift " + " ".join(toks[:31]), "s")]
+    out = _write_docs(spark, tmp_path, rows)
+    got = {r.role: r for r in q130_turn_dedup_savings(spark, out).collect()}
+    for role in ("user", "assistant"):
+        assert got[role].n_dup_tokens == got[role].n_tokens
+        assert got[role].dup_token_share_e4 == 10000
+
+
+def test_turn_dedup_savings_corpus_consistency(spark, sf_dir):
+    from datasketches_server_spark.plans.queries import (
+        q117_turn_near_dup,
+        q130_turn_dedup_savings,
+    )
+
+    sav = {r.role: r for r in q130_turn_dedup_savings(spark, sf_dir).collect()}
+    cnt = {r.role: r for r in q117_turn_near_dup(spark, sf_dir).collect()}
+    n_tokens = (
+        transcripts_from_documents(spark, sf_dir)
+        .select(F.sum(F.size(F.split(F.col("text"), " "))))
+        .collect()[0][0]
+    )
+    assert sum(r.n_tokens for r in sav.values()) == n_tokens
+    for role, r in sav.items():
+        assert 0 <= r.n_dup_tokens <= r.n_tokens
+        # a role has dup tokens iff q117 found dup turns for it
+        assert (r.n_dup_tokens > 0) == (cnt[role].n_dup_turns > 0)
