@@ -33,6 +33,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _td(spark: SparkSession, sf_dir: str, name: str, *key: str) -> DataFrame:
+    """Table scan + spread: single-row-group test files make every scan
+    ONE task (guide 2.5 input skew), so queries whose pre-shuffle work is
+    per-row heavy (gram explosion, vector math) repartition the scan
+    first.  No-op on already-parallel inputs."""
+    from ..sources.io import spread_scan
+
+    return spread_scan(_t(spark, sf_dir, name), *key)
+
+
 # ------------------------------------------------ dedup-pipeline memo
 # Seven registered queries (q24/q37/q38/q55/q56/q61/q62) are diagnostics
 # over the SAME signatures->LSH->verify->CC pass at the same config; each
@@ -94,14 +104,60 @@ def documents_dedup_result(spark: SparkSession, sf_dir: str, subset: str | None 
     return res
 
 
+# ------------------------------------------------ intra-query scratch cache
+# Several postings-join queries (q111/q112/q127/q128) reference one
+# expensive derived relation (tokenize -> n-gram explode) 4-6 times in a
+# single plan; Catalyst has no common-subexpression reuse across join
+# subtrees, so without a cache the gram explosion recomputes per
+# reference (measured: q111 re-derived it 6x, ~4.6 s per pass at sf0.1).
+# _scratch persists such a relation for the DURATION OF ONE QUERY BUILD:
+# the next query that asks for scratch space (different tag) unpersists
+# the previous query's blocks first, so at most one query's scratch is
+# ever resident.  This is intra-action reuse -- every invocation still
+# computes from the parquet inputs (nothing is keyed on the corpus dir
+# or shared across invocations; re-running the same query re-populates
+# the cache from scratch because the tag changes identity per call).
+
+_SCRATCH_DFS: list = []
+_SCRATCH_TAG: object = None
+
+
+def _scratch(df: DataFrame, tag: object) -> DataFrame:
+    """Persist an intermediate referenced several times inside one query
+    plan.  ``tag`` identifies the building query invocation; a new tag
+    releases the previous invocation's scratch blocks (recompute-safe:
+    an unpersisted DataFrame still computes correctly)."""
+    global _SCRATCH_TAG
+    if tag is not _SCRATCH_TAG:
+        for old in _SCRATCH_DFS:
+            try:
+                old.unpersist()
+            except Exception:
+                pass
+        _SCRATCH_DFS.clear()
+        _SCRATCH_TAG = tag
+    df = df.persist()
+    _SCRATCH_DFS.append(df)
+    return df
+
+
 def clear_dedup_memo() -> None:
-    """Unpersist and drop every memoized DedupResult (sweep teardown)."""
+    """Unpersist and drop every memoized DedupResult (sweep teardown),
+    plus any scratch blocks the last query build persisted."""
     for res in _DEDUP_MEMO.values():
         try:
             res.unpersist()
         except Exception:
             pass
     _DEDUP_MEMO.clear()
+    global _SCRATCH_TAG
+    for old in _SCRATCH_DFS:
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+    _SCRATCH_DFS.clear()
+    _SCRATCH_TAG = None
 
 
 # --------------------------------------------------------------- relational
@@ -849,7 +905,7 @@ def q33_embedding_lsh_near_dups(spark, sf_dir):
 def q30_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-10 vs the vec_id=0 embedding -- native
     zip_with/aggregate dot product, no UDF."""
-    e = _t(spark, sf_dir, "embeddings").withColumn(
+    e = _td(spark, sf_dir, "embeddings", "vec_id").withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )
     qv = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
@@ -872,7 +928,7 @@ def q31_ann_lsh_cosine(spark, sf_dir):
     (quantized integer codes -- see operators/similarity.py)."""
     from ..operators.similarity import ann_topk
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _td(spark, sf_dir, "embeddings", "vec_id")
     q = e.where(F.col("vec_id") == 0)
     return ann_topk(
         e.where(F.col("vec_id") != 0), q, k=10,
@@ -3387,22 +3443,34 @@ def q111_allpairs_ssjoin(spark, sf_dir):
     candidate stream is driven by rare grams instead of band
     collisions, so it needs no b x r tuning and cannot miss a pair.
     All jaccard math is integer ((20000 i + u) div 2u == half-up e4)
-    so no float can touch the driver hash.  Plan: one map-side-combined
-    df ranking, a narrow prefix->postings join whose fan-out is bounded
-    by rare-gram df, verify only on candidates; at corpus scale the
-    global gram order ships as a broadcast df sketch and prefix
-    postings get a df cap (a gram in thousands of docs never survives
-    to a 0.5-jaccard prefix)."""
+    so no float can touch the driver hash.  Plan (r6 shape): ONE
+    tokenize+gram pass builds the per-doc distinct-gram ARRAY (cached
+    per invocation -- Catalyst has no cross-subtree CSE, and the plan
+    references the grams five times); postings derive from it by a
+    cheap explode; candidates come from the narrow prefix->postings
+    equi-join; verification is the LSH pipeline's fan-in shape
+    (verify_pairs): the pair list joins the per-doc gram arrays and
+    computes |intersection| NATIVELY with array_intersect -- measured
+    32.6M-row postings fan-out replaced by 2 array joins (the arrays
+    broadcast at this scale; at corpus scale the same join sort-merges
+    on the id key, still Sum(pair degree) not Sum(na) rows).  At corpus
+    scale the global gram order ships as a broadcast df sketch and
+    prefix postings get a df cap (a gram in thousands of docs never
+    survives to a 0.5-jaccard prefix)."""
     from ..functions.portable import word_grams
     from ..functions.text import tokens
 
-    d = _t(spark, sf_dir, "documents")
-    g = d.select(
-        F.col("doc_id").alias("id"),
-        F.explode(word_grams(tokens(F.col("text")), 3)).alias("gram"),
+    d = _td(spark, sf_dir, "documents", "doc_id")
+    garr = _scratch(
+        d.select(
+            F.col("doc_id").alias("id"),
+            word_grams(tokens(F.col("text")), 3).alias("grams"),
+        ),
+        tag=object(),
     )
+    g = garr.select("id", F.explode("grams").alias("gram"))
     dfreq = g.groupBy("gram").agg(F.count("*").alias("df"))
-    sz = g.groupBy("id").agg(F.count("*").alias("n"))
+    sz = garr.select("id", F.size("grams").cast("long").alias("n"))
     wrk = Window.partitionBy("id").orderBy("df", "gram")
     ranked = g.join(dfreq, "gram").withColumn("rnk", F.row_number().over(wrk))
     prefix = (
@@ -3420,16 +3488,23 @@ def q111_allpairs_ssjoin(spark, sf_dir):
         )
         .distinct()
     )
-    inter = (
-        cand.join(g.select(F.col("id").alias("ida"), "gram"), "ida")
-        .join(g.select(F.col("id").alias("idb"), "gram"), ["idb", "gram"])
-        .groupBy("ida", "idb")
-        .agg(F.count("*").alias("i"))
+    verified = (
+        cand.join(
+            garr.select(F.col("id").alias("ida"), F.col("grams").alias("_ga")), "ida"
+        )
+        .join(
+            garr.select(F.col("id").alias("idb"), F.col("grams").alias("_gb")), "idb"
+        )
+        .select(
+            "ida",
+            "idb",
+            F.size(F.array_intersect("_ga", "_gb")).cast("long").alias("i"),
+            F.size("_ga").cast("long").alias("na"),
+            F.size("_gb").cast("long").alias("nb"),
+        )
     )
     return (
-        inter.join(sz.select(F.col("id").alias("ida"), F.col("n").alias("na")), "ida")
-        .join(sz.select(F.col("id").alias("idb"), F.col("n").alias("nb")), "idb")
-        .where(3 * F.col("i") >= F.col("na") + F.col("nb"))
+        verified.where(3 * F.col("i") >= F.col("na") + F.col("nb"))
         .select(
             "ida",
             "idb",
@@ -3459,12 +3534,14 @@ def q112_weighted_jaccard_dedup(spark, sf_dir):
     from ..functions.portable import word_grams_all
     from ..functions.text import tokens
 
-    d = _t(spark, sf_dir, "documents")
+    d = _td(spark, sf_dir, "documents", "doc_id")
     x = d.select(
         F.col("doc_id").alias("id"),
         F.explode(word_grams_all(tokens(F.col("text")), 3)).alias("gram"),
     )
-    tf = x.groupBy("id", "gram").agg(F.count("*").alias("w"))
+    # tf postings feed the doc totals and BOTH sides of the pair join --
+    # scratch them so tokenize+gram explode+tf agg runs once
+    tf = _scratch(x.groupBy("id", "gram").agg(F.count("*").alias("w")), tag=object())
     tot = tf.groupBy("id").agg(F.sum("w").alias("t"))
     mn = (
         tf.select(F.col("id").alias("ida"), "gram", F.col("w").alias("wa"))
@@ -4308,19 +4385,27 @@ def q127_winnowing_pairs(spark, sf_dir):
     from ..functions.portable import md5_long60, word_grams_all
     from ..functions.text import tokens
 
-    d = _t(spark, sf_dir, "documents")
-    hashed = d.select(
-        F.col("doc_id").alias("id"),
-        F.posexplode(word_grams_all(tokens(F.col("text")), 3)).alias("pos", "gram"),
-    ).select("id", "pos", md5_long60(F.col("gram")).alias("h"))
+    d = _td(spark, sf_dir, "documents", "doc_id")
+    _tag = object()
+    # gram hashes feed the last-pos agg AND the window pass; fingerprints
+    # feed the sizes agg AND both self-join sides -- scratch both so the
+    # tokenize+gram+md5 pass and the window run once per invocation
+    hashed = _scratch(
+        d.select(
+            F.col("doc_id").alias("id"),
+            F.posexplode(word_grams_all(tokens(F.col("text")), 3)).alias("pos", "gram"),
+        ).select("id", "pos", md5_long60(F.col("gram")).alias("h")),
+        tag=_tag,
+    )
     m = hashed.groupBy("id").agg(F.max("pos").alias("last_pos"))
     w = Window.partitionBy("id").orderBy("pos").rowsBetween(0, 3)
-    fps = (
+    fps = _scratch(
         hashed.withColumn("wmin", F.min("h").over(w))
         .join(m, "id")
         .where(F.col("pos") <= F.col("last_pos") - 3)
         .select("id", F.col("wmin").alias("fp"))
-        .distinct()
+        .distinct(),
+        tag=_tag,
     )
     sz = fps.groupBy("id").agg(F.count("*").alias("n"))
     inter = (
@@ -4361,15 +4446,20 @@ def q128_idf_weighted_pairs(spark, sf_dir):
     from ..functions.portable import word_grams
     from ..functions.text import tokens
 
-    d = _t(spark, sf_dir, "documents")
-    g = d.select(
-        F.col("doc_id").alias("id"),
-        F.explode(word_grams(tokens(F.col("text")), 3)).alias("gram"),
+    d = _td(spark, sf_dir, "documents", "doc_id")
+    _tag = object()
+    g = _scratch(
+        d.select(
+            F.col("doc_id").alias("id"),
+            F.explode(word_grams(tokens(F.col("text")), 3)).alias("gram"),
+        ),
+        tag=_tag,
     )
     wts = g.groupBy("gram").agg(
         F.expr("1000000 div count(*)").cast("long").alias("wt")
     )
-    gw = g.join(wts, "gram")
+    # weighted postings feed the doc totals and BOTH pair-join sides
+    gw = _scratch(g.join(wts, "gram"), tag=_tag)
     docw = gw.groupBy("id").agg(F.sum("wt").alias("tw"))
     inter = (
         gw.select(F.col("id").alias("ida"), "gram", "wt")

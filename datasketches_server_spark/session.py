@@ -51,6 +51,17 @@ def get_spark(
         )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalesces by SHUFFLE BYTES; this engine's hot shuffles are
+        # narrow-but-compute-dense rows (gram strings, hash keys feeding
+        # windows/joins), so the 1 MB default min-partition-size folds a
+        # CPU-bound stage onto ~6 of 32 cores (measured: q111's ranking
+        # window ran (5+1)/6 tasks with a straggler tail; 64k keeps it at
+        # 32 tasks, min wall 9.5 -> 5.3 s).  Parameterised: on a real
+        # cluster with deep per-task overheads raise it back via env.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.sql.session.timeZone", "UTC")

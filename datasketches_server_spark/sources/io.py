@@ -175,3 +175,28 @@ def write_bucketed(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table)
+
+
+def spread_scan(df: DataFrame, *key_cols: str, min_factor: int = 1) -> DataFrame:
+    """Repartition a LOW-PARALLELISM scan across the cluster before
+    per-row-heavy compute (optimization guide section 2.5, input skew:
+    an unsplittable/single-row-group input leaves every pre-shuffle
+    operator -- n-gram explosion, turn splitting, window hashing -- on
+    one core).  No-op when the scan already has enough partitions, so
+    a real multi-file corpus pays nothing; keyed (hash) repartitioning
+    keeps the row placement deterministic under task retries
+    (SPARK-23207 note in the guide).  ``key_cols`` should be a
+    high-cardinality key like the document id."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism * min_factor
+    try:
+        current = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if current >= target:
+        return df
+    if key_cols:
+        from pyspark.sql import functions as F
+
+        return df.repartition(target, *[F.col(c) for c in key_cols])
+    return df.repartition(target)
