@@ -206,12 +206,23 @@ def verify_prefix_pairs(
             Window.partitionBy("conv_id").orderBy("turn_idx")
         ) - F.lit(1)
     t = transcripts.select("conv_id", pos.alias("pos"), "text")
-    a = t.select(
+    # member pruning (the LSH verify shape): candidate pairs touch a tiny
+    # fraction of convs, so semi-join each text side down to its member
+    # ids BEFORE the pair joins -- the (super, pos) equi-join then
+    # shuffles candidate-member turns only, never the corpus's text rows
+    # (measured: the unpruned b-side sort-merge moved all 1.09M turn
+    # texts for 9.6k pairs).  The semi joins broadcast the id sets; the
+    # caller persists `candidates` so deriving them costs no extra pass.
+    a_ids = candidates.select(
+        F.col("prefix_conv_id").alias("conv_id")
+    ).distinct()
+    b_ids = candidates.select(F.col("super_conv_id").alias("conv_id")).distinct()
+    a = t.join(a_ids, "conv_id", "left_semi").select(
         F.col("conv_id").alias("prefix_conv_id"),
         "pos",
         F.col("text").alias("text_a"),
     )
-    b = t.select(
+    b = t.join(b_ids, "conv_id", "left_semi").select(
         F.col("conv_id").alias("super_conv_id"),
         "pos",
         F.col("text").alias("text_b"),
@@ -252,6 +263,12 @@ def turn_prefix_pairs(
     cands = turn_prefix_candidates(transcripts, positions)
     if not verify:
         return cands
+    # verification references the candidate list three times (member ids
+    # for both text sides + the pair join itself); checkpoint the small
+    # pair list so the running-hash candidate pass runs once.  Local
+    # blocks are released by the context cleaner when the result is
+    # dropped -- nothing persists across invocations.
+    cands = cands.localCheckpoint(eager=True)
     return verify_prefix_pairs(cands, transcripts, positions)
 
 

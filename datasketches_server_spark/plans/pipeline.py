@@ -149,14 +149,20 @@ def dedup_pipeline(
             cands = cands.persist()
             resources.append(cands)
             cands.count()  # materialize (also fails fast on a pair explosion)
-            # measure DISTINCT pair members directly (one cheap agg on
-            # the persisted narrow pair list) rather than the 2*pairs
-            # proxy: a few mega-clusters make members << 2*pairs, and
-            # the proxy would skip a profitable prune
+            # measure DISTINCT pair members directly rather than the
+            # 2*pairs proxy: a few mega-clusters make members << 2*pairs,
+            # and the proxy would skip a profitable prune.  r6: count on
+            # the persisted post-cap RANKED relation instead of
+            # union+distinct over the pair list -- every ranked row in a
+            # multi-member bucket is a pair member by construction (small
+            # buckets emit all pairs, large buckets star onto the root),
+            # so the two counts are identical and the ranked agg scans
+            # ~|band rows| cached narrow rows instead of re-shuffling
+            # 2x|pairs| ids (measured 1.37 s -> ~0.3 s at 100k convs)
             n_members = (
-                cands.select(F.col("a").alias("m"))
-                .union(cands.select(F.col("b").alias("m")))
-                .agg(F.countDistinct("m").alias("n")).collect()[0]["n"]
+                ranked_holder[0]
+                .agg(F.countDistinct("conv_id").alias("n"))
+                .collect()[0]["n"]
             )
             # pruning pays when pair members are a SMALL fraction of the
             # corpus (each fat verify shuffle shrinks accordingly); the
@@ -174,6 +180,13 @@ def dedup_pipeline(
             cands.count()
             resources.append(cands)
     edges = verify_pairs(cands, state, cfg.lsh, tier=verify_tier, prune_members=prune)
+    # persist: connected components materializes the verify join anyway
+    # (its edge count), and downstream consumers (metric tables' KLL
+    # over jaccard, cluster diagnostics) re-reference edges -- without
+    # the cache each of them re-runs the fat verify join (measured ~2.4 s
+    # per re-run at 100k convs inside sketch_rollup)
+    edges = edges.persist()
+    resources.append(edges)
     labels = connected_components(edges, driver_threshold=cc_driver_threshold)
     clusters = attach_singletons(labels, state)
     from ..operators.lsh import bucket_stats_from_ranked
@@ -315,6 +328,10 @@ def incremental_dedup(
     new_edges = verify_pairs(
         cands, state_v, cfg.lsh, tier=verify_tier, prune_members=not pushed
     )
+    # referenced by the delta CC contraction, the edges union, and the
+    # returned new_edges delta -- one verify materialization, not three
+    new_edges = new_edges.persist()
+    resources.append(new_edges)
 
     edge_cols = [c for c in old_edges.columns if c in new_edges.columns]
     edges = old_edges.select(*edge_cols).unionByName(new_edges.select(*edge_cols))
