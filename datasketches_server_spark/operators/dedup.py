@@ -303,7 +303,9 @@ def _token_windows(
     oracle tier); exact=False keys by xxhash64 of it (scale tier: the
     fat string never shuffles, rows are a narrow (long, long, int)).
     Same [a-z0-9]+ normalization as every other tokenizer tier."""
-    base = docs.select(
+    from ..sources.io import spread_scan
+
+    base = spread_scan(docs, id_col).select(
         F.col(id_col).alias("id"),
         tokens(F.col(text_col)).alias("toks"),
     ).withColumn("n_tokens", F.size("toks").cast("long")).where(

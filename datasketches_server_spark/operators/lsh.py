@@ -98,30 +98,42 @@ def candidate_pairs(
     # singleton buckets (the overwhelming majority of band buckets) can
     # never emit a pair; a codegen count-aggregate (map-side combined,
     # so the shuffle is narrow (bucket, count) rows) finds the
-    # multi-member ones and a semi join drops ~80% of rows before the
-    # window sorts.  Certified A/B at 22M turns / 8 executors: removing
-    # this prefilter RAISED the e2e wall from <=154 s to 185 s even
-    # though the multi list exceeds broadcast size there -- the extra
-    # sorted rows in both windows cost more than the join pass.  The
-    # knob stays for plan experiments.
-    if singleton_prefilter:
-        multi = (
-            buckets.groupBy("bucket")
-            .agg(F.count("*").alias("_sz"))
-            .where(F.col("_sz") >= 2)
-            .select("bucket")
-        )
-        buckets = buckets.join(multi, "bucket", "left_semi")
-
+    # multi-member ones and drops ~80% of rows before the window sorts.
+    # Certified A/B at 22M turns / 8 executors: removing this prefilter
+    # RAISED the e2e wall from <=154 s to 185 s even though the multi
+    # list exceeds broadcast size there -- the extra sorted rows in both
+    # windows cost more than the join pass.  The knob stays for plan
+    # experiments.
+    #
+    # r6: the prefilter aggregate now RETURNS the bucket size instead of
+    # discarding it, and the salted pre-cap window (w1) runs only on HOT
+    # buckets (> hot_bucket_threshold members).  w1 exists solely to
+    # bound a mega-bucket's single sort; for a bucket of <= threshold
+    # members it provably drops nothing (the per-(bucket,salt) cap is
+    # bucket_cap >= threshold), so cold rows -- in practice ~all of them
+    # -- skip one full shuffle+sort and go straight to the global rank
+    # window (guide 2.4: remove shuffles outright).  The hot tier keeps
+    # the exact two-phase path, and both tiers merge BEFORE the rank
+    # window, so `ranked` stays one window chain whose bucket
+    # partitioning the pair self-join reuses, and rn/sz semantics are
+    # bit-identical to the two-window formulation.
     unit = [unit_col] if unit_col else []
+    sizes = buckets.groupBy("bucket").agg(F.count("*").alias("_sz0"))
+    if singleton_prefilter:
+        sizes = sizes.where(F.col("_sz0") >= 2)
+    hot_thr = min(cfg.hot_bucket_threshold, cfg.bucket_cap)
+    rows = buckets.join(sizes, "bucket").select("bucket", "conv_id", "_sz0", *unit)
+    cold = rows.where(F.col("_sz0") <= hot_thr).select("bucket", "conv_id", *unit)
     salt = F.pmod(F.xxhash64("conv_id"), F.lit(cfg.salt_buckets))
     w1 = Window.partitionBy("bucket", "_salt").orderBy("conv_id")
-    capped = (
-        buckets.withColumn("_salt", salt)
+    capped_hot = (
+        rows.where(F.col("_sz0") > hot_thr)
+        .withColumn("_salt", salt)
         .withColumn("_rn1", F.row_number().over(w1))
         .where(F.col("_rn1") <= cfg.bucket_cap)
         .select("bucket", "conv_id", *unit)
     )
+    capped = cold.unionByName(capped_hot)
     w2 = Window.partitionBy("bucket").orderBy("conv_id")
     ranked = (
         capped.withColumn("rn", F.row_number().over(w2))
@@ -230,6 +242,12 @@ def incremental_candidate_pairs(
     )
     if window_input_out is not None:
         window_input_out.append(comb)
+    # NOTE: candidate_pairs' r6 hot/cold split is deliberately NOT
+    # applied here -- deriving bucket sizes would re-evaluate `comb`,
+    # i.e. scan the persisted band index twice per batch, breaking the
+    # one-scan contract this function exists for; the window input is
+    # batch-scaled already, so the second window sort it would save is
+    # O(|new|), not O(corpus).
     salt = F.pmod(F.xxhash64("conv_id"), F.lit(cfg.salt_buckets))
     w1 = Window.partitionBy("bucket", "_salt").orderBy("conv_id")
     capped = (

@@ -100,6 +100,7 @@ def dedup_pipeline(
     cache_state: bool = True,
     prune_verify: bool | str = "auto",
     cc_driver_threshold: int = 2_000_000,
+    probe_min_convs: int = 20_000,
 ) -> DedupResult:
     """cc_driver_threshold: edge count below which connected components
     runs driver-side union-find (see operators/components.py); size it
@@ -145,6 +146,14 @@ def dedup_pipeline(
     if prune_verify == "auto":
         if n_convs is None:
             prune = False  # no corpus count available without cache_state
+        elif n_convs < probe_min_convs:
+            # below the floor both verify plans are trivially cheap and
+            # the probe itself (pair materialization + member count, two
+            # extra driver round-trips) costs more than it can save --
+            # skip it and take the no-extra-pass plan.  The decision
+            # only picks a plan; edges are identical either way
+            # (test_prune_verify_modes_agree).
+            prune = False
         else:
             cands = cands.persist()
             resources.append(cands)

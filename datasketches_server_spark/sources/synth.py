@@ -126,7 +126,12 @@ def transcripts_from_documents(
     ``(conv_id, turn_idx)`` order restores ``text`` exactly (the per-row
     invariant asserted in tests and the DuckDB oracle).
     """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from .io import spread_scan
+
+    # single-row-group test files make this scan ONE task; the per-doc
+    # turn explode below is the expensive part, so spread it first
+    # (no-op on a real multi-file corpus)
+    docs = spread_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id")
     toks = F.split(F.col("text"), " ")
     n_turns = F.ceil(F.size(toks) / F.lit(turn_len)).cast("int")
     df = docs.select(

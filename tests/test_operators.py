@@ -830,15 +830,17 @@ def test_prune_auto_counts_members_not_pairs(spark):
     # 2 mega-families of 50 among 800 convs: members ~100 (well under
     # corpus/2 -> prune pays) but pairs ~2*C(50,2)=2450 (the 2*pairs
     # proxy would have said 4900 > 400 -> skip)
+    # probe_min_convs=0 forces the probe on this miniature corpus (the
+    # r6 default skips it below 20k convs, where either plan is trivial)
     t = synth_transcripts(spark, n_convs=800, seed=9, dup_fraction=0.125, avg_family_size=50)
-    res = dedup_pipeline(t, prune_verify="auto")
+    res = dedup_pipeline(t, prune_verify="auto", probe_min_convs=0)
     assert res.pruned_verify is True
     res.unpersist()
 
     # dup-dense corpus (every conv in a small family): pair members are
     # the majority of the corpus -> pruning is pure cost
     t2 = synth_transcripts(spark, n_convs=800, seed=9, dup_fraction=1.0, avg_family_size=4)
-    res2 = dedup_pipeline(t2, prune_verify="auto")
+    res2 = dedup_pipeline(t2, prune_verify="auto", probe_min_convs=0)
     assert res2.pruned_verify is False
     res2.unpersist()
 
