@@ -213,10 +213,15 @@ def verify_prefix_pairs(
     # (measured: the unpruned b-side sort-merge moved all 1.09M turn
     # texts for 9.6k pairs).  The semi joins broadcast the id sets; the
     # caller persists `candidates` so deriving them costs no extra pass.
-    a_ids = candidates.select(
-        F.col("prefix_conv_id").alias("conv_id")
-    ).distinct()
-    b_ids = candidates.select(F.col("super_conv_id").alias("conv_id")).distinct()
+    # explicit broadcast: the candidate list arrives as a checkpointed
+    # RDD with no size statistics, so Catalyst would otherwise pick a
+    # sort-merge semi join and shuffle the corpus's turn rows anyway
+    a_ids = F.broadcast(
+        candidates.select(F.col("prefix_conv_id").alias("conv_id")).distinct()
+    )
+    b_ids = F.broadcast(
+        candidates.select(F.col("super_conv_id").alias("conv_id")).distinct()
+    )
     a = t.join(a_ids, "conv_id", "left_semi").select(
         F.col("conv_id").alias("prefix_conv_id"),
         "pos",

@@ -155,9 +155,6 @@ def dedup_pipeline(
             # (test_prune_verify_modes_agree).
             prune = False
         else:
-            cands = cands.persist()
-            resources.append(cands)
-            cands.count()  # materialize (also fails fast on a pair explosion)
             # measure DISTINCT pair members directly rather than the
             # 2*pairs proxy: a few mega-clusters make members << 2*pairs,
             # and the proxy would skip a profitable prune.  r6: count on
@@ -165,9 +162,12 @@ def dedup_pipeline(
             # union+distinct over the pair list -- every ranked row in a
             # multi-member bucket is a pair member by construction (small
             # buckets emit all pairs, large buckets star onto the root),
-            # so the two counts are identical and the ranked agg scans
-            # ~|band rows| cached narrow rows instead of re-shuffling
-            # 2x|pairs| ids (measured 1.37 s -> ~0.3 s at 100k convs)
+            # so the two counts are identical; the agg materializes the
+            # window pass into its cache (which verify's pair build then
+            # reuses), so the probe no longer costs a separate pair
+            # materialization action at all (r5 shape: cands.persist +
+            # count + union-distinct = two extra driver round-trips and a
+            # 2x|pairs| shuffle; measured ~1.5-2 s at 100k convs)
             n_members = (
                 ranked_holder[0]
                 .agg(F.countDistinct("conv_id").alias("n"))
@@ -182,12 +182,12 @@ def dedup_pipeline(
             prune = n_members < n_convs // 4
     else:
         prune = bool(prune_verify)
-        if prune:
-            # member pruning references the pair list twice -- materialize
-            # it once (count also fails fast on a pair explosion)
-            cands = cands.persist()
-            cands.count()
-            resources.append(cands)
+    if prune:
+        # member pruning references the pair list twice -- materialize
+        # it once (count also fails fast on a pair explosion)
+        cands = cands.persist()
+        cands.count()
+        resources.append(cands)
     edges = verify_pairs(cands, state, cfg.lsh, tier=verify_tier, prune_members=prune)
     # persist: connected components materializes the verify join anyway
     # (its edge count), and downstream consumers (metric tables' KLL
