@@ -197,7 +197,14 @@ def dedup_pipeline(
     edges = edges.persist()
     resources.append(edges)
     labels = connected_components(edges, driver_threshold=cc_driver_threshold)
-    clusters = attach_singletons(labels, state)
+    # persist: the caller's first action (a cluster count/write)
+    # materializes this join once; every further consumer -- metric
+    # tables, keeper policies, and ESPECIALLY incremental_components,
+    # which references old_clusters four times (both contraction sides,
+    # the relabel join, the new-label anti-join) -- would otherwise
+    # re-run the labels-onto-state join per reference
+    clusters = attach_singletons(labels, state).persist()
+    resources.append(clusters)
     from ..operators.lsh import bucket_stats_from_ranked
 
     return DedupResult(
@@ -353,7 +360,8 @@ def incremental_dedup(
         )
     else:
         labels = connected_components(edges, driver_threshold=cc_driver_threshold)
-    clusters = attach_singletons(labels, state)
+    clusters = attach_singletons(labels, state).persist()
+    resources.append(clusters)
     from ..operators.lsh import bucket_stats_from_ranked
 
     return DedupResult(
