@@ -56,7 +56,8 @@ def get_spark(
         # windows/joins), so the 1 MB default min-partition-size folds a
         # CPU-bound stage onto ~6 of 32 cores (measured: q111's ranking
         # window ran (5+1)/6 tasks with a straggler tail; 64k keeps it at
-        # 32 tasks, min wall 9.5 -> 5.3 s).  Parameterised: on a real
+        # 32 tasks -- same-session interleaved A/B min wall 9.5 s vs
+        # 11.5 s at 1 MB, pre-restructure).  Parameterised: on a real
         # cluster with deep per-task overheads raise it back via env.
         .config(
             "spark.sql.adaptive.coalescePartitions.minPartitionSize",
