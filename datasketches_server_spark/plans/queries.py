@@ -3461,12 +3461,13 @@ def q111_allpairs_ssjoin(spark, sf_dir):
     from ..functions.text import tokens
 
     d = _td(spark, sf_dir, "documents", "doc_id")
+    _q111_tag = object()
     garr = _scratch(
         d.select(
             F.col("doc_id").alias("id"),
             word_grams(tokens(F.col("text")), 3).alias("grams"),
         ),
-        tag=object(),
+        tag=_q111_tag,
     )
     g = garr.select("id", F.explode("grams").alias("gram"))
     dfreq = g.groupBy("gram").agg(F.count("*").alias("df"))
@@ -3503,17 +3504,18 @@ def q111_allpairs_ssjoin(spark, sf_dir):
             F.size("_gb").cast("long").alias("nb"),
         )
     )
-    return (
-        verified.where(3 * F.col("i") >= F.col("na") + F.col("nb"))
-        .select(
-            "ida",
-            "idb",
-            F.expr("(20000 * i + (na + nb - i)) div (2 * (na + nb - i))")
-            .cast("long")
-            .alias("jacc_e4"),
-        )
-        .orderBy("ida", "idb")
+    out = verified.where(3 * F.col("i") >= F.col("na") + F.col("nb")).select(
+        "ida",
+        "idb",
+        F.expr("(20000 * i + (na + nb - i)) div (2 * (na + nb - i))")
+        .cast("long")
+        .alias("jacc_e4"),
     )
+    # scratch the (tiny) final pair set before the global sort: a range
+    # exchange SAMPLES its child to pick boundaries, so without the cache
+    # the whole verify pipeline executes twice (SQL-metrics-verified: the
+    # verify join emitted exactly 2x its rows)
+    return _scratch(out, tag=_q111_tag).orderBy("ida", "idb")
 
 
 def q112_weighted_jaccard_dedup(spark, sf_dir):
@@ -3541,7 +3543,8 @@ def q112_weighted_jaccard_dedup(spark, sf_dir):
     )
     # tf postings feed the doc totals and BOTH sides of the pair join --
     # scratch them so tokenize+gram explode+tf agg runs once
-    tf = _scratch(x.groupBy("id", "gram").agg(F.count("*").alias("w")), tag=object())
+    _q112_tag = object()
+    tf = _scratch(x.groupBy("id", "gram").agg(F.count("*").alias("w")), tag=_q112_tag)
     tot = tf.groupBy("id").agg(F.sum("w").alias("t"))
     mn = (
         tf.select(F.col("id").alias("ida"), "gram", F.col("w").alias("wa"))
@@ -3553,7 +3556,7 @@ def q112_weighted_jaccard_dedup(spark, sf_dir):
         .groupBy("ida", "idb")
         .agg(F.sum(F.least("wa", "wb")).alias("m"))
     )
-    return (
+    out = (
         mn.join(tot.select(F.col("id").alias("ida"), F.col("t").alias("ta")), "ida")
         .join(tot.select(F.col("id").alias("idb"), F.col("t").alias("tb")), "idb")
         .where(3 * F.col("m") >= F.col("ta") + F.col("tb"))
@@ -3564,8 +3567,10 @@ def q112_weighted_jaccard_dedup(spark, sf_dir):
             .cast("long")
             .alias("wj_e4"),
         )
-        .orderBy("ida", "idb")
     )
+    # tiny pre-sort scratch: the range exchange's sampling pass would
+    # otherwise execute the pair join twice (see q111)
+    return _scratch(out, tag=_q112_tag).orderBy("ida", "idb")
 
 
 def q113_gram_rank_decay(spark, sf_dir):
@@ -4415,7 +4420,7 @@ def q127_winnowing_pairs(spark, sf_dir):
         .groupBy("ida", "idb")
         .agg(F.count("*").alias("i"))
     )
-    return (
+    out = (
         inter.join(sz.select(F.col("id").alias("ida"), F.col("n").alias("na")), "ida")
         .join(sz.select(F.col("id").alias("idb"), F.col("n").alias("nb")), "idb")
         .where(3 * F.col("i") >= F.col("na") + F.col("nb"))
@@ -4426,8 +4431,9 @@ def q127_winnowing_pairs(spark, sf_dir):
             .cast("long")
             .alias("fp_jacc_e4"),
         )
-        .orderBy("ida", "idb")
     )
+    # tiny pre-sort scratch: avoid the range-sampling double execution
+    return _scratch(out, tag=_tag).orderBy("ida", "idb")
 
 
 def q128_idf_weighted_pairs(spark, sf_dir):
@@ -4468,7 +4474,7 @@ def q128_idf_weighted_pairs(spark, sf_dir):
         .groupBy("ida", "idb")
         .agg(F.sum("wt").alias("iw"))
     )
-    return (
+    out = (
         inter.join(docw.select(F.col("id").alias("ida"), F.col("tw").alias("wa")), "ida")
         .join(docw.select(F.col("id").alias("idb"), F.col("tw").alias("wb")), "idb")
         .where(3 * F.col("iw") >= F.col("wa") + F.col("wb"))
@@ -4479,8 +4485,9 @@ def q128_idf_weighted_pairs(spark, sf_dir):
             .cast("long")
             .alias("idf_jacc_e4"),
         )
-        .orderBy("ida", "idb")
     )
+    # tiny pre-sort scratch: avoid the range-sampling double execution
+    return _scratch(out, tag=_tag).orderBy("ida", "idb")
 
 
 def q129_minhash_k_error(spark, sf_dir):
