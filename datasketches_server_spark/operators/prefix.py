@@ -207,27 +207,43 @@ def verify_prefix_pairs(
         ) - F.lit(1)
     t = transcripts.select("conv_id", pos.alias("pos"), "text")
     # member pruning (the LSH verify shape): candidate pairs touch a tiny
-    # fraction of convs, so semi-join each text side down to its member
-    # ids BEFORE the pair joins -- the (super, pos) equi-join then
-    # shuffles candidate-member turns only, never the corpus's text rows
+    # fraction of convs, so semi-join the text rows down to member ids
+    # BEFORE the pair joins -- the (super, pos) equi-join then shuffles
+    # candidate-member turns only, never the corpus's text rows
     # (measured: the unpruned b-side sort-merge moved all 1.09M turn
-    # texts for 9.6k pairs).  The semi joins broadcast the id sets; the
-    # caller persists `candidates` so deriving them costs no extra pass.
-    # explicit broadcast: the candidate list arrives as a checkpointed
-    # RDD with no size statistics, so Catalyst would otherwise pick a
-    # sort-merge semi join and shuffle the corpus's turn rows anyway
+    # texts for 9.6k pairs).  ONE scan of the corpus against the union
+    # of both sides' ids, then the per-side restriction filters the
+    # already-small member relation (r6: the two per-side semis each
+    # scanned the full turn table; the union semi halves the corpus
+    # passes for identical output).  The semi joins broadcast the id
+    # sets; the caller persists `candidates` so deriving them costs no
+    # extra pass.  explicit broadcast: the candidate list arrives as a
+    # checkpointed RDD with no size statistics, so Catalyst would
+    # otherwise pick a sort-merge semi join and shuffle the corpus's
+    # turn rows anyway
     a_ids = F.broadcast(
         candidates.select(F.col("prefix_conv_id").alias("conv_id")).distinct()
     )
     b_ids = F.broadcast(
         candidates.select(F.col("super_conv_id").alias("conv_id")).distinct()
     )
-    a = t.join(a_ids, "conv_id", "left_semi").select(
+    member_ids = F.broadcast(
+        candidates.select(F.col("prefix_conv_id").alias("conv_id"))
+        .union(candidates.select(F.col("super_conv_id").alias("conv_id")))
+        .distinct()
+    )
+    # materialize the pruned member turns once (they are referenced by
+    # both pair-join sides; lazy, each side would re-run the corpus
+    # scan + semi and the single-scan restructure would buy nothing).
+    # Small by construction: candidate members x their turns.  Local
+    # blocks are freed by the context cleaner with the result.
+    mt = t.join(member_ids, "conv_id", "left_semi").localCheckpoint(eager=True)
+    a = mt.join(a_ids, "conv_id", "left_semi").select(
         F.col("conv_id").alias("prefix_conv_id"),
         "pos",
         F.col("text").alias("text_a"),
     )
-    b = t.join(b_ids, "conv_id", "left_semi").select(
+    b = mt.join(b_ids, "conv_id", "left_semi").select(
         F.col("conv_id").alias("super_conv_id"),
         "pos",
         F.col("text").alias("text_b"),

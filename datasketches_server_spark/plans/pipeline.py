@@ -311,6 +311,20 @@ def incremental_dedup(
     new_state = conv_signatures(new_transcripts, cfg).persist()
     new_state.count()  # eager, for the same cache-race reason as dedup_pipeline
     resources.append(new_state)
+    # Truncate the old labeling's LOGICAL plan (r6): old_clusters arrives
+    # carrying the entire previous pipeline's plan tree, and the
+    # incremental path references it four times (both contraction sides,
+    # the relabel join, the new-label anti-join) plus the singleton
+    # attach below -- every action re-analyzes that corpus-sized tree on
+    # the driver (event-log measured: ~3 s of the ~7 s batch wall was
+    # inter-job driver gaps).  The relation itself is small (one narrow
+    # row per conv, reading straight from the caller's cache), so an
+    # eager localCheckpoint costs one ~0.1 s job and makes it a leaf.
+    # Intra-invocation only; blocks are freed with the result.
+    if old_clusters is not None:
+        old_clusters = old_clusters.select(
+            "conv_id", "cluster_id"
+        ).localCheckpoint(eager=True)
     state = old_state.unionByName(new_state, allowMissingColumns=False)
 
     if old_buckets is None:
@@ -341,6 +355,14 @@ def incremental_dedup(
     # tests/test_plan_quality.py).  Larger member sets fall back to the
     # semi-join (a 10^6-literal In bloats the plan and beats nothing).
     state_v, pushed = member_pushdown_state(cands, state, member_pushdown_threshold)
+    if pushed:
+        # the pushed-down member state is batch-sized (pair members only)
+        # but still carries the old corpus's full plan tree; verify
+        # references it twice.  Materialize the few thousand fat rows
+        # once -- the In() pushdown already made the scan cheap, and the
+        # checkpoint makes BOTH verify joins read a leaf instead of
+        # re-planning (and re-scanning) the corpus-sized tree.
+        state_v = state_v.localCheckpoint(eager=True)
     new_edges = verify_pairs(
         cands, state_v, cfg.lsh, tier=verify_tier, prune_members=not pushed
     )
@@ -360,7 +382,19 @@ def incremental_dedup(
         )
     else:
         labels = connected_components(edges, driver_threshold=cc_driver_threshold)
-    clusters = attach_singletons(labels, state).persist()
+    # singleton attach: the node set is (every old conv) + (every new
+    # conv).  old_clusters covers every old conv exactly once by its
+    # documented contract (attach_singletons output, singletons
+    # included), so when it is available the checkpointed labeling
+    # supplies the old ids and the big fat-state union never enters the
+    # attach plan -- identical rows, leaf-sized planning.
+    if old_clusters is not None:
+        nodes = old_clusters.select("conv_id").unionByName(
+            new_state.select("conv_id")
+        )
+    else:
+        nodes = state
+    clusters = attach_singletons(labels, nodes).persist()
     resources.append(clusters)
     from ..operators.lsh import bucket_stats_from_ranked
 
