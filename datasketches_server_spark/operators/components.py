@@ -46,6 +46,20 @@ def _small_star(e: DataFrame) -> DataFrame:
     return out.where(F.col("a") != F.col("b")).distinct()
 
 
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Free a consumed localCheckpoint's storage blocks NOW instead of at
+    GC: the checkpointed RDD is pinned in getPersistentRDDs until the
+    context cleaner notices the DataFrame is unreachable, and callers
+    that run many pipelines per session (the unpersist-contract test,
+    the 127-query sweep) must not accumulate blocks.  Only safe once the
+    DataFrame will never be read again -- a checkpointed RDD has no
+    lineage to recompute from."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass  # best-effort; the context cleaner remains the backstop
+
+
 def _fingerprint(e: DataFrame) -> tuple[int, int]:
     row = e.select(F.xxhash64("a", "b").alias("h")).agg(
         F.count("*").alias("n"), F.expr("bit_xor(h)").alias("x")
@@ -111,15 +125,28 @@ def connected_components(
     fingerprint action.
     """
     id_type = dict(edges.dtypes)["a"]
-    e0 = edges.select("a", "b").where(F.col("a") != F.col("b")).distinct().persist()
-    n_edges = e0.count()  # one fully-parallel materialization of verify+dedup
+    # eager localCheckpoint = ONE fully-parallel materialization of
+    # verify+dedup (never `limit().toPandas()` -- see docstring) that
+    # ALSO truncates the logical plan: the edge set's tree is the whole
+    # verify pipeline, and count + toPandas each re-analyzed it on the
+    # driver (event-log job accounting: ~half the small-corpus pipeline
+    # wall was inter-job planning gaps).  After the checkpoint both
+    # actions plan a leaf.  Blocks are freed by the context cleaner when
+    # the DataFrame drops (same lifecycle the star loop already relies
+    # on).
+    e0 = (
+        edges.select("a", "b")
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = e0.count()  # leaf scan of the checkpointed partitions
     if n_edges <= driver_threshold:
-        head = e0.toPandas()  # straight from the cache
+        head = e0.toPandas()  # straight from the checkpoint
         out = _driver_union_find(head, edges.sparkSession, id_type)
-        e0.unpersist()
+        _release_local_checkpoint(e0)
         return out
-    e = e0.localCheckpoint(eager=True)  # copies from the cache
-    e0.unpersist()
+    e = e0
     prev = _fingerprint(e)
     for _ in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint(eager=False)
