@@ -177,6 +177,15 @@ def _warm_session(spark: SparkSession) -> None:
         else:
             warm_n = 300
         t = synth_transcripts(spark, n_convs=warm_n, seed=9)
+        if warm_n >= 20_000:
+            # the bench persists its corpus, so its operators read an
+            # InMemoryTableScan -- a DIFFERENT generated class than a
+            # direct scan of the synth plan (compilation-counter: the
+            # fully-"warmed" prefix pass still compiled 29 classes
+            # because warm-up had scanned an unpersisted corpus).
+            # Persist the warm corpus so warmed shapes match timed ones.
+            t = t.persist()
+            t.count()
         res = dedup_pipeline(t, PipelineConfig())
         res.clusters.select("cluster_id").distinct().count()
         global_rollup(
@@ -275,6 +284,8 @@ def _warm_session(spark: SparkSession) -> None:
                 "q31_ann_lsh_cosine",
             ):
                 getattr(Qm, fn)(spark, sf).collect()
+        if warm_n >= 20_000:
+            t.unpersist()
     except Exception:
         pass  # warm-up is best-effort; never block a session on it
     finally:
