@@ -292,6 +292,12 @@ def _warm_session(spark: SparkSession) -> None:
                 "q127_winnowing_pairs",
                 "q30_cosine_topk",
                 "q31_ann_lsh_cosine",
+                # relational rows: cheap, but their first invocation
+                # otherwise compiles its join/agg classes inside the
+                # timed region
+                "q01_pricing_summary",
+                "q02_top_revenue_customers",
+                "q05_events_hourly",
             ):
                 getattr(Qm, fn)(spark, sf).collect()
         if warm_n >= 20_000:
