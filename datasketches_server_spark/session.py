@@ -224,6 +224,18 @@ def _warm_session(spark: SparkSession) -> None:
                 shutil.rmtree(wd, ignore_errors=True)
         res.unpersist()
         if warm_n >= 20_000:
+            # second same-scale pass, different seed: AQE shapes sit on
+            # statistics boundaries, so a single warm corpus leaves a
+            # residue of stat-variant classes that the timed corpus then
+            # compiles (counter-measured: 12 residual compilations after
+            # one warm pass, 2 after two; timed wall 6.0 s).
+            t2 = synth_transcripts(spark, n_convs=warm_n, seed=10).persist()
+            t2.count()
+            res2 = dedup_pipeline(t2, PipelineConfig())
+            res2.clusters.select("cluster_id").distinct().count()
+            res2.unpersist()
+            t2.unpersist()
+        if warm_n >= 20_000:
             # the docs-table pipeline runs the same operators at
             # broadcast scale (a few thousand convs), which are
             # DIFFERENT codegen shapes than the 100k warm pass above;
